@@ -1,0 +1,206 @@
+"""flash_attn-compatible functional API (L2 parity layer).
+
+TPU-native counterpart of the reference's op-binding layer
+(``hopper/_internal/flash_attn_interface.py``): the ``flash_attn_*``
+functional surface, taking the reference's ``[batch, seq, heads, dim]``
+layout, with the LiteAttention skip extras
+(``attn_read_list/attn_must_do_list/attn_write_list/thr``,
+flash_attn_interface.py:54-58,547-567).
+
+Deviations, by design (functional JAX vs mutable torch):
+
+* Skip state is passed as a **dense bool tile mask** (``attn_read_list``)
+  rather than int32 range lists; converters live in
+  :mod:`liteattention_tpu.ops.mask` for wire-format interop.
+* The reference writes the next-step list into ``attn_write_list``
+  **in place**; here the updated mask is *returned* (``return_skip_mask``)
+  -- there is no aliasing in JAX. ``attn_write_list`` is accepted and
+  ignored (a migration shim).
+* There is no separate autograd Function layer: ``flash_attn_func`` is
+  differentiable through its dense path via custom_vjp (the sparse path
+  is inference-only, like the reference's shipped fwd-only build,
+  hopper/setup.py:47-68).
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Sequence, Tuple, Union
+
+import jax
+import jax.numpy as jnp
+
+from liteattention_tpu.ops.combine import combine_attention
+from liteattention_tpu.ops.flash_fwd import flash_attention
+from liteattention_tpu.ops.lite_flash_fwd import lite_flash_attention
+from liteattention_tpu.ops.mask import compact_mask, update_mask, SkipMaskState
+from liteattention_tpu.ops.tile_sizes import BlockSizes, get_block_sizes
+
+
+def _bshd_to_bhsd(x):
+    return jnp.transpose(x, (0, 2, 1, 3))
+
+
+def _bhsd_to_bshd(x):
+    return jnp.transpose(x, (0, 2, 1, 3))
+
+
+def flash_attn_func(
+    q: jax.Array,
+    k: jax.Array,
+    v: jax.Array,
+    softmax_scale: Optional[float] = None,
+    causal: bool = False,
+    attn_read_list: Optional[jax.Array] = None,
+    attn_must_do_list: Optional[jax.Array] = None,
+    attn_write_list=None,  # accepted for signature parity; see module doc
+    thr: float = -3.0,
+    return_softmax_lse: bool = False,
+    return_skip_mask: bool = False,
+    block_sizes: Optional[BlockSizes] = None,
+):
+    """Attention forward, dense or skip-masked.
+
+    Parity target: ``flash_attn_func`` (reference
+    hopper/_internal/flash_attn_interface.py:466-567; schema defaults
+    ``thr=-3.0`` per flash_api.cpp:1758-1762).
+
+    Args:
+      q, k, v: ``[batch, seqlen, heads, head_dim]``. GQA/MQA via fewer
+        KV heads.
+      attn_read_list: optional dense bool skip mask ``[B, H, Qt, Kt]``;
+        when given the sparse kernel runs (``is_skipable`` path,
+        flash_api.cpp:915-963) and skip votes are folded into the
+        returned mask.
+      thr: skip threshold (log2 space).
+      return_skip_mask: also return the evolved mask (the reference's
+        write-list, returned instead of mutated).
+
+    Returns:
+      ``out`` plus optionally ``lse`` (fp32 ``[B, H, S]``) and the evolved
+      mask, in that order.
+    """
+    del attn_write_list
+    qh = _bshd_to_bhsd(q)
+    kh = _bshd_to_bhsd(k)
+    vh = _bshd_to_bhsd(v)
+    d = q.shape[-1]
+    bs = block_sizes or get_block_sizes(d, q.dtype.itemsize)
+    if attn_read_list is None:
+        out, lse = flash_attention(
+            qh,
+            kh,
+            vh,
+            scale=softmax_scale,
+            causal=causal,
+            block_sizes=bs,
+            return_lse=True,
+        )
+        new_mask = None
+    else:
+        assert not causal, "skip-masked attention is non-causal (video DiT)"
+        kv_idx, count = compact_mask(attn_read_list)
+        out, lse, votes = lite_flash_attention(
+            qh,
+            kh,
+            vh,
+            kv_idx,
+            count,
+            jnp.asarray(thr, jnp.float32),
+            scale=softmax_scale,
+            block_sizes=bs,
+        )
+        st = update_mask(
+            SkipMaskState(attn_read_list, jnp.zeros((), jnp.int32)),
+            votes,
+            must_do=attn_must_do_list,
+        )
+        new_mask = st.do_mask
+    out = _bhsd_to_bshd(out)
+    result = [out]
+    if return_softmax_lse:
+        result.append(lse)
+    if return_skip_mask:
+        result.append(new_mask)
+    return result[0] if len(result) == 1 else tuple(result)
+
+
+def flash_attn_qkvpacked_func(
+    qkv: jax.Array,
+    softmax_scale: Optional[float] = None,
+    causal: bool = False,
+    return_softmax_lse: bool = False,
+    **kwargs,
+):
+    """Packed-QKV attention (reference flash_attn_interface.py
+    ``flash_attn_qkvpacked_func``). ``qkv``: [B, S, 3, H, D]."""
+    q, k, v = qkv[:, :, 0], qkv[:, :, 1], qkv[:, :, 2]
+    return flash_attn_func(
+        q,
+        k,
+        v,
+        softmax_scale=softmax_scale,
+        causal=causal,
+        return_softmax_lse=return_softmax_lse,
+        **kwargs,
+    )
+
+
+def flash_attn_kvpacked_func(
+    q: jax.Array,
+    kv: jax.Array,
+    softmax_scale: Optional[float] = None,
+    causal: bool = False,
+    return_softmax_lse: bool = False,
+    **kwargs,
+):
+    """Packed-KV attention. ``kv``: [B, S, 2, H, D]."""
+    return flash_attn_func(
+        q,
+        kv[:, :, 0],
+        kv[:, :, 1],
+        softmax_scale=softmax_scale,
+        causal=causal,
+        return_softmax_lse=return_softmax_lse,
+        **kwargs,
+    )
+
+
+def flash_attn_combine(
+    out_partial: jax.Array,
+    lse_partial: jax.Array,
+    return_lse: bool = False,
+):
+    """LSE-weighted merge of partial attentions over KV splits.
+
+    Parity target: ``flash_attn_combine`` -> ``fwd_combine``
+    (reference flash_attn_interface.py:684-685, flash_api.cpp:1640-1719).
+    ``out_partial``: [N, B, S, H, D]; ``lse_partial``: [N, B, H, S].
+    """
+    outs = jnp.moveaxis(out_partial, 3, 2)  # [N, B, H, S, D]
+    out, lse = combine_attention(outs, lse_partial, axis=0)
+    out = jnp.moveaxis(out, 1, 2)  # [B, S, H, D]
+    if return_lse:
+        return out, lse
+    return out
+
+
+def get_scheduler_metadata(
+    attn_read_list: jax.Array,
+) -> Tuple[jax.Array, jax.Array]:
+    """Compacted (kv_idx, count) schedule for a skip mask.
+
+    TPU analog of the reference's ``get_scheduler_metadata``
+    (flash_attn_interface.py / flash_api.cpp:1793-1823): the
+    precomputable part of kernel scheduling. Useful to amortize
+    compaction when one mask drives several calls.
+    """
+    return compact_mask(attn_read_list)
+
+
+__all__ = [
+    "flash_attn_func",
+    "flash_attn_qkvpacked_func",
+    "flash_attn_kvpacked_func",
+    "flash_attn_combine",
+    "get_scheduler_metadata",
+]

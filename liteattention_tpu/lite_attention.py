@@ -1,0 +1,400 @@
+"""User-facing LiteAttention API.
+
+TPU-native rebuild of the reference's L1 layer
+(``hopper/lite_attention.py``): a drop-in attention module for
+video-diffusion DiT inference that carries a persistent skip mask across
+denoising timesteps.
+
+Two API levels:
+
+* **Functional core** (:func:`lite_attention_init` /
+  :func:`lite_attention_step`): the skip mask is an explicit
+  :class:`~liteattention_tpu.ops.mask.SkipMaskState` threaded through the
+  caller's denoising loop (or a ``lax.scan`` carry). This is the idiomatic
+  JAX form -- fully jittable, no hidden state, no double buffer
+  (SURVEY.md section 7, translation decision 1).
+* **Stateful wrapper** (:class:`LiteAttention`): mirrors the reference
+  class surface -- ``__call__``, ``set_threshold``, ``reset_skip_state``,
+  ``enable_skip_optimization``, ``get_skip_percentage``
+  (reference hopper/lite_attention.py:36-320, README.md:134-263) -- for
+  users migrating from the CUDA package. It stores the returned state on
+  the Python object between calls; each call runs jitted code.
+
+Layout note: the wrapper accepts the reference's ``[B, S, H, D]`` tensors;
+the kernels run on ``[B, H, S, D]``.
+
+Fixed vs reference (SURVEY.md section 2.1 known bugs): disabling skipping
+really does fall back to a clean dense FA path (the reference crashes in
+``_expand_must_do_list`` because it gates on the *method object*
+``enable_skip_optimization`` instead of the flag,
+hopper/lite_attention.py:262); ``must_skip`` inputs are not mutated.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import List, Optional, Sequence, Tuple, Union
+
+import jax
+import jax.numpy as jnp
+
+from liteattention_tpu.ops.flash_fwd import flash_attention
+from liteattention_tpu.ops.lite_flash_fwd import lite_flash_attention
+from liteattention_tpu.ops.mask import (
+    SkipMaskState,
+    cdiv,
+    compact_mask,
+    init_mask,
+    must_do_mask,
+    sparsity,
+    update_mask,
+)
+from liteattention_tpu.ops.tile_sizes import BlockSizes, get_block_sizes
+
+
+def lite_attention_init(
+    batch: int,
+    heads: int,
+    seqlen_q: int,
+    seqlen_k: int,
+    head_dim: int,
+    dtype_bytes: int = 2,
+    must_skip_ranges: Optional[Sequence[Tuple[int, int]]] = None,
+    block_sizes: Optional[BlockSizes] = None,
+) -> SkipMaskState:
+    """Create the initial (all-do) skip-mask state for a given geometry.
+
+    Counterpart of ``LiteAttention.init_skip_list``
+    (reference hopper/lite_attention.py:113-153).
+    """
+    bs = block_sizes or get_block_sizes(head_dim, dtype_bytes)
+    return init_mask(
+        batch,
+        heads,
+        seqlen_q,
+        seqlen_k,
+        bs.block_q,
+        bs.block_k,
+        must_skip_ranges=must_skip_ranges,
+    )
+
+
+def lite_attention_step(
+    state: SkipMaskState,
+    q: jax.Array,
+    k: jax.Array,
+    v: jax.Array,
+    threshold: Union[float, jax.Array],
+    scale: Optional[float] = None,
+    must_do: Optional[jax.Array] = None,
+    enable_skipping: bool = True,
+    block_sizes: Optional[BlockSizes] = None,
+    return_lse: bool = False,
+):
+    """One denoising-step attention call with skip-mask evolution.
+
+    The TPU form of ``LiteAttention.__call__``
+    (reference hopper/lite_attention.py:244-291): consumes the mask
+    produced at step t-1, computes attention over surviving tiles only,
+    and returns the (monotonically shrunken) mask for step t+1. Newly
+    skippable tiles are still computed *this* step -- the vote needs their
+    QK max -- and eliminated from the next one, the reference's
+    forward-propagation semantics (mainloop:1804-1827).
+
+    Args:
+      state: skip-mask state from :func:`lite_attention_init` or a prior
+        step.
+      q, k, v: ``[B, H, S, D]``.
+      threshold: log2-space skip threshold (traced scalar; pass the
+        per-timestep calibrated value without recompiling).
+      must_do: optional bool mask broadcastable to ``[B, H, Qt, Kt]``
+        protecting tiles from being newly skipped.
+      enable_skipping: when False, runs the dense kernel and returns the
+        state unchanged (the reference's documented disable path,
+        README.md:158-159).
+
+    Returns:
+      ``(out, new_state)`` or ``(out, lse, new_state)``.
+    """
+    bs = block_sizes or get_block_sizes(q.shape[-1], q.dtype.itemsize)
+    if not enable_skipping:
+        out, lse = flash_attention(
+            q, k, v, scale=scale, block_sizes=bs, return_lse=True
+        )
+        new_state = state
+    else:
+        kv_idx, count = compact_mask(state.do_mask)
+        out, lse, votes = lite_flash_attention(
+            q,
+            k,
+            v,
+            kv_idx,
+            count,
+            jnp.asarray(threshold, jnp.float32),
+            scale=scale,
+            block_sizes=bs,
+        )
+        new_state = update_mask(state, votes, must_do=must_do)
+    if return_lse:
+        return out, lse, new_state
+    return out, new_state
+
+
+def _ranges_from_flat_list(flat: Sequence[int]) -> List[Tuple[int, int]]:
+    """Normalize the reference's flat pair list to half-open ranges.
+
+    The reference passes ``[hi, lo, hi, lo, ...]`` inclusive sequence-index
+    pairs in decreasing order (root test_lite_attention.py:31 uses
+    ``[seqlen-1, 0]`` for "everything"). Accepts either pair order.
+    """
+    assert len(flat) % 2 == 0, "range list must hold (start, end) pairs"
+    out = []
+    for i in range(0, len(flat), 2):
+        a, b = int(flat[i]), int(flat[i + 1])
+        lo, hi = min(a, b), max(a, b)
+        out.append((lo, hi + 1))
+    return out
+
+
+class LiteAttention:
+    """Stateful LiteAttention wrapper (reference-class API parity).
+
+    Reference: ``LiteAttention`` (hopper/lite_attention.py:15-320),
+    README.md:134-197.
+
+    Args:
+      enable_skipping: enable the temporal skip optimization.
+      threshold: log2-space skip threshold; must be negative unless
+        ``LITE_ATTENTION_DEBUG`` is set (reference
+        hopper/lite_attention.py:306-313).
+      max_batch_size: accepted for API parity. The TPU engine sizes the
+        mask to the actual batch, so it is only validated against.
+      block_sizes: optional kernel tile override.
+    """
+
+    def __init__(
+        self,
+        enable_skipping: bool = True,
+        threshold: float = -10.0,
+        max_batch_size: int = 4,
+        block_sizes: Optional[BlockSizes] = None,
+    ):
+        self._state: Optional[SkipMaskState] = None
+        self._last_key = None
+        self._last_percentage = 0.0
+        self._read_mask = None
+        self.enable_skipping = enable_skipping
+        self.max_batch_size = max_batch_size
+        self.block_sizes = block_sizes
+        self.set_threshold(threshold)
+
+    # -- reference-parity helpers -------------------------------------
+
+    @staticmethod
+    def ceil_div(x: int, y: int) -> int:
+        return cdiv(x, y)
+
+    def set_threshold(self, threshold: float):
+        """Update the skip threshold (reference lite_attention.py:306-313).
+
+        Per-timestep error calibration = calling this between denoising
+        steps (README.md:148-153). Thresholds >= 0 are rejected unless the
+        ``LITE_ATTENTION_DEBUG`` env var is set, matching the reference.
+        """
+        if (
+            float(threshold) >= 0
+            and threshold != float("inf")
+            and os.getenv("LITE_ATTENTION_DEBUG", "FALSE") == "FALSE"
+        ):
+            raise ValueError(
+                "threshold must be negative when debug mode is not enabled"
+            )
+        self.threshold = float(threshold)
+
+    def reset_skip_state(self):
+        """Drop the persistent mask (reference lite_attention.py:293-304)."""
+        self._state = None
+        self._last_key = None
+        self._last_percentage = 0.0
+        self._read_mask = None
+
+    def enable_skip_optimization(self, enable: bool = True):
+        """Toggle skipping (reference lite_attention.py:315-320). Unlike
+        the reference, disabling cleanly runs the dense path."""
+        self.enable_skipping = enable
+
+    def get_skip_percentage(self) -> float:
+        """Fraction of tiles skipped in the most recent call (the read
+        mask), like the reference's ``calc_percentage`` telemetry
+        (hopper/lite_attention.py:61-85)."""
+        return float(self._last_percentage)
+
+    @property
+    def state(self) -> Optional[SkipMaskState]:
+        return self._state
+
+    # -- main entry ----------------------------------------------------
+
+    def __call__(
+        self,
+        query: jax.Array,
+        key: jax.Array,
+        value: jax.Array,
+        scale: Optional[float] = None,
+        return_softmax_lse: bool = False,
+        must_do_list: Optional[Sequence[int]] = None,
+        must_skip_list: Optional[Sequence[int]] = None,
+    ):
+        """Attention forward with temporal skip-mask evolution.
+
+        Args:
+          query, key, value: ``[batch, seq_len, heads, head_dim]`` (the
+            reference layout, hopper/lite_attention.py:244-257).
+          must_do_list: flat inclusive (start, end) sequence-index pairs of
+            ranges that must never be skipped (reference
+            ``_expand_must_do_list``, lite_attention.py:214-242).
+          must_skip_list: flat pairs pre-skipped at (re)initialization
+            (reference ``init_skip_list``, lite_attention.py:126-145).
+
+        Returns:
+          out ``[batch, seq_len, heads, head_dim]`` (+ lse ``[B, H, S]``
+          when ``return_softmax_lse``).
+        """
+        b, s, h, d = query.shape
+        assert b <= self.max_batch_size, (
+            "batch size must be <= max_batch_size "
+            "(modify max_batch_size in the LiteAttention constructor)"
+        )
+        q = jnp.transpose(query, (0, 2, 1, 3))
+        k = jnp.transpose(key, (0, 2, 1, 3))
+        v = jnp.transpose(value, (0, 2, 1, 3))
+
+        bs = self.block_sizes or get_block_sizes(d, q.dtype.itemsize)
+        key_sig = (b, s, k.shape[2], h, d, str(q.dtype), bs)
+        if self.enable_skipping and (
+            self._state is None or self._last_key != key_sig
+        ):
+            if self._last_key is not None and self._last_key != key_sig:
+                if os.getenv("LITE_ATTENTION_VERBOSE", "FALSE") != "FALSE":
+                    print(
+                        "[Warning]: reinitialized skip list during the "
+                        "forward pass"
+                    )
+            ranges = (
+                _ranges_from_flat_list(must_skip_list)
+                if must_skip_list
+                else None
+            )
+            self._state = lite_attention_init(
+                b,
+                h,
+                s,
+                k.shape[2],
+                d,
+                q.dtype.itemsize,
+                must_skip_ranges=ranges,
+                block_sizes=bs,
+            )
+            self._last_key = key_sig
+
+        must_do = None
+        if must_do_list is not None and self.enable_skipping:
+            must_do = must_do_mask(
+                _ranges_from_flat_list(must_do_list), k.shape[2], bs.block_k
+            )
+
+        state = self._state
+        if self.enable_skipping:
+            self._read_mask = state.do_mask
+        result = lite_attention_step(
+            state
+            if state is not None
+            else lite_attention_init(b, h, s, k.shape[2], d),
+            q,
+            k,
+            v,
+            threshold=self.threshold,
+            scale=scale,
+            must_do=must_do,
+            enable_skipping=self.enable_skipping,
+            block_sizes=bs,
+            return_lse=True,
+        )
+        out, lse, new_state = result
+        if self.enable_skipping:
+            self._state = new_state
+            self._last_percentage = float(sparsity(self._read_mask))
+            if os.getenv("LITE_ATTENTION_VERBOSE", "FALSE") != "FALSE":
+                print(
+                    "[Info]: Percentage of tiles skipped: "
+                    f"{self._last_percentage:.2%}"
+                )
+        out = jnp.transpose(out, (0, 2, 1, 3))
+        if return_softmax_lse:
+            return out, lse
+        return out
+
+
+class SeqParallelLiteAttention:
+    """Per-KV-split LiteAttention instances for sequence parallelism.
+
+    API parity with the reference (hopper/lite_attention.py:322-345): one
+    independent skip state per KV split; the caller splits KV, passes
+    ``split_idx``, and merges partial outputs with
+    :func:`liteattention_tpu.ops.combine.combine_attention` (the
+    reference's ``flash_attn_combine`` / LSE-merge recipe,
+    README.md:199-250). For the mesh-native single-call form see
+    :mod:`liteattention_tpu.parallel.seq_parallel`.
+    """
+
+    def __init__(
+        self,
+        num_nodes: int,
+        enable_skipping: bool = True,
+        threshold: float = -10.0,
+        max_batch_size: int = 4,
+        block_sizes: Optional[BlockSizes] = None,
+    ):
+        self.num_nodes = num_nodes
+        self.lite_attention = [
+            LiteAttention(
+                enable_skipping, threshold, max_batch_size, block_sizes
+            )
+            for _ in range(num_nodes)
+        ]
+
+    def __call__(
+        self,
+        query: jax.Array,
+        key: jax.Array,
+        value: jax.Array,
+        split_idx: int,
+        scale: Optional[float] = None,
+        return_softmax_lse: bool = False,
+    ):
+        assert split_idx < self.num_nodes, (
+            "split_idx must be less than num_nodes"
+        )
+        return self.lite_attention[split_idx](
+            query, key, value, scale, return_softmax_lse
+        )
+
+    def reset_skip_state(self):
+        for la in self.lite_attention:
+            la.reset_skip_state()
+
+    def set_threshold(self, threshold: float):
+        for la in self.lite_attention:
+            la.set_threshold(threshold)
+
+    def enable_skip_optimization(self, enable: bool = True):
+        for la in self.lite_attention:
+            la.enable_skip_optimization(enable)
+
+
+__all__ = [
+    "LiteAttention",
+    "SeqParallelLiteAttention",
+    "lite_attention_init",
+    "lite_attention_step",
+]

@@ -1,0 +1,35 @@
+"""Core attention ops: Pallas kernels, mask state, oracle, combine."""
+
+from liteattention_tpu.ops.attention_ref import attention_ref, skip_votes_ref
+from liteattention_tpu.ops.combine import (
+    combine_attention,
+    combine_attention_psum,
+)
+from liteattention_tpu.ops.flash_fwd import flash_attention
+from liteattention_tpu.ops.lite_flash_fwd import lite_flash_attention
+from liteattention_tpu.ops.mask import (
+    SkipMaskState,
+    compact_mask,
+    init_mask,
+    must_do_mask,
+    sparsity,
+    update_mask,
+)
+from liteattention_tpu.ops.tile_sizes import BlockSizes, get_block_sizes
+
+__all__ = [
+    "attention_ref",
+    "skip_votes_ref",
+    "combine_attention",
+    "combine_attention_psum",
+    "flash_attention",
+    "lite_flash_attention",
+    "SkipMaskState",
+    "compact_mask",
+    "init_mask",
+    "must_do_mask",
+    "sparsity",
+    "update_mask",
+    "BlockSizes",
+    "get_block_sizes",
+]

@@ -1,0 +1,271 @@
+"""Dense flash-attention forward kernel (Pallas/TPU).
+
+TPU-native replacement for the reference's dense FA3 forward path
+(``FlashAttnFwdSm90`` + ``CollectiveMainloopFwdSm90`` with
+``Is_skipable=false``; reference: hopper/_internal/cpp/flash_fwd_kernel_sm90.h:39-572,
+mainloop_fwd_sm90_tma_gmma_ws.hpp). The Hopper design (warp-specialized
+TMA producer / WGMMA consumers, named barriers, smem unions) has no TPU
+analog: here Mosaic's grid pipeline is the producer (automatic
+double-buffered HBM->VMEM DMA driven by BlockSpec index maps), the MXU
+runs QK^T/PV, and the VPU runs the online softmax.
+
+Grid: ``(B, H, Qt, Kt)`` with the KV dimension innermost ("arbitrary" --
+it is the online-softmax reduction); B/H/Qt are "parallel" so Mosaic may
+split them across megacores.
+
+This kernel is the ``vs_baseline`` denominator for the sparse engine in
+bench.py and the dense path of the flash_attn_func-parity API.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from liteattention_tpu.ops.tile_sizes import BlockSizes, get_block_sizes
+
+DEFAULT_MASK_VALUE = -0.7 * float(jnp.finfo(jnp.float32).max)
+MIN_LANES = 128
+
+
+def _default_interpret() -> bool:
+    return jax.default_backend() == "cpu"
+
+
+def _fwd_kernel(
+    q_ref,
+    k_ref,
+    v_ref,
+    o_ref,
+    lse_ref,
+    m_scr,
+    l_scr,
+    acc_scr,
+    *,
+    scale: float,
+    kt: int,
+    num_heads: int,
+    block_q: int,
+    block_k: int,
+    seqlen_k: int,
+    causal: bool,
+):
+    # Grid is (B, Qt, H, Kt): Kt innermost (the online-softmax reduction),
+    # H next so the per-(b, q-tile) lse block stays VMEM-resident while
+    # all heads write their column.
+    qi = pl.program_id(1)
+    h = pl.program_id(2)
+    ki = pl.program_id(3)
+
+    @pl.when(ki == 0)
+    def _init():
+        m_scr[...] = jnp.full_like(m_scr, -jnp.inf)
+        l_scr[...] = jnp.zeros_like(l_scr)
+        acc_scr[...] = jnp.zeros_like(acc_scr)
+
+    if causal:
+        # Tiles strictly above the diagonal contribute nothing: skip all
+        # compute (the TPU form of the reference's block-range pruning in
+        # hopper/_internal/cpp/block.h).
+        should_run = (qi + 1) * block_q - 1 >= ki * block_k
+    else:
+        should_run = True
+
+    # f32 inputs: force full-precision MXU passes (the default would
+    # silently round through bf16). bf16 inputs accumulate in f32 anyway.
+    precision = (
+        jax.lax.Precision.HIGHEST
+        if q_ref.dtype == jnp.float32
+        else jax.lax.Precision.DEFAULT
+    )
+
+    @pl.when(should_run)
+    def _step():
+        q = q_ref[0, 0]
+        k = k_ref[0, 0]
+        s = jax.lax.dot_general(
+            q,
+            k,
+            dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+            precision=precision,
+        )
+        s = s * scale
+
+        needs_k_mask = seqlen_k % block_k != 0
+        if needs_k_mask or causal:
+            col = (
+                jax.lax.broadcasted_iota(jnp.int32, (block_q, block_k), 1)
+                + ki * block_k
+            )
+            valid = col < seqlen_k
+            if causal:
+                row = (
+                    jax.lax.broadcasted_iota(
+                        jnp.int32, (block_q, block_k), 0
+                    )
+                    + qi * block_q
+                )
+                valid = jnp.logical_and(valid, col <= row)
+            s = jnp.where(valid, s, DEFAULT_MASK_VALUE)
+
+        m_prev = m_scr[...]
+        l_prev = l_scr[...]
+        m_curr = jnp.max(s, axis=1, keepdims=True)  # [bq, 1]
+        m_next = jnp.maximum(m_prev, m_curr)  # [bq, 128]
+        alpha = jnp.exp(m_prev[:, :1] - m_next[:, :1])  # [bq, 1]
+        p = jnp.exp(s - m_next[:, :1])
+        l_curr = jnp.sum(p, axis=1, keepdims=True)
+        m_scr[...] = m_next
+        l_scr[...] = alpha * l_prev + l_curr
+        v = v_ref[0, 0]
+        acc_scr[...] = acc_scr[...] * alpha + jax.lax.dot(
+            p.astype(v.dtype),
+            v,
+            preferred_element_type=jnp.float32,
+            precision=precision,
+        )
+
+    @pl.when(ki == kt - 1)
+    def _store():
+        l = l_scr[:, :1]
+        l_inv = jnp.where(l == 0.0, 1.0, 1.0 / l)
+        o_ref[0, 0] = (acc_scr[...] * l_inv).astype(o_ref.dtype)
+        m_col = m_scr[:, :1]
+        lse = jnp.where(
+            l == 0.0, -jnp.inf, m_col + jnp.log(jnp.maximum(l, 1e-37))
+        )
+        # lse block is (block_q, H) shared across heads; write column h.
+        head_col = jax.lax.broadcasted_iota(
+            jnp.int32, (block_q, num_heads), 1
+        )
+        lse_ref[0] = jnp.where(head_col == h, lse, lse_ref[0])
+
+
+def _pad_seq(x: jax.Array, block: int) -> jax.Array:
+    s = x.shape[2]
+    pad = (-s) % block
+    if pad:
+        x = jnp.pad(x, ((0, 0), (0, 0), (0, pad), (0, 0)))
+    return x
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "scale",
+        "causal",
+        "block_sizes",
+        "return_lse",
+        "interpret",
+    ),
+)
+def flash_attention(
+    q: jax.Array,
+    k: jax.Array,
+    v: jax.Array,
+    scale: Optional[float] = None,
+    causal: bool = False,
+    block_sizes: Optional[BlockSizes] = None,
+    return_lse: bool = False,
+    interpret: Optional[bool] = None,
+):
+    """Dense flash attention forward.
+
+    Args:
+      q, k, v: ``[B, H, S, D]`` (bf16 or f32). MQA/GQA: if K/V have fewer
+        heads than Q and divide evenly, they are walked grouped (each KV
+        head serves ``Hq/Hk`` consecutive Q heads), matching the
+        reference's GQA semantics (hopper/_internal/cpp/pack_gqa.h) without
+        materializing repeats.
+      scale: softmax scale (default ``1/sqrt(D)``).
+      causal: lower-triangular masking.
+      return_lse: also return natural-log LSE ``[B, H, Sq]`` fp32.
+
+    Returns ``out`` or ``(out, lse)``.
+    """
+    if interpret is None:
+        interpret = _default_interpret()
+    b, h, sq, d = q.shape
+    hk = k.shape[1]
+    assert h % hk == 0, f"q heads {h} not divisible by kv heads {hk}"
+    group = h // hk
+    sk = k.shape[2]
+    if scale is None:
+        scale = 1.0 / (d**0.5)
+    bs = block_sizes or get_block_sizes(d, q.dtype.itemsize)
+    block_q = min(bs.block_q, max(128, -(-sq // 128) * 128))
+    block_k = min(bs.block_k, max(128, -(-sk // 128) * 128))
+
+    qp = _pad_seq(q, block_q)
+    kp = _pad_seq(k, block_k)
+    vp = _pad_seq(v, block_k)
+    sq_p, sk_p = qp.shape[2], kp.shape[2]
+    qt, kt = sq_p // block_q, sk_p // block_k
+
+    grid = (b, qt, h, kt)
+    kernel = functools.partial(
+        _fwd_kernel,
+        scale=scale,
+        kt=kt,
+        num_heads=h,
+        block_q=block_q,
+        block_k=block_k,
+        seqlen_k=sk,
+        causal=causal,
+    )
+    out, lse = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec(
+                (1, 1, block_q, d), lambda bi, qi, hi, ki: (bi, hi, qi, 0)
+            ),
+            pl.BlockSpec(
+                (1, 1, block_k, d),
+                lambda bi, qi, hi, ki, g=group: (bi, hi // g, ki, 0),
+            ),
+            pl.BlockSpec(
+                (1, 1, block_k, d),
+                lambda bi, qi, hi, ki, g=group: (bi, hi // g, ki, 0),
+            ),
+        ],
+        out_specs=[
+            pl.BlockSpec(
+                (1, 1, block_q, d), lambda bi, qi, hi, ki: (bi, hi, qi, 0)
+            ),
+            pl.BlockSpec(
+                (1, block_q, h), lambda bi, qi, hi, ki: (bi, qi, 0)
+            ),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((b, h, sq_p, d), q.dtype),
+            jax.ShapeDtypeStruct((b, sq_p, h), jnp.float32),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((block_q, MIN_LANES), jnp.float32),
+            pltpu.VMEM((block_q, MIN_LANES), jnp.float32),
+            pltpu.VMEM((block_q, d), jnp.float32),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=(
+                "parallel",
+                "parallel",
+                "arbitrary",
+                "arbitrary",
+            ),
+        ),
+        interpret=interpret,
+    )(qp, kp, vp)
+    out = out[:, :, :sq]
+    if return_lse:
+        return out, jnp.transpose(lse[:, :sq, :], (0, 2, 1))
+    return out
+
+
+__all__ = ["flash_attention", "DEFAULT_MASK_VALUE"]

@@ -1,0 +1,71 @@
+"""Wan-style DiT model: shape/state-threading checks (tiny config, CPU)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from liteattention_tpu.models.wan import (
+    WanConfig,
+    WanModel,
+    init_skip_states,
+    rope_3d_freqs,
+    apply_rope,
+)
+
+
+def _setup():
+    cfg = WanConfig.tiny()
+    model = WanModel(cfg)
+    b, f, h, w = 1, 2, 8, 8
+    latents = jax.random.normal(
+        jax.random.PRNGKey(0), (b, f, h, w, cfg.in_channels)
+    ).astype(jnp.bfloat16)
+    t = jnp.full((b,), 500.0, jnp.float32)
+    text = jax.random.normal(
+        jax.random.PRNGKey(1), (b, cfg.text_len, cfg.text_dim)
+    ).astype(jnp.bfloat16)
+    return cfg, model, latents, t, text
+
+
+def test_forward_dense():
+    cfg, model, latents, t, text = _setup()
+    params = model.init(jax.random.PRNGKey(2), latents, t, text)
+    out, states = model.apply(params, latents, t, text)
+    assert out.shape == latents.shape[:-1] + (cfg.out_channels,)
+    assert states is None
+    assert np.isfinite(np.asarray(out, np.float32)).all()
+
+
+def test_forward_with_skip_states_threading():
+    cfg, model, latents, t, text = _setup()
+    b, f, h, w = latents.shape[:4]
+    states = init_skip_states(cfg, b, (f, h, w))
+    assert len(states) == cfg.num_layers
+    params = model.init(jax.random.PRNGKey(2), latents, t, text, states)
+    out, new_states = model.apply(
+        params, latents, t, text, states, float("inf")
+    )
+    assert set(new_states) == set(states)
+    for i in states:
+        assert int(new_states[i].step) == 1
+        # thr=+inf: masks collapse to anchors after one step.
+        do = np.asarray(new_states[i].do_mask)
+        assert (do.sum(-1) == 1).all()
+    # Second step consumes the evolved mask without error.
+    out2, states2 = model.apply(
+        params, latents, t, text, new_states, float("inf")
+    )
+    assert np.isfinite(np.asarray(out2, np.float32)).all()
+
+
+def test_rope_orthogonality():
+    # RoPE preserves norms and relative-position structure.
+    d = 64
+    freqs = rope_3d_freqs((2, 2, 2), d)
+    x = jax.random.normal(jax.random.PRNGKey(0), (1, 8, 2, d))
+    y = apply_rope(x, freqs)
+    np.testing.assert_allclose(
+        np.linalg.norm(np.asarray(y), axis=-1),
+        np.linalg.norm(np.asarray(x), axis=-1),
+        rtol=1e-5,
+    )
