@@ -1,0 +1,132 @@
+"""Denoising pipeline: flow-matching sampler with skip-state carry.
+
+The reference's defining control flow is the user-side denoising loop
+holding persistent LiteAttention instances and calling
+``set_threshold(t_dependent_thr)`` between steps (reference
+README.md:148-172, SURVEY.md section 3.3). Here that loop is a single
+``lax.scan``: the per-layer skip-mask states are the scan carry
+(SURVEY.md section 7 hard part 2 -- no host round trips), the
+per-timestep thresholds are a scanned input, and each step consumes the
+mask written by the previous step -- the temporal forward propagation of
+skip decisions.
+
+Wan2.x inference uses rectified-flow (velocity) prediction with a
+classifier-free-guidance pair; cond and uncond passes keep **separate**
+skip states (their attention patterns differ).
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from liteattention_tpu.models.wan import WanConfig, WanModel, init_skip_states
+
+
+def linear_threshold_schedule(
+    num_steps: int, start: float = -10.0, end: float = -2.0
+) -> jax.Array:
+    """Per-timestep skip thresholds, loosening over the trajectory.
+
+    Early (high-noise) steps set the mask conservatively; later steps can
+    skip more aggressively because attention patterns have stabilized --
+    the calibration pattern of the reference's threshold sweep
+    (README.md:93-98).
+    """
+    return jnp.linspace(start, end, num_steps)
+
+
+def flow_timesteps(
+    num_steps: int, shift: float = 5.0, t_max: float = 1000.0
+) -> jax.Array:
+    """Wan-style shifted rectified-flow timestep schedule (sigma in
+    (0, 1], mapped to the model's [0, 1000] conditioning range)."""
+    sigmas = jnp.linspace(1.0, 1.0 / num_steps, num_steps)
+    sigmas = shift * sigmas / (1.0 + (shift - 1.0) * sigmas)
+    return sigmas * t_max
+
+
+def denoise(
+    model: WanModel,
+    params,
+    noise: jax.Array,
+    text: jax.Array,
+    null_text: Optional[jax.Array] = None,
+    num_steps: int = 50,
+    guidance_scale: float = 5.0,
+    thresholds: Optional[jax.Array] = None,
+    enable_skipping: bool = True,
+    timestep_shift: float = 5.0,
+) -> Tuple[jax.Array, Dict[str, Any]]:
+    """Run the full denoising trajectory with LiteAttention state carry.
+
+    Args:
+      noise: [B, F, H, W, C] initial latent noise.
+      text / null_text: conditioning (and optional CFG negative) encoder
+        states [B, L, text_dim]; CFG is applied when ``null_text`` given.
+      thresholds: per-step skip thresholds (default linear schedule).
+      enable_skipping: False = dense baseline run (same code path with no
+        skip state, for speed/quality A-B comparisons).
+
+    Returns:
+      (denoised latents, telemetry dict with per-step sparsity).
+    """
+    cfg: WanConfig = model.cfg
+    b = noise.shape[0]
+    grid = noise.shape[1:4]
+    if thresholds is None:
+        thresholds = linear_threshold_schedule(num_steps)
+    ts = flow_timesteps(num_steps, shift=timestep_shift)
+    sigmas = ts / 1000.0
+    sigma_next = jnp.concatenate([sigmas[1:], jnp.zeros((1,))])
+
+    use_cfg = null_text is not None
+
+    if enable_skipping:
+        states_c = init_skip_states(cfg, b, grid)
+        states_u = init_skip_states(cfg, b, grid) if use_cfg else None
+    else:
+        states_c = states_u = None
+
+    def sparsity_of(states):
+        if states is None:
+            return jnp.zeros(())
+        per_layer = [
+            1.0 - jnp.mean(s.do_mask.astype(jnp.float32))
+            for s in states.values()
+        ]
+        return jnp.stack(per_layer).mean()
+
+    def step(carry, inp):
+        x, st_c, st_u = carry
+        t, sig, sig_nxt, thr = inp
+        tt = jnp.full((b,), t, jnp.float32)
+        v_c, st_c = model.apply(params, x, tt, text, st_c, thr)
+        if use_cfg:
+            v_u, st_u = model.apply(params, x, tt, null_text, st_u, thr)
+            v = v_u + guidance_scale * (v_c - v_u)
+        else:
+            v = v_c
+        # Rectified flow Euler step: x_{t-dt} = x + (sig_next - sig) * v.
+        x = (
+            x.astype(jnp.float32)
+            + (sig_nxt - sig) * v.astype(jnp.float32)
+        ).astype(x.dtype)
+        return (x, st_c, st_u), sparsity_of(st_c)
+
+    (x, st_c, st_u), sparsity_trace = jax.lax.scan(
+        step,
+        (noise, states_c, states_u),
+        (ts, sigmas, sigma_next, thresholds),
+    )
+    telemetry = {
+        "sparsity_per_step": sparsity_trace,
+        "final_sparsity": sparsity_trace[-1],
+        "final_states": st_c,
+    }
+    return x, telemetry
+
+
+__all__ = ["denoise", "linear_threshold_schedule", "flow_timesteps"]

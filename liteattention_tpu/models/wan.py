@@ -57,6 +57,10 @@ class WanConfig:
     qk_norm: bool = True
     eps: float = 1e-6
     dtype: Any = jnp.bfloat16
+    block_sizes: Optional[BlockSizes] = None
+
+    def attn_block_sizes(self) -> BlockSizes:
+        return self.block_sizes or get_block_sizes(self.head_dim, 2)
 
     @staticmethod
     def tiny() -> "WanConfig":
@@ -70,6 +74,7 @@ class WanConfig:
             text_dim=64,
             text_len=16,
             freq_dim=32,
+            block_sizes=BlockSizes(128, 128),
         )
 
 
@@ -181,7 +186,7 @@ class WanSelfAttention(nn.Module):
         qh = q.transpose(0, 2, 1, 3)
         kh = k.transpose(0, 2, 1, 3)
         vh = _attn_bhsd(v, cfg.num_heads)
-        bs = get_block_sizes(cfg.head_dim, 2)
+        bs = cfg.attn_block_sizes()
         if state is None:
             oh = flash_attention(qh, kh, vh, block_sizes=bs)
             new_state = None
@@ -219,7 +224,7 @@ class WanCrossAttention(nn.Module):
             q.transpose(0, 2, 1, 3),
             k.transpose(0, 2, 1, 3),
             _attn_bhsd(v, cfg.num_heads),
-            block_sizes=get_block_sizes(cfg.head_dim, 2),
+            block_sizes=cfg.attn_block_sizes(),
         )
         return dense(cfg.dim, name="o")(_attn_bnhd(oh))
 
@@ -384,7 +389,10 @@ def init_skip_states(
     gw = grid[2] // cfg.patch_size[2]
     n = gf * gh * gw
     return {
-        i: lite_attention_init(batch, cfg.num_heads, n, n, cfg.head_dim, 2)
+        i: lite_attention_init(
+            batch, cfg.num_heads, n, n, cfg.head_dim, 2,
+            block_sizes=cfg.attn_block_sizes(),
+        )
         for i in range(cfg.num_layers)
     }
 

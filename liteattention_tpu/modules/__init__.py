@@ -1,0 +1,7 @@
+"""Transformer building blocks: MHA, MLP, Block (flax.linen)."""
+
+from liteattention_tpu.modules.mha import MHA, ParallelMHA
+from liteattention_tpu.modules.mlp import GatedMlp, Mlp, ParallelMLP
+from liteattention_tpu.modules.block import Block
+
+__all__ = ["MHA", "ParallelMHA", "Mlp", "GatedMlp", "ParallelMLP", "Block"]

@@ -1,0 +1,242 @@
+"""Multi-head attention modules over the Pallas flash kernels.
+
+TPU-native counterpart of the reference's ``MHA`` / ``ParallelMHA``
+(reference flash_attn/modules/mha.py:373-993): fused QKV projection,
+MHA/GQA/MQA, rotary embeddings, causal masking, cross attention, and an
+inference KV cache. Dropout inside attention falls back to a (slower)
+XLA path, mirroring the reference's "flash only when dropout works"
+dispatch.
+
+``ParallelMHA`` is the Megatron tensor-parallel variant: the QKV
+projection is column-parallel (heads sharded over the TP axis) and the
+output projection is row-parallel with a ``psum`` -- the shard_map form
+of the reference's ``ColumnParallelLinear``/``RowParallelLinear`` +
+``all_reduce`` (flash_attn/modules/mha.py:707, ops/fused_dense.py).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Optional
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from liteattention_tpu.layers.rotary import RotaryEmbedding
+from liteattention_tpu.ops.attention_ref import attention_ref
+from liteattention_tpu.ops.flash_fwd import flash_attention
+from liteattention_tpu.ops.tile_sizes import BlockSizes, get_block_sizes
+
+
+@dataclasses.dataclass
+class InferenceParams:
+    """Decoding-time KV cache holder, mirroring the reference's
+    ``InferenceParams`` (flash_attn/utils/generation.py:13-38)."""
+
+    max_seqlen: int
+    max_batch_size: int
+    seqlen_offset: int = 0
+    key_value_memory_dict: dict = dataclasses.field(default_factory=dict)
+
+    def reset(self):
+        self.seqlen_offset = 0
+        self.key_value_memory_dict.clear()
+
+
+def _split_heads(x, num_heads):
+    b, s, _ = x.shape
+    return x.reshape(b, s, num_heads, -1)
+
+
+class MHA(nn.Module):
+    """Self/cross multi-head attention (reference modules/mha.py:373).
+
+    Args mirror the reference: ``num_heads_kv`` < ``num_heads`` enables
+    GQA/MQA; ``rotary_emb_dim`` > 0 applies rotary to q/k;
+    ``cross_attn`` reads K/V from ``x_kv``.
+    """
+
+    embed_dim: int
+    num_heads: int
+    num_heads_kv: Optional[int] = None
+    head_dim: Optional[int] = None
+    cross_attn: bool = False
+    qkv_proj_bias: bool = True
+    out_proj_bias: bool = True
+    dropout: float = 0.0
+    softmax_scale: Optional[float] = None
+    causal: bool = False
+    rotary_emb_dim: int = 0
+    rotary_emb_base: float = 10000.0
+    rotary_emb_interleaved: bool = False
+    dtype: Any = jnp.bfloat16
+    block_sizes: Optional[BlockSizes] = None
+
+    def _attend(self, q, k, v, causal, deterministic):
+        """q/k/v: [B, S, H, D] -> [B, S, H, D]."""
+        qh = q.transpose(0, 2, 1, 3)
+        kh = k.transpose(0, 2, 1, 3)
+        vh = v.transpose(0, 2, 1, 3)
+        scale = self.softmax_scale
+        if self.dropout > 0.0 and not deterministic:
+            # Attention dropout: XLA fallback (the flash kernel does not
+            # implement dropout; the reference routes to its non-flash
+            # path in the same situation).
+            kh_r = jnp.repeat(kh, qh.shape[1] // kh.shape[1], axis=1)
+            vh_r = jnp.repeat(vh, qh.shape[1] // vh.shape[1], axis=1)
+            out, lse = attention_ref(qh, kh_r, vh_r, scale, causal)
+            sc = scale or 1.0 / (qh.shape[-1] ** 0.5)
+            s = jnp.einsum(
+                "bhqd,bhkd->bhqk",
+                qh.astype(jnp.float32),
+                kh_r.astype(jnp.float32),
+            ) * sc
+            if causal:
+                sq, sk = s.shape[-2], s.shape[-1]
+                row = jax.lax.broadcasted_iota(jnp.int32, (sq, sk), 0)
+                col = jax.lax.broadcasted_iota(jnp.int32, (sq, sk), 1)
+                s = jnp.where(col <= row, s, -1e30)
+            p = jax.nn.softmax(s, axis=-1)
+            rng = self.make_rng("dropout")
+            keep = jax.random.bernoulli(rng, 1.0 - self.dropout, p.shape)
+            p = jnp.where(keep, p / (1.0 - self.dropout), 0.0)
+            out = jnp.einsum(
+                "bhqk,bhkd->bhqd", p, vh_r.astype(jnp.float32)
+            ).astype(q.dtype)
+        else:
+            bs = self.block_sizes or get_block_sizes(
+                qh.shape[-1], q.dtype.itemsize
+            )
+            out = flash_attention(
+                qh, kh, vh, scale=scale, causal=causal, block_sizes=bs
+            )
+        return out.transpose(0, 2, 1, 3)
+
+    @nn.compact
+    def __call__(
+        self,
+        x: jax.Array,
+        x_kv: Optional[jax.Array] = None,
+        inference_params: Optional[InferenceParams] = None,
+        deterministic: bool = True,
+    ) -> jax.Array:
+        h = self.num_heads
+        hk = self.num_heads_kv or h
+        d = self.head_dim or self.embed_dim // h
+        dense = lambda feats, name, bias: nn.Dense(
+            feats,
+            use_bias=bias,
+            dtype=self.dtype,
+            param_dtype=jnp.float32,
+            name=name,
+        )
+
+        if self.cross_attn:
+            assert x_kv is not None
+            q = dense(h * d, "Wq", self.qkv_proj_bias)(x)
+            kv = dense(2 * hk * d, "Wkv", self.qkv_proj_bias)(x_kv)
+            k, v = jnp.split(kv, 2, axis=-1)
+        else:
+            qkv = dense((h + 2 * hk) * d, "Wqkv", self.qkv_proj_bias)(x)
+            q = qkv[..., : h * d]
+            k = qkv[..., h * d : (h + hk) * d]
+            v = qkv[..., (h + hk) * d :]
+        q = _split_heads(q, h)
+        k = _split_heads(k, hk)
+        v = _split_heads(v, hk)
+
+        offset = 0
+        if inference_params is not None:
+            offset = inference_params.seqlen_offset
+        if self.rotary_emb_dim > 0 and not self.cross_attn:
+            q, k = RotaryEmbedding(
+                self.rotary_emb_dim,
+                self.rotary_emb_base,
+                self.rotary_emb_interleaved,
+                name="rotary",
+            )(q, k, seqlen_offset=offset)
+
+        causal = self.causal
+        if inference_params is not None and not self.cross_attn:
+            # Decode path: append to the cache, attend over the prefix.
+            layer = "/".join(self.scope.path) or "root"
+            cache = inference_params.key_value_memory_dict
+            if layer not in cache:
+                b = x.shape[0]
+                cache[layer] = (
+                    jnp.zeros(
+                        (b, inference_params.max_seqlen, hk, d), k.dtype
+                    ),
+                    jnp.zeros(
+                        (b, inference_params.max_seqlen, hk, d), v.dtype
+                    ),
+                )
+            kc, vc = cache[layer]
+            kc = jax.lax.dynamic_update_slice(kc, k, (0, offset, 0, 0))
+            vc = jax.lax.dynamic_update_slice(vc, v, (0, offset, 0, 0))
+            cache[layer] = (kc, vc)
+            total = offset + k.shape[1]
+            k = kc[:, :total]
+            v = vc[:, :total]
+            # With a cache the new queries sit at the sequence end; plain
+            # causal masking is only correct for the prefill call.
+            causal = self.causal and offset == 0
+
+        out = self._attend(q, k, v, causal, deterministic)
+        out = out.reshape(out.shape[0], out.shape[1], h * d)
+        return dense(self.embed_dim, "out_proj", self.out_proj_bias)(out)
+
+
+class ParallelMHA(nn.Module):
+    """Tensor-parallel MHA for use inside ``shard_map`` (reference
+    ``ParallelMHA``, flash_attn/modules/mha.py:707-993).
+
+    Heads are sharded over ``axis_name``: this module receives the local
+    head shard count via ``num_heads // tp_size`` computed from the axis
+    size at call time, computes attention locally (zero comms), and
+    psums after the output projection (row-parallel).
+    """
+
+    embed_dim: int
+    num_heads: int
+    axis_name: str = "tp"
+    num_heads_kv: Optional[int] = None
+    qkv_proj_bias: bool = True
+    out_proj_bias: bool = True
+    softmax_scale: Optional[float] = None
+    causal: bool = False
+    rotary_emb_dim: int = 0
+    dtype: Any = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, x: jax.Array, deterministic: bool = True):
+        tp = jax.lax.axis_size(self.axis_name)
+        h_local = self.num_heads // tp
+        hk_local = (self.num_heads_kv or self.num_heads) // tp
+        d = self.embed_dim // self.num_heads
+        inner = MHA(
+            embed_dim=self.embed_dim,
+            num_heads=h_local,
+            num_heads_kv=hk_local,
+            head_dim=d,
+            qkv_proj_bias=self.qkv_proj_bias,
+            out_proj_bias=False,
+            softmax_scale=self.softmax_scale,
+            causal=self.causal,
+            rotary_emb_dim=self.rotary_emb_dim,
+            dtype=self.dtype,
+            name="local_mha",
+        )
+        out = inner(x, deterministic=deterministic)
+        out = jax.lax.psum(out, self.axis_name)
+        if self.out_proj_bias:
+            bias = self.param(
+                "out_bias", nn.initializers.zeros, (self.embed_dim,),
+                jnp.float32,
+            )
+            out = out + bias.astype(out.dtype)
+        return out
+
+
+__all__ = ["MHA", "ParallelMHA", "InferenceParams"]

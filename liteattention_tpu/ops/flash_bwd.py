@@ -1,0 +1,374 @@
+"""Flash-attention backward kernels (Pallas/TPU) + custom_vjp wiring.
+
+TPU-native counterpart of the reference's FA3 backward stack
+(reference hopper/_internal/cpp/flash_bwd_*.h/.hpp, ~2.8k LoC CUDA; the
+shipped LiteAttention build disables it, hopper/setup.py:47-68 -- it
+exists for the inherited training stack). Standard two-kernel FA2-style
+backward:
+
+* ``delta = rowsum(dO * O)`` precomputed in one fused XLA pass (the
+  reference's ``flash_bwd_preprocess``);
+* a dQ kernel iterating k-tiles per q-tile;
+* a dK/dV kernel iterating q-tiles per k-tile (GQA: gradients of a KV
+  head accumulate across its q-head group in VMEM scratch).
+
+Residuals are (q, k, v, o, lse) -- the scores matrix is never
+materialized. The LSE/delta vectors are laid out ``[B, Qt, block_q, H]``
+so their blocks satisfy the TPU (8, 128) tiling rule; the kernel
+extracts its head's column with a lane-mask reduction.
+
+The sparse (lite) path is inference-only, like the reference's shipped
+engine; only the dense kernel is differentiable.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from liteattention_tpu.ops.tile_sizes import BlockSizes, get_block_sizes
+
+DEFAULT_MASK_VALUE = -0.7 * float(jnp.finfo(jnp.float32).max)
+
+
+def _default_interpret() -> bool:
+    return jax.default_backend() == "cpu"
+
+
+def _head_col(blk, h, num_heads):
+    """Extract column ``h`` from a (rows, H) block -> (rows, 1) fp32."""
+    lane = jax.lax.broadcasted_iota(jnp.int32, blk.shape, 1)
+    return jnp.sum(
+        jnp.where(lane == h, blk.astype(jnp.float32), 0.0),
+        axis=1,
+        keepdims=True,
+    )
+
+
+def _dq_kernel(
+    q_ref,
+    k_ref,
+    v_ref,
+    do_ref,
+    lse_ref,
+    delta_ref,
+    dq_ref,
+    dq_acc,
+    *,
+    scale: float,
+    kt: int,
+    num_heads: int,
+    block_q: int,
+    block_k: int,
+    seqlen_k: int,
+    causal: bool,
+    precision,
+):
+    qi = pl.program_id(1)
+    h = pl.program_id(2)
+    ki = pl.program_id(3)
+
+    @pl.when(ki == 0)
+    def _init():
+        dq_acc[...] = jnp.zeros_like(dq_acc)
+
+    run = True
+    if causal:
+        run = (qi + 1) * block_q - 1 >= ki * block_k
+
+    @pl.when(run)
+    def _step():
+        q = q_ref[0, 0]
+        k = k_ref[0, 0]
+        v = v_ref[0, 0]
+        do = do_ref[0, 0]
+        lse = _head_col(lse_ref[0, 0], h, num_heads)  # (bq, 1)
+        delta = _head_col(delta_ref[0, 0], h, num_heads)
+        s = (
+            jax.lax.dot_general(
+                q,
+                k,
+                dimension_numbers=(((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+                precision=precision,
+            )
+            * scale
+        )
+        if causal or seqlen_k % block_k != 0:
+            col = (
+                jax.lax.broadcasted_iota(jnp.int32, (block_q, block_k), 1)
+                + ki * block_k
+            )
+            valid = col < seqlen_k
+            if causal:
+                row = (
+                    jax.lax.broadcasted_iota(
+                        jnp.int32, (block_q, block_k), 0
+                    )
+                    + qi * block_q
+                )
+                valid = jnp.logical_and(valid, col <= row)
+            s = jnp.where(valid, s, DEFAULT_MASK_VALUE)
+        p = jnp.exp(s - lse)
+        dp = jax.lax.dot_general(
+            do,
+            v,
+            dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+            precision=precision,
+        )
+        ds = p * (dp - delta) * scale
+        dq_acc[...] += jax.lax.dot(
+            ds.astype(k.dtype),
+            k,
+            preferred_element_type=jnp.float32,
+            precision=precision,
+        )
+
+    @pl.when(ki == kt - 1)
+    def _store():
+        dq_ref[0, 0] = dq_acc[...].astype(dq_ref.dtype)
+
+
+def _dkv_kernel(
+    q_ref,
+    k_ref,
+    v_ref,
+    do_ref,
+    lse_ref,
+    delta_ref,
+    dk_ref,
+    dv_ref,
+    dk_acc,
+    dv_acc,
+    *,
+    scale: float,
+    qt: int,
+    group: int,
+    num_heads: int,
+    block_q: int,
+    block_k: int,
+    seqlen_k: int,
+    causal: bool,
+    precision,
+):
+    ki = pl.program_id(1)
+    h = pl.program_id(2)
+    qi = pl.program_id(3)
+
+    # One (kv-head, k-tile) owns a contiguous run of group * qt steps.
+    @pl.when(jnp.logical_and(h % group == 0, qi == 0))
+    def _init():
+        dk_acc[...] = jnp.zeros_like(dk_acc)
+        dv_acc[...] = jnp.zeros_like(dv_acc)
+
+    run = True
+    if causal:
+        run = (qi + 1) * block_q - 1 >= ki * block_k
+
+    @pl.when(run)
+    def _step():
+        q = q_ref[0, 0]
+        k = k_ref[0, 0]
+        v = v_ref[0, 0]
+        do = do_ref[0, 0]
+        lse = _head_col(lse_ref[0, 0], h, num_heads)
+        delta = _head_col(delta_ref[0, 0], h, num_heads)
+        s = (
+            jax.lax.dot_general(
+                q,
+                k,
+                dimension_numbers=(((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+                precision=precision,
+            )
+            * scale
+        )
+        if causal or seqlen_k % block_k != 0:
+            col = (
+                jax.lax.broadcasted_iota(jnp.int32, (block_q, block_k), 1)
+                + ki * block_k
+            )
+            valid = col < seqlen_k
+            if causal:
+                row = (
+                    jax.lax.broadcasted_iota(
+                        jnp.int32, (block_q, block_k), 0
+                    )
+                    + qi * block_q
+                )
+                valid = jnp.logical_and(valid, col <= row)
+            s = jnp.where(valid, s, DEFAULT_MASK_VALUE)
+        p = jnp.exp(s - lse)
+        # dV += P^T dO
+        dv_acc[...] += jax.lax.dot_general(
+            p.astype(do.dtype),
+            do,
+            dimension_numbers=(((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+            precision=precision,
+        )
+        dp = jax.lax.dot_general(
+            do,
+            v,
+            dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+            precision=precision,
+        )
+        ds = p * (dp - delta) * scale
+        # dK += dS^T Q
+        dk_acc[...] += jax.lax.dot_general(
+            ds.astype(q.dtype),
+            q,
+            dimension_numbers=(((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+            precision=precision,
+        )
+
+    @pl.when(jnp.logical_and(h % group == group - 1, qi == qt - 1))
+    def _store():
+        dk_ref[0, 0] = dk_acc[...].astype(dk_ref.dtype)
+        dv_ref[0, 0] = dv_acc[...].astype(dv_ref.dtype)
+
+
+def _reshape_rowstats(x: jax.Array, block_q: int) -> jax.Array:
+    """[B, H, Sq] -> [B, Qt, block_q, H] (tiling-legal block layout)."""
+    b, h, sq = x.shape
+    qt = sq // block_q
+    return jnp.transpose(
+        x.reshape(b, h, qt, block_q), (0, 2, 3, 1)
+    )
+
+
+def flash_attention_bwd(
+    q: jax.Array,
+    k: jax.Array,
+    v: jax.Array,
+    o: jax.Array,
+    lse: jax.Array,
+    do: jax.Array,
+    scale: float,
+    causal: bool,
+    block_sizes: Optional[BlockSizes] = None,
+    interpret: Optional[bool] = None,
+) -> Tuple[jax.Array, jax.Array, jax.Array]:
+    """dQ, dK, dV for the dense flash forward. Inputs are the padded
+    [B, H, S, D] arrays plus saved lse [B, H, Sq] (natural log)."""
+    if interpret is None:
+        interpret = _default_interpret()
+    b, h, sq, d = q.shape
+    hk = k.shape[1]
+    group = h // hk
+    sk = k.shape[2]
+    bs = block_sizes or get_block_sizes(d, q.dtype.itemsize)
+    block_q = min(bs.block_q, max(128, -(-sq // 128) * 128))
+    block_k = min(bs.block_k, max(128, -(-sk // 128) * 128))
+
+    def pad_seq(x, blk):
+        pad = (-x.shape[2]) % blk
+        return jnp.pad(x, ((0, 0), (0, 0), (0, pad), (0, 0))) if pad else x
+
+    qp, dop, op = pad_seq(q, block_q), pad_seq(do, block_q), pad_seq(o, block_q)
+    kp, vp = pad_seq(k, block_k), pad_seq(v, block_k)
+    sq_p, sk_p = qp.shape[2], kp.shape[2]
+    qt, kt = sq_p // block_q, sk_p // block_k
+
+    delta = jnp.sum(
+        op.astype(jnp.float32) * dop.astype(jnp.float32), axis=-1
+    )  # [B, H, Sq_p]
+    lse_p = jnp.pad(lse, ((0, 0), (0, 0), (0, sq_p - sq)))
+    lse_r = _reshape_rowstats(lse_p, block_q)
+    delta_r = _reshape_rowstats(delta, block_q)
+
+    precision = (
+        jax.lax.Precision.HIGHEST
+        if q.dtype == jnp.float32
+        else jax.lax.Precision.DEFAULT
+    )
+    common = dict(
+        scale=scale,
+        num_heads=h,
+        block_q=block_q,
+        block_k=block_k,
+        seqlen_k=sk,
+        causal=causal,
+        precision=precision,
+    )
+
+    qspec = pl.BlockSpec(
+        (1, 1, block_q, d), lambda bi, qi, hi, ki: (bi, hi, qi, 0)
+    )
+    kspec = pl.BlockSpec(
+        (1, 1, block_k, d),
+        lambda bi, qi, hi, ki, g=group: (bi, hi // g, ki, 0),
+    )
+    statspec = pl.BlockSpec(
+        (1, 1, block_q, h), lambda bi, qi, hi, ki: (bi, qi, 0, 0)
+    )
+    dq = pl.pallas_call(
+        functools.partial(_dq_kernel, kt=kt, **common),
+        grid=(b, qt, h, kt),
+        in_specs=[qspec, kspec, kspec, qspec, statspec, statspec],
+        out_specs=pl.BlockSpec(
+            (1, 1, block_q, d), lambda bi, qi, hi, ki: (bi, hi, qi, 0)
+        ),
+        out_shape=jax.ShapeDtypeStruct((b, h, sq_p, d), q.dtype),
+        scratch_shapes=[pltpu.VMEM((block_q, d), jnp.float32)],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=(
+                "parallel",
+                "parallel",
+                "arbitrary",
+                "arbitrary",
+            ),
+        ),
+        interpret=interpret,
+    )(qp, kp, vp, dop, lse_r, delta_r)
+
+    qspec2 = pl.BlockSpec(
+        (1, 1, block_q, d), lambda bi, ki, hi, qi: (bi, hi, qi, 0)
+    )
+    kspec2 = pl.BlockSpec(
+        (1, 1, block_k, d),
+        lambda bi, ki, hi, qi, g=group: (bi, hi // g, ki, 0),
+    )
+    statspec2 = pl.BlockSpec(
+        (1, 1, block_q, h), lambda bi, ki, hi, qi: (bi, qi, 0, 0)
+    )
+    dkv_out = pl.BlockSpec(
+        (1, 1, block_k, d),
+        lambda bi, ki, hi, qi, g=group: (bi, hi // g, ki, 0),
+    )
+    dk, dv = pl.pallas_call(
+        functools.partial(_dkv_kernel, qt=qt, group=group, **common),
+        grid=(b, kt, h, qt),
+        in_specs=[qspec2, kspec2, kspec2, qspec2, statspec2, statspec2],
+        out_specs=[dkv_out, dkv_out],
+        out_shape=[
+            jax.ShapeDtypeStruct((b, hk, sk_p, d), k.dtype),
+            jax.ShapeDtypeStruct((b, hk, sk_p, d), v.dtype),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((block_k, d), jnp.float32),
+            pltpu.VMEM((block_k, d), jnp.float32),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=(
+                "parallel",
+                "parallel",
+                "arbitrary",
+                "arbitrary",
+            ),
+        ),
+        interpret=interpret,
+    )(qp, kp, vp, dop, lse_r, delta_r)
+
+    return dq[:, :, :sq], dk[:, :, :sk], dv[:, :, :sk]
+
+
+__all__ = ["flash_attention_bwd"]

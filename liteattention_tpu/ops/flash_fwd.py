@@ -155,25 +155,14 @@ def _pad_seq(x: jax.Array, block: int) -> jax.Array:
     return x
 
 
-@functools.partial(
-    jax.jit,
-    static_argnames=(
-        "scale",
-        "causal",
-        "block_sizes",
-        "return_lse",
-        "interpret",
-    ),
-)
-def flash_attention(
+def _flash_forward_impl(
     q: jax.Array,
     k: jax.Array,
     v: jax.Array,
-    scale: Optional[float] = None,
-    causal: bool = False,
-    block_sizes: Optional[BlockSizes] = None,
-    return_lse: bool = False,
-    interpret: Optional[bool] = None,
+    scale: float,
+    causal: bool,
+    block_sizes: Optional[BlockSizes],
+    interpret: bool,
 ):
     """Dense flash attention forward.
 
@@ -187,17 +176,13 @@ def flash_attention(
       causal: lower-triangular masking.
       return_lse: also return natural-log LSE ``[B, H, Sq]`` fp32.
 
-    Returns ``out`` or ``(out, lse)``.
+    Returns ``(out, lse)``.
     """
-    if interpret is None:
-        interpret = _default_interpret()
     b, h, sq, d = q.shape
     hk = k.shape[1]
     assert h % hk == 0, f"q heads {h} not divisible by kv heads {hk}"
     group = h // hk
     sk = k.shape[2]
-    if scale is None:
-        scale = 1.0 / (d**0.5)
     bs = block_sizes or get_block_sizes(d, q.dtype.itemsize)
     block_q = min(bs.block_q, max(128, -(-sq // 128) * 128))
     block_k = min(bs.block_k, max(128, -(-sk // 128) * 128))
@@ -262,9 +247,69 @@ def flash_attention(
         ),
         interpret=interpret,
     )(qp, kp, vp)
-    out = out[:, :, :sq]
+    return out[:, :, :sq], jnp.transpose(lse[:, :sq, :], (0, 2, 1))
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6))
+def _flash_core(q, k, v, scale, causal, block_sizes, interpret):
+    return _flash_forward_impl(q, k, v, scale, causal, block_sizes, interpret)
+
+
+def _flash_core_fwd(q, k, v, scale, causal, block_sizes, interpret):
+    out, lse = _flash_forward_impl(
+        q, k, v, scale, causal, block_sizes, interpret
+    )
+    return (out, lse), (q, k, v, out, lse)
+
+
+def _flash_core_bwd(scale, causal, block_sizes, interpret, res, grads):
+    # lse is an auxiliary output (softmax statistics); its cotangent is
+    # ignored, matching the reference autograd layer
+    # (hopper/_internal/flash_attn_interface.py FlashAttnFunc.backward).
+    from liteattention_tpu.ops.flash_bwd import flash_attention_bwd
+
+    q, k, v, out, lse = res
+    do, _ = grads
+    dq, dk, dv = flash_attention_bwd(
+        q, k, v, out, lse, do, scale, causal,
+        block_sizes=block_sizes, interpret=interpret,
+    )
+    return dq, dk, dv
+
+
+_flash_core.defvjp(_flash_core_fwd, _flash_core_bwd)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "scale",
+        "causal",
+        "block_sizes",
+        "return_lse",
+        "interpret",
+    ),
+)
+def flash_attention(
+    q: jax.Array,
+    k: jax.Array,
+    v: jax.Array,
+    scale: Optional[float] = None,
+    causal: bool = False,
+    block_sizes: Optional[BlockSizes] = None,
+    return_lse: bool = False,
+    interpret: Optional[bool] = None,
+):
+    """Dense flash attention forward (differentiable; Pallas bwd kernels
+    in :mod:`liteattention_tpu.ops.flash_bwd`). See
+    :func:`_flash_forward_impl` for argument docs."""
+    if interpret is None:
+        interpret = _default_interpret()
+    if scale is None:
+        scale = 1.0 / (q.shape[-1] ** 0.5)
+    out, lse = _flash_core(q, k, v, scale, causal, block_sizes, interpret)
     if return_lse:
-        return out, jnp.transpose(lse[:, :sq, :], (0, 2, 1))
+        return out, lse
     return out
 
 

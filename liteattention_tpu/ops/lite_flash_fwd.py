@@ -60,6 +60,32 @@ def _default_interpret() -> bool:
     return jax.default_backend() == "cpu"
 
 
+def _patch_pipeline_for_interpret() -> None:
+    """Let ``emit_pipeline`` trace on non-TPU backends.
+
+    ``_make_tiling`` probes the TPU generation at *trace* time, which
+    raises on the CPU backend even under ``interpret=True``. Interpret
+    mode ignores the tiling hint, so any modern generation works.
+    """
+    from jax._src.pallas.mosaic import pipeline as _mp
+
+    if getattr(_mp._get_tpu_generation, "_lite_patched", False):
+        return
+    _orig = _mp._get_tpu_generation
+
+    def _get_tpu_generation_or_default():
+        try:
+            return _orig()
+        except ValueError:
+            return 5
+
+    _get_tpu_generation_or_default._lite_patched = True
+    _mp._get_tpu_generation = _get_tpu_generation_or_default
+
+
+_patch_pipeline_for_interpret()
+
+
 def _lite_kernel(
     # inputs
     thr_ref,  # SMEM (1, 1) float32

@@ -1,0 +1,100 @@
+"""GPT model family: forward, training grads, decoding, TP (CPU)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+from jax.sharding import Mesh, PartitionSpec as P
+
+from liteattention_tpu.losses.cross_entropy import (
+    cross_entropy_loss,
+    parallel_cross_entropy_loss,
+)
+from liteattention_tpu.models.gpt import GPTConfig, GPTLMHeadModel
+from liteattention_tpu.utils.generation import greedy_decode
+
+
+def _model_and_params(cfg, seed=0, s=32):
+    model = GPTLMHeadModel(cfg)
+    ids = jax.random.randint(
+        jax.random.PRNGKey(seed), (2, s), 0, cfg.vocab_size
+    )
+    params = jax.jit(model.init)(jax.random.PRNGKey(1), ids)
+    return model, params, ids
+
+
+def test_gpt2_style_forward_and_grads():
+    cfg = GPTConfig.tiny()
+    model, params, ids = _model_and_params(cfg)
+    logits = jax.jit(model.apply)(params, ids)
+    assert logits.shape == (2, 32, cfg.vocab_size)
+    assert np.isfinite(np.asarray(logits)).all()
+
+    def loss(p):
+        lg = model.apply(p, ids)
+        return cross_entropy_loss(lg[:, :-1], ids[:, 1:])
+
+    g = jax.jit(jax.grad(loss))(params)
+    leaves = jax.tree_util.tree_leaves(g)
+    assert all(np.isfinite(np.asarray(l)).all() for l in leaves)
+    assert any(float(jnp.abs(l).max()) > 0 for l in leaves)
+
+
+def test_llama_style_forward():
+    cfg = GPTConfig.llama(dim=128, num_layers=2, num_heads=2, vocab=256)
+    model, params, ids = _model_and_params(cfg)
+    logits = jax.jit(model.apply)(params, ids)
+    assert logits.shape == (2, 32, 256)
+    assert np.isfinite(np.asarray(logits)).all()
+
+
+def test_causality():
+    cfg = GPTConfig.tiny()
+    model, params, ids = _model_and_params(cfg)
+    logits = model.apply(params, ids)
+    ids2 = ids.at[:, -1].set((ids[:, -1] + 1) % cfg.vocab_size)
+    logits2 = model.apply(params, ids2)
+    np.testing.assert_allclose(
+        np.asarray(logits[:, :-1]),
+        np.asarray(logits2[:, :-1]),
+        atol=1e-4,
+    )
+
+
+def test_greedy_decode_matches_full_forward():
+    cfg = GPTConfig.tiny()
+    model, params, ids = _model_and_params(cfg, s=8)
+    apply_fn = lambda p, i, inf: model.apply(p, i, inference_params=inf)
+    out = greedy_decode(
+        apply_fn, params, ids[:1], max_new_tokens=4, max_seqlen=16
+    )
+    assert out.shape == (1, 12)
+    # Teacher-forcing check: feeding the generated prefix reproduces the
+    # same next-token argmax at each step.
+    logits = model.apply(params, out)
+    for t in range(8, 12):
+        assert int(out[0, t]) == int(jnp.argmax(logits[0, t - 1]))
+
+
+def test_parallel_cross_entropy_matches_dense():
+    n = 4
+    devs = jax.devices()
+    if len(devs) < n:
+        pytest.skip("needs 4 devices")
+    mesh = Mesh(np.array(devs[:n]), ("tp",))
+    v = 64
+    logits = jax.random.normal(jax.random.PRNGKey(0), (8, v))
+    labels = jax.random.randint(jax.random.PRNGKey(1), (8,), 0, v)
+    labels = labels.at[0].set(-100)
+
+    loss_p = jax.jit(
+        jax.shard_map(
+            lambda lg, lb: parallel_cross_entropy_loss(lg, lb, "tp"),
+            mesh=mesh,
+            in_specs=(P(None, "tp"), P(None)),
+            out_specs=P(),
+            check_vma=False,
+        )
+    )(logits, labels)
+    loss_d = cross_entropy_loss(logits, labels)
+    np.testing.assert_allclose(float(loss_p), float(loss_d), rtol=1e-5)

@@ -1,0 +1,75 @@
+"""Denoising pipeline: scan-carried skip states, CFG, schedules (CPU)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from liteattention_tpu.models.pipeline import (
+    denoise,
+    flow_timesteps,
+    linear_threshold_schedule,
+)
+from liteattention_tpu.models.wan import WanConfig, WanModel
+
+
+def test_schedules():
+    thr = linear_threshold_schedule(5, -10.0, -2.0)
+    assert thr.shape == (5,)
+    assert float(thr[0]) == -10.0 and float(thr[-1]) == -2.0
+    ts = flow_timesteps(10)
+    assert ts.shape == (10,)
+    assert float(ts[0]) > float(ts[-1]) > 0.0
+
+
+def test_denoise_with_cfg_and_skipping():
+    cfg = WanConfig.tiny()
+    model = WanModel(cfg)
+    # 8 x 4 x 8 = 256 tokens -> 2 k-tiles at block 128, so thr=+inf can
+    # actually skip something.
+    b, f, h, w = 1, 8, 8, 16
+    noise = jax.random.normal(
+        jax.random.PRNGKey(0), (b, f, h, w, cfg.in_channels)
+    ).astype(jnp.bfloat16)
+    text = jax.random.normal(
+        jax.random.PRNGKey(1), (b, cfg.text_len, cfg.text_dim)
+    ).astype(jnp.bfloat16)
+    null = jnp.zeros_like(text)
+    t0 = jnp.full((b,), 999.0, jnp.float32)
+    params = jax.jit(model.init)(jax.random.PRNGKey(2), noise, t0, text)
+
+    out, tel = jax.jit(
+        lambda p, n, t, u: denoise(
+            model, p, n, t, u, num_steps=3, thresholds=jnp.array(
+                [float("inf")] * 3
+            )
+        )
+    )(params, noise, text, null)
+    assert out.shape == noise.shape
+    assert np.isfinite(np.asarray(out, np.float32)).all()
+    sp = np.asarray(tel["sparsity_per_step"])
+    assert sp.shape == (3,)
+    # thr=+inf with 2 k-tiles/row: everything but the anchor tile is
+    # skipped from the first step on, and stays monotone.
+    assert sp[0] == 0.5
+    assert sp[2] >= sp[1] >= sp[0] - 1e-6
+
+
+def test_denoise_dense_baseline():
+    cfg = WanConfig.tiny()
+    model = WanModel(cfg)
+    b, f, h, w = 1, 2, 4, 4
+    noise = jax.random.normal(
+        jax.random.PRNGKey(0), (b, f, h, w, cfg.in_channels)
+    ).astype(jnp.bfloat16)
+    text = jax.random.normal(
+        jax.random.PRNGKey(1), (b, cfg.text_len, cfg.text_dim)
+    ).astype(jnp.bfloat16)
+    t0 = jnp.full((b,), 999.0, jnp.float32)
+    params = jax.jit(model.init)(jax.random.PRNGKey(2), noise, t0, text)
+    out, tel = jax.jit(
+        lambda p, n, t: denoise(
+            model, p, n, t, num_steps=2, enable_skipping=False
+        )
+    )(params, noise, text)
+    assert np.isfinite(np.asarray(out, np.float32)).all()
+    assert float(tel["final_sparsity"]) == 0.0
