@@ -30,7 +30,10 @@ import jax
 import jax.numpy as jnp
 
 from liteattention_tpu.ops.combine import combine_attention
-from liteattention_tpu.ops.flash_fwd import flash_attention
+from liteattention_tpu.ops.flash_fwd import (
+    flash_attention,
+    flash_attention_masked,
+)
 from liteattention_tpu.ops.lite_flash_fwd import lite_flash_attention
 from liteattention_tpu.ops.mask import compact_mask, update_mask, SkipMaskState
 from liteattention_tpu.ops.tile_sizes import BlockSizes, get_block_sizes
@@ -165,6 +168,136 @@ def flash_attn_kvpacked_func(
     )
 
 
+def flash_attn_varlen_func(
+    q: jax.Array,
+    k: jax.Array,
+    v: jax.Array,
+    cu_seqlens_q: jax.Array,
+    cu_seqlens_k: jax.Array,
+    max_seqlen_q: Optional[int] = None,
+    max_seqlen_k: Optional[int] = None,
+    softmax_scale: Optional[float] = None,
+    causal: bool = False,
+    return_softmax_lse: bool = False,
+    block_sizes: Optional[BlockSizes] = None,
+):
+    """Variable-length attention over packed sequences.
+
+    Parity target: ``flash_attn_varlen_func`` (reference
+    hopper/_internal/flash_attn_interface.py). Inputs are packed
+    ``[total_tokens, heads, head_dim]`` with ``cu_seqlens_* [B+1]``
+    int32 prefix sums. On TPU the per-sequence boundaries become
+    segment-id masking inside the dense kernel (the idiomatic
+    replacement for the reference's varlen scheduler,
+    flash_prepare_scheduler.cu); ``max_seqlen_*`` are accepted for
+    signature parity but unused (the grid is static).
+
+    Causal masking is applied per segment: positions are compared on
+    the packed axis, and cross-segment pairs are masked regardless.
+    """
+    del max_seqlen_q, max_seqlen_k
+    tq, h, d = q.shape
+    tk = k.shape[0]
+    # token -> segment index via prefix-sum search.
+    pos_q = jnp.arange(tq)
+    pos_k = jnp.arange(tk)
+    seg_q = (
+        jnp.searchsorted(cu_seqlens_q[1:], pos_q, side="right")
+    ).astype(jnp.int32)[None]
+    seg_k = (
+        jnp.searchsorted(cu_seqlens_k[1:], pos_k, side="right")
+    ).astype(jnp.int32)[None]
+    qh = jnp.transpose(q, (1, 0, 2))[None]
+    kh = jnp.transpose(k, (1, 0, 2))[None]
+    vh = jnp.transpose(v, (1, 0, 2))[None]
+    d_model = q.shape[-1]
+    bs = block_sizes or get_block_sizes(d_model, q.dtype.itemsize)
+    if causal:
+        # Global-position causal + segment equality == segment-local
+        # causality, provided q and k share the packing (self-attention
+        # varlen). Cross-packing causal varlen is not supported.
+        assert tq == tk, (
+            "causal varlen requires identical q/k packing (self-attention)"
+        )
+    out, lse = flash_attention_masked(
+        qh,
+        kh,
+        vh,
+        q_segments=seg_q,
+        kv_segments=seg_k,
+        scale=softmax_scale,
+        causal=causal,
+        block_sizes=bs,
+        return_lse=True,
+    )
+    out = jnp.transpose(out[0], (1, 0, 2))
+    if return_softmax_lse:
+        return out, lse[0]
+    return out
+
+
+def flash_attn_with_kvcache(
+    q: jax.Array,
+    k_cache: jax.Array,
+    v_cache: jax.Array,
+    k: Optional[jax.Array] = None,
+    v: Optional[jax.Array] = None,
+    cache_seqlens: Optional[jax.Array] = None,
+    softmax_scale: Optional[float] = None,
+    causal: bool = True,
+    return_softmax_lse: bool = False,
+    block_sizes: Optional[BlockSizes] = None,
+):
+    """Decode/append attention against a fixed-capacity KV cache.
+
+    Parity target: ``flash_attn_with_kvcache`` (reference
+    hopper/_internal/flash_attn_interface.py). ``k_cache``/``v_cache``
+    are ``[B, S_max, Hk, D]``; optional new ``k``/``v`` ``[B, S_new, Hk,
+    D]`` are written at ``cache_seqlens`` (per batch) and attended.
+    Returns out (and updated caches via the return tuple -- JAX is
+    functional; the reference updates in place).
+
+    Causality is bottom-right aligned: new query i attends cache
+    positions < cache_seqlens + i + 1.
+    """
+    b, s_max, hk, d = k_cache.shape
+    s_new = q.shape[1]
+    if cache_seqlens is None:
+        cache_seqlens = jnp.zeros((b,), jnp.int32)
+    cache_seqlens = cache_seqlens.astype(jnp.int32)
+    if k is not None:
+        def put(cache, new, off):
+            return jax.lax.dynamic_update_slice(
+                cache, new, (off, jnp.int32(0), jnp.int32(0))
+            )
+        k_cache = jax.vmap(put)(k_cache, k, cache_seqlens)
+        v_cache = jax.vmap(put)(v_cache, v, cache_seqlens)
+    qh = _bshd_to_bhsd(q)
+    kh = _bshd_to_bhsd(k_cache)
+    vh = _bshd_to_bhsd(v_cache)
+    bs = block_sizes or get_block_sizes(d, q.dtype.itemsize)
+    bound = cache_seqlens if causal else cache_seqlens + s_new
+    out, lse = flash_attention_masked(
+        qh,
+        kh,
+        vh,
+        kv_bound=bound,
+        scale=softmax_scale,
+        bound_causal=causal,
+        block_sizes=bs,
+        return_lse=True,
+    )
+    out = _bhsd_to_bshd(out)
+    result = [out]
+    if return_softmax_lse:
+        result.append(lse)
+    if k is not None:
+        # JAX is functional: the updated caches are returned rather than
+        # mutated in place as the reference does.
+        result.append((k_cache, v_cache))
+    return result[0] if len(result) == 1 else tuple(result)
+
+
 def flash_attn_combine(
     out_partial: jax.Array,
     lse_partial: jax.Array,
@@ -201,6 +334,8 @@ __all__ = [
     "flash_attn_func",
     "flash_attn_qkvpacked_func",
     "flash_attn_kvpacked_func",
+    "flash_attn_varlen_func",
+    "flash_attn_with_kvcache",
     "flash_attn_combine",
     "get_scheduler_metadata",
 ]

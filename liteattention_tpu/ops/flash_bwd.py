@@ -57,9 +57,7 @@ def _dq_kernel(
     do_ref,
     lse_ref,
     delta_ref,
-    dq_ref,
-    dq_acc,
-    *,
+    *rest,
     scale: float,
     kt: int,
     num_heads: int,
@@ -68,7 +66,15 @@ def _dq_kernel(
     seqlen_k: int,
     causal: bool,
     precision,
+    has_segments: bool = False,
+    has_bound: bool = False,
+    bound_causal: bool = False,
 ):
+    rest = list(rest)
+    qseg_ref = rest.pop(0) if has_segments else None
+    kseg_ref = rest.pop(0) if has_segments else None
+    bound_ref = rest.pop(0) if has_bound else None
+    dq_ref, dq_acc = rest
     qi = pl.program_id(1)
     h = pl.program_id(2)
     ki = pl.program_id(3)
@@ -99,20 +105,28 @@ def _dq_kernel(
             )
             * scale
         )
-        if causal or seqlen_k % block_k != 0:
+        if causal or seqlen_k % block_k != 0 or has_segments or has_bound:
             col = (
                 jax.lax.broadcasted_iota(jnp.int32, (block_q, block_k), 1)
                 + ki * block_k
             )
+            row = (
+                jax.lax.broadcasted_iota(jnp.int32, (block_q, block_k), 0)
+                + qi * block_q
+            )
             valid = col < seqlen_k
             if causal:
-                row = (
-                    jax.lax.broadcasted_iota(
-                        jnp.int32, (block_q, block_k), 0
-                    )
-                    + qi * block_q
-                )
                 valid = jnp.logical_and(valid, col <= row)
+            if has_segments:
+                qs = jnp.transpose(qseg_ref[...])
+                ks = kseg_ref[...]
+                valid = jnp.logical_and(valid, qs == ks)
+            if has_bound:
+                bound = bound_ref[0, 0, 0]
+                if bound_causal:
+                    valid = jnp.logical_and(valid, col < bound + row + 1)
+                else:
+                    valid = jnp.logical_and(valid, col < bound)
             s = jnp.where(valid, s, DEFAULT_MASK_VALUE)
         p = jnp.exp(s - lse)
         dp = jax.lax.dot_general(
@@ -142,11 +156,7 @@ def _dkv_kernel(
     do_ref,
     lse_ref,
     delta_ref,
-    dk_ref,
-    dv_ref,
-    dk_acc,
-    dv_acc,
-    *,
+    *rest,
     scale: float,
     qt: int,
     group: int,
@@ -156,7 +166,15 @@ def _dkv_kernel(
     seqlen_k: int,
     causal: bool,
     precision,
+    has_segments: bool = False,
+    has_bound: bool = False,
+    bound_causal: bool = False,
 ):
+    rest = list(rest)
+    qseg_ref = rest.pop(0) if has_segments else None
+    kseg_ref = rest.pop(0) if has_segments else None
+    bound_ref = rest.pop(0) if has_bound else None
+    dk_ref, dv_ref, dk_acc, dv_acc = rest
     ki = pl.program_id(1)
     h = pl.program_id(2)
     qi = pl.program_id(3)
@@ -189,20 +207,28 @@ def _dkv_kernel(
             )
             * scale
         )
-        if causal or seqlen_k % block_k != 0:
+        if causal or seqlen_k % block_k != 0 or has_segments or has_bound:
             col = (
                 jax.lax.broadcasted_iota(jnp.int32, (block_q, block_k), 1)
                 + ki * block_k
             )
+            row = (
+                jax.lax.broadcasted_iota(jnp.int32, (block_q, block_k), 0)
+                + qi * block_q
+            )
             valid = col < seqlen_k
             if causal:
-                row = (
-                    jax.lax.broadcasted_iota(
-                        jnp.int32, (block_q, block_k), 0
-                    )
-                    + qi * block_q
-                )
                 valid = jnp.logical_and(valid, col <= row)
+            if has_segments:
+                qs = jnp.transpose(qseg_ref[...])
+                ks = kseg_ref[...]
+                valid = jnp.logical_and(valid, qs == ks)
+            if has_bound:
+                bound = bound_ref[0, 0, 0]
+                if bound_causal:
+                    valid = jnp.logical_and(valid, col < bound + row + 1)
+                else:
+                    valid = jnp.logical_and(valid, col < bound)
             s = jnp.where(valid, s, DEFAULT_MASK_VALUE)
         p = jnp.exp(s - lse)
         # dV += P^T dO
@@ -256,6 +282,10 @@ def flash_attention_bwd(
     causal: bool,
     block_sizes: Optional[BlockSizes] = None,
     interpret: Optional[bool] = None,
+    q_segments: Optional[jax.Array] = None,
+    kv_segments: Optional[jax.Array] = None,
+    kv_bound: Optional[jax.Array] = None,
+    bound_causal: bool = False,
 ) -> Tuple[jax.Array, jax.Array, jax.Array]:
     """dQ, dK, dV for the dense flash forward. Inputs are the padded
     [B, H, S, D] arrays plus saved lse [B, H, Sq] (natural log)."""
@@ -285,6 +315,27 @@ def flash_attention_bwd(
     lse_r = _reshape_rowstats(lse_p, block_q)
     delta_r = _reshape_rowstats(delta, block_q)
 
+    has_segments = q_segments is not None
+    has_bound = kv_bound is not None
+    extra_inputs = []
+    if has_segments:
+        assert b == 1, "segment-id (varlen) attention expects packed B=1"
+        qs = jnp.pad(
+            q_segments, ((0, 0), (0, sq_p - q_segments.shape[1])),
+            constant_values=-1,
+        ).astype(jnp.int32)
+        ks = jnp.pad(
+            kv_segments, ((0, 0), (0, sk_p - kv_segments.shape[1])),
+            constant_values=-2,
+        ).astype(jnp.int32)
+        extra_inputs += [qs, ks]
+    if has_bound:
+        extra_inputs.append(
+            jnp.broadcast_to(
+                kv_bound.astype(jnp.int32).reshape(b, 1, 1), (b, 1, sk_p)
+            )
+        )
+
     precision = (
         jax.lax.Precision.HIGHEST
         if q.dtype == jnp.float32
@@ -298,6 +349,9 @@ def flash_attention_bwd(
         seqlen_k=sk,
         causal=causal,
         precision=precision,
+        has_segments=has_segments,
+        has_bound=has_bound,
+        bound_causal=bound_causal,
     )
 
     qspec = pl.BlockSpec(
@@ -310,10 +364,21 @@ def flash_attention_bwd(
     statspec = pl.BlockSpec(
         (1, 1, block_q, h), lambda bi, qi, hi, ki: (bi, qi, 0, 0)
     )
+    extra_specs_dq = []
+    if has_segments:
+        extra_specs_dq += [
+            pl.BlockSpec((1, block_q), lambda bi, qi, hi, ki: (0, qi)),
+            pl.BlockSpec((1, block_k), lambda bi, qi, hi, ki: (0, ki)),
+        ]
+    if has_bound:
+        extra_specs_dq.append(
+            pl.BlockSpec((1, 1, block_k), lambda bi, qi, hi, ki: (bi, 0, ki))
+        )
     dq = pl.pallas_call(
         functools.partial(_dq_kernel, kt=kt, **common),
         grid=(b, qt, h, kt),
-        in_specs=[qspec, kspec, kspec, qspec, statspec, statspec],
+        in_specs=[qspec, kspec, kspec, qspec, statspec, statspec]
+        + extra_specs_dq,
         out_specs=pl.BlockSpec(
             (1, 1, block_q, d), lambda bi, qi, hi, ki: (bi, hi, qi, 0)
         ),
@@ -328,7 +393,7 @@ def flash_attention_bwd(
             ),
         ),
         interpret=interpret,
-    )(qp, kp, vp, dop, lse_r, delta_r)
+    )(qp, kp, vp, dop, lse_r, delta_r, *extra_inputs)
 
     qspec2 = pl.BlockSpec(
         (1, 1, block_q, d), lambda bi, ki, hi, qi: (bi, hi, qi, 0)
@@ -344,10 +409,21 @@ def flash_attention_bwd(
         (1, 1, block_k, d),
         lambda bi, ki, hi, qi, g=group: (bi, hi // g, ki, 0),
     )
+    extra_specs_dkv = []
+    if has_segments:
+        extra_specs_dkv += [
+            pl.BlockSpec((1, block_q), lambda bi, ki, hi, qi: (0, qi)),
+            pl.BlockSpec((1, block_k), lambda bi, ki, hi, qi: (0, ki)),
+        ]
+    if has_bound:
+        extra_specs_dkv.append(
+            pl.BlockSpec((1, 1, block_k), lambda bi, ki, hi, qi: (bi, 0, ki))
+        )
     dk, dv = pl.pallas_call(
         functools.partial(_dkv_kernel, qt=qt, group=group, **common),
         grid=(b, kt, h, qt),
-        in_specs=[qspec2, kspec2, kspec2, qspec2, statspec2, statspec2],
+        in_specs=[qspec2, kspec2, kspec2, qspec2, statspec2, statspec2]
+        + extra_specs_dkv,
         out_specs=[dkv_out, dkv_out],
         out_shape=[
             jax.ShapeDtypeStruct((b, hk, sk_p, d), k.dtype),
@@ -366,7 +442,7 @@ def flash_attention_bwd(
             ),
         ),
         interpret=interpret,
-    )(qp, kp, vp, dop, lse_r, delta_r)
+    )(qp, kp, vp, dop, lse_r, delta_r, *extra_inputs)
 
     return dq[:, :, :sq], dk[:, :, :sk], dv[:, :, :sk]
 

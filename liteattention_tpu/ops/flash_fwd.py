@@ -41,12 +41,7 @@ def _fwd_kernel(
     q_ref,
     k_ref,
     v_ref,
-    o_ref,
-    lse_ref,
-    m_scr,
-    l_scr,
-    acc_scr,
-    *,
+    *rest,
     scale: float,
     kt: int,
     num_heads: int,
@@ -54,7 +49,15 @@ def _fwd_kernel(
     block_k: int,
     seqlen_k: int,
     causal: bool,
+    has_segments: bool = False,
+    has_bound: bool = False,
+    bound_causal: bool = False,
 ):
+    rest = list(rest)
+    qseg_ref = rest.pop(0) if has_segments else None
+    kseg_ref = rest.pop(0) if has_segments else None
+    bound_ref = rest.pop(0) if has_bound else None
+    o_ref, lse_ref, m_scr, l_scr, acc_scr = rest
     # Grid is (B, Qt, H, Kt): Kt innermost (the online-softmax reduction),
     # H next so the per-(b, q-tile) lse block stays VMEM-resident while
     # all heads write their column.
@@ -98,20 +101,34 @@ def _fwd_kernel(
         s = s * scale
 
         needs_k_mask = seqlen_k % block_k != 0
-        if needs_k_mask or causal:
+        if needs_k_mask or causal or has_segments or has_bound:
             col = (
                 jax.lax.broadcasted_iota(jnp.int32, (block_q, block_k), 1)
                 + ki * block_k
             )
+            row = (
+                jax.lax.broadcasted_iota(jnp.int32, (block_q, block_k), 0)
+                + qi * block_q
+            )
             valid = col < seqlen_k
             if causal:
-                row = (
-                    jax.lax.broadcasted_iota(
-                        jnp.int32, (block_q, block_k), 0
-                    )
-                    + qi * block_q
-                )
                 valid = jnp.logical_and(valid, col <= row)
+            if has_segments:
+                # Packed-varlen masking: tokens attend within their own
+                # segment only (the reference's cu_seqlens semantics,
+                # hopper/_internal/cpp/seqlen.h / mask.h).
+                qs = jnp.transpose(qseg_ref[...])  # (block_q, 1)
+                ks = kseg_ref[...]  # (1, block_k)
+                valid = jnp.logical_and(valid, qs == ks)
+            if has_bound:
+                # Per-batch key bound (KV cache / right-padded batches).
+                bound = bound_ref[0, 0, 0]
+                if bound_causal:
+                    # Append-causal: new q row i sees cols < bound + i + 1
+                    # (FA "bottom-right" alignment for kv-cache decode).
+                    valid = jnp.logical_and(valid, col < bound + row + 1)
+                else:
+                    valid = jnp.logical_and(valid, col < bound)
             s = jnp.where(valid, s, DEFAULT_MASK_VALUE)
 
         m_prev = m_scr[...]
@@ -163,6 +180,10 @@ def _flash_forward_impl(
     causal: bool,
     block_sizes: Optional[BlockSizes],
     interpret: bool,
+    q_segments: Optional[jax.Array] = None,
+    kv_segments: Optional[jax.Array] = None,
+    kv_bound: Optional[jax.Array] = None,
+    bound_causal: bool = False,
 ):
     """Dense flash attention forward.
 
@@ -193,6 +214,34 @@ def _flash_forward_impl(
     sq_p, sk_p = qp.shape[2], kp.shape[2]
     qt, kt = sq_p // block_q, sk_p // block_k
 
+    has_segments = q_segments is not None
+    has_bound = kv_bound is not None
+    extra_inputs = []
+    extra_specs = []
+    if has_segments:
+        assert b == 1, "segment-id (varlen) attention expects packed B=1"
+        qs = jnp.pad(
+            q_segments, ((0, 0), (0, sq_p - q_segments.shape[1])),
+            constant_values=-1,
+        ).astype(jnp.int32)
+        ks = jnp.pad(
+            kv_segments, ((0, 0), (0, sk_p - kv_segments.shape[1])),
+            constant_values=-2,
+        ).astype(jnp.int32)
+        extra_inputs += [qs, ks]
+        extra_specs += [
+            pl.BlockSpec((1, block_q), lambda bi, qi, hi, ki: (0, qi)),
+            pl.BlockSpec((1, block_k), lambda bi, qi, hi, ki: (0, ki)),
+        ]
+    if has_bound:
+        kb = jnp.broadcast_to(
+            kv_bound.astype(jnp.int32).reshape(b, 1, 1), (b, 1, sk_p)
+        )
+        extra_inputs.append(kb)
+        extra_specs.append(
+            pl.BlockSpec((1, 1, block_k), lambda bi, qi, hi, ki: (bi, 0, ki))
+        )
+
     grid = (b, qt, h, kt)
     kernel = functools.partial(
         _fwd_kernel,
@@ -203,6 +252,9 @@ def _flash_forward_impl(
         block_k=block_k,
         seqlen_k=sk,
         causal=causal,
+        has_segments=has_segments,
+        has_bound=has_bound,
+        bound_causal=bound_causal,
     )
     out, lse = pl.pallas_call(
         kernel,
@@ -219,6 +271,7 @@ def _flash_forward_impl(
                 (1, 1, block_k, d),
                 lambda bi, qi, hi, ki, g=group: (bi, hi // g, ki, 0),
             ),
+            *extra_specs,
         ],
         out_specs=[
             pl.BlockSpec(
@@ -246,35 +299,51 @@ def _flash_forward_impl(
             ),
         ),
         interpret=interpret,
-    )(qp, kp, vp)
+    )(qp, kp, vp, *extra_inputs)
     return out[:, :, :sq], jnp.transpose(lse[:, :sq, :], (0, 2, 1))
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6))
-def _flash_core(q, k, v, scale, causal, block_sizes, interpret):
-    return _flash_forward_impl(q, k, v, scale, causal, block_sizes, interpret)
-
-
-def _flash_core_fwd(q, k, v, scale, causal, block_sizes, interpret):
-    out, lse = _flash_forward_impl(
-        q, k, v, scale, causal, block_sizes, interpret
+@functools.partial(jax.custom_vjp, nondiff_argnums=(6, 7, 8, 9, 10))
+def _flash_core(
+    q, k, v, q_segments, kv_segments, kv_bound,
+    scale, causal, bound_causal, block_sizes, interpret,
+):
+    return _flash_forward_impl(
+        q, k, v, scale, causal, block_sizes, interpret,
+        q_segments=q_segments, kv_segments=kv_segments,
+        kv_bound=kv_bound, bound_causal=bound_causal,
     )
-    return (out, lse), (q, k, v, out, lse)
 
 
-def _flash_core_bwd(scale, causal, block_sizes, interpret, res, grads):
+def _flash_core_fwd(
+    q, k, v, q_segments, kv_segments, kv_bound,
+    scale, causal, bound_causal, block_sizes, interpret,
+):
+    out, lse = _flash_forward_impl(
+        q, k, v, scale, causal, block_sizes, interpret,
+        q_segments=q_segments, kv_segments=kv_segments,
+        kv_bound=kv_bound, bound_causal=bound_causal,
+    )
+    return (out, lse), (q, k, v, out, lse, q_segments, kv_segments, kv_bound)
+
+
+def _flash_core_bwd(
+    scale, causal, bound_causal, block_sizes, interpret, res, grads
+):
     # lse is an auxiliary output (softmax statistics); its cotangent is
     # ignored, matching the reference autograd layer
     # (hopper/_internal/flash_attn_interface.py FlashAttnFunc.backward).
     from liteattention_tpu.ops.flash_bwd import flash_attention_bwd
 
-    q, k, v, out, lse = res
+    q, k, v, out, lse, q_segments, kv_segments, kv_bound = res
     do, _ = grads
     dq, dk, dv = flash_attention_bwd(
         q, k, v, out, lse, do, scale, causal,
         block_sizes=block_sizes, interpret=interpret,
+        q_segments=q_segments, kv_segments=kv_segments,
+        kv_bound=kv_bound, bound_causal=bound_causal,
     )
-    return dq, dk, dv
+    return dq, dk, dv, None, None, None
 
 
 _flash_core.defvjp(_flash_core_fwd, _flash_core_bwd)
@@ -307,10 +376,62 @@ def flash_attention(
         interpret = _default_interpret()
     if scale is None:
         scale = 1.0 / (q.shape[-1] ** 0.5)
-    out, lse = _flash_core(q, k, v, scale, causal, block_sizes, interpret)
+    out, lse = _flash_core(
+        q, k, v, None, None, None, scale, causal, False, block_sizes,
+        interpret,
+    )
     if return_lse:
         return out, lse
     return out
 
 
-__all__ = ["flash_attention", "DEFAULT_MASK_VALUE"]
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "scale",
+        "causal",
+        "bound_causal",
+        "block_sizes",
+        "return_lse",
+        "interpret",
+    ),
+)
+def flash_attention_masked(
+    q: jax.Array,
+    k: jax.Array,
+    v: jax.Array,
+    q_segments: Optional[jax.Array] = None,
+    kv_segments: Optional[jax.Array] = None,
+    kv_bound: Optional[jax.Array] = None,
+    scale: Optional[float] = None,
+    causal: bool = False,
+    bound_causal: bool = False,
+    block_sizes: Optional[BlockSizes] = None,
+    return_lse: bool = False,
+    interpret: Optional[bool] = None,
+):
+    """Flash attention with varlen segments and/or per-batch key bounds.
+
+    Inference-path entry backing ``flash_attn_varlen_func`` (packed
+    sequences + segment ids; reference
+    hopper/_internal/flash_attn_interface.py flash_attn_varlen_func) and
+    ``flash_attn_with_kvcache`` (per-batch ``kv_bound``;
+    flash_attn_interface.py flash_attn_with_kvcache). ``bound_causal``
+    applies bottom-right-aligned causality against the bound (decode
+    append). Differentiable w.r.t. q/k/v (the Pallas backward kernels
+    apply identical masking).
+    """
+    if interpret is None:
+        interpret = _default_interpret()
+    if scale is None:
+        scale = 1.0 / (q.shape[-1] ** 0.5)
+    out, lse = _flash_core(
+        q, k, v, q_segments, kv_segments, kv_bound,
+        scale, causal, bound_causal, block_sizes, interpret,
+    )
+    if return_lse:
+        return out, lse
+    return out
+
+
+__all__ = ["flash_attention", "flash_attention_masked", "DEFAULT_MASK_VALUE"]

@@ -66,3 +66,65 @@ def test_grads_gqa_and_ragged():
             rtol=1e-3,
             err_msg=f"d{name} mismatch",
         )
+
+
+def test_grads_with_kv_bound():
+    from liteattention_tpu.ops.flash_fwd import flash_attention_masked
+
+    q, k, v = _qkv(2, 2, 2, 256, 64)
+    bound = jnp.asarray([100, 200], jnp.int32)
+
+    def loss_masked(q, k, v):
+        o = flash_attention_masked(
+            q, k, v, kv_bound=bound, block_sizes=BS, interpret=True
+        )
+        return jnp.sum(o.astype(jnp.float32) ** 2)
+
+    def loss_ref(q, k, v):
+        outs = []
+        for i in range(2):
+            n = int(bound[i])
+            o, _ = attention_ref(
+                q[i : i + 1], k[i : i + 1, :, :n], v[i : i + 1, :, :n]
+            )
+            outs.append(o)
+        return jnp.sum(jnp.concatenate(outs).astype(jnp.float32) ** 2)
+
+    g1 = jax.grad(loss_masked, argnums=(0, 1, 2))(q, k, v)
+    g2 = jax.grad(loss_ref, argnums=(0, 1, 2))(q, k, v)
+    for a, b_, name in zip(g1, g2, "qkv"):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b_), atol=2e-3, rtol=1e-3,
+            err_msg=f"d{name}",
+        )
+
+
+def test_grads_with_segments():
+    from liteattention_tpu.ops.flash_fwd import flash_attention_masked
+
+    q, k, v = _qkv(3, 1, 2, 256, 64)
+    seg = jnp.asarray(
+        np.concatenate([np.zeros(100), np.ones(156)]), jnp.int32
+    )[None]
+
+    def loss_masked(q, k, v):
+        o = flash_attention_masked(
+            q, k, v, q_segments=seg, kv_segments=seg, block_sizes=BS,
+            interpret=True,
+        )
+        return jnp.sum(o.astype(jnp.float32) ** 2)
+
+    def loss_ref(q, k, v):
+        o1, _ = attention_ref(q[:, :, :100], k[:, :, :100], v[:, :, :100])
+        o2, _ = attention_ref(q[:, :, 100:], k[:, :, 100:], v[:, :, 100:])
+        return jnp.sum(
+            jnp.concatenate([o1, o2], axis=2).astype(jnp.float32) ** 2
+        )
+
+    g1 = jax.grad(loss_masked, argnums=(0, 1, 2))(q, k, v)
+    g2 = jax.grad(loss_ref, argnums=(0, 1, 2))(q, k, v)
+    for a, b_, name in zip(g1, g2, "qkv"):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b_), atol=2e-3, rtol=1e-3,
+            err_msg=f"d{name}",
+        )

@@ -1,0 +1,153 @@
+"""flash_attn_* API-parity layer tests (CPU)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from liteattention_tpu.flash_attn_interface import (
+    flash_attn_combine,
+    flash_attn_func,
+    flash_attn_kvpacked_func,
+    flash_attn_qkvpacked_func,
+    flash_attn_varlen_func,
+    flash_attn_with_kvcache,
+    get_scheduler_metadata,
+)
+from liteattention_tpu.ops.attention_ref import attention_ref
+from liteattention_tpu.ops.mask import init_mask
+from liteattention_tpu.ops.tile_sizes import BlockSizes
+
+BS = BlockSizes(128, 128)
+
+
+def _bshd(seed, b, s, h, d):
+    k1, k2, k3 = jax.random.split(jax.random.PRNGKey(seed), 3)
+    return (
+        jax.random.normal(k1, (b, s, h, d), jnp.float32),
+        jax.random.normal(k2, (b, s, h, d), jnp.float32),
+        jax.random.normal(k3, (b, s, h, d), jnp.float32),
+    )
+
+
+def _ref(q, k, v, causal=False, scale=None):
+    return attention_ref(
+        *(jnp.transpose(x, (0, 2, 1, 3)) for x in (q, k, v)),
+        causal=causal,
+        scale=scale,
+    )
+
+
+def test_flash_attn_func_dense_and_packed():
+    q, k, v = _bshd(0, 1, 256, 2, 64)
+    out = flash_attn_func(q, k, v, block_sizes=BS)
+    ref, _ = _ref(q, k, v)
+    np.testing.assert_allclose(
+        np.asarray(jnp.transpose(out, (0, 2, 1, 3))), np.asarray(ref),
+        atol=2e-4,
+    )
+    qkv = jnp.stack([q, k, v], axis=2)
+    out2 = flash_attn_qkvpacked_func(qkv, block_sizes=BS)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(out2))
+    kv = jnp.stack([k, v], axis=2)
+    out3 = flash_attn_kvpacked_func(q, kv, block_sizes=BS)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(out3))
+
+
+def test_flash_attn_func_skip_path_and_scheduler_metadata():
+    q, k, v = _bshd(1, 1, 256, 2, 64)
+    mask = init_mask(1, 2, 256, 256, 128, 128).do_mask
+    out, lse, new_mask = flash_attn_func(
+        q, k, v, attn_read_list=mask, thr=float("-inf"),
+        return_softmax_lse=True, return_skip_mask=True, block_sizes=BS,
+    )
+    assert bool(jnp.all(new_mask))  # thr=-inf: nothing newly skipped
+    kv_idx, count = get_scheduler_metadata(mask)
+    assert kv_idx.shape == mask.shape and count.shape == mask.shape[:-1]
+    ref, ref_lse = _ref(q, k, v)
+    np.testing.assert_allclose(
+        np.asarray(jnp.transpose(out, (0, 2, 1, 3))), np.asarray(ref),
+        atol=2e-4,
+    )
+    np.testing.assert_allclose(
+        np.asarray(lse), np.asarray(ref_lse), atol=1e-4, rtol=1e-4
+    )
+
+
+@pytest.mark.parametrize("causal", [False, True])
+def test_varlen_matches_per_sequence(causal):
+    h, d = 2, 64
+    lens = [96, 160, 64]
+    cu = jnp.asarray(np.cumsum([0] + lens), jnp.int32)
+    total = int(cu[-1])
+    key = jax.random.PRNGKey(2)
+    k1, k2, k3 = jax.random.split(key, 3)
+    q = jax.random.normal(k1, (total, h, d), jnp.float32)
+    k = jax.random.normal(k2, (total, h, d), jnp.float32)
+    v = jax.random.normal(k3, (total, h, d), jnp.float32)
+    out = flash_attn_varlen_func(
+        q, k, v, cu, cu, causal=causal, block_sizes=BS
+    )
+    # Per-sequence reference.
+    for i, ln in enumerate(lens):
+        lo, hi = int(cu[i]), int(cu[i + 1])
+        ref, _ = attention_ref(
+            jnp.transpose(q[lo:hi], (1, 0, 2))[None],
+            jnp.transpose(k[lo:hi], (1, 0, 2))[None],
+            jnp.transpose(v[lo:hi], (1, 0, 2))[None],
+            causal=causal,
+        )
+        np.testing.assert_allclose(
+            np.asarray(jnp.transpose(out[lo:hi], (1, 0, 2))),
+            np.asarray(ref[0]),
+            atol=3e-4,
+            err_msg=f"sequence {i}",
+        )
+
+
+def test_kvcache_decode_matches_full():
+    b, s_max, h, d = 2, 256, 2, 64
+    prefill = [100, 37]
+    key = jax.random.PRNGKey(3)
+    k1, k2, k3 = jax.random.split(key, 3)
+    k_cache = jnp.zeros((b, s_max, h, d), jnp.float32)
+    v_cache = jnp.zeros((b, s_max, h, d), jnp.float32)
+    k_full = jax.random.normal(k1, (b, s_max, h, d), jnp.float32)
+    v_full = jax.random.normal(k2, (b, s_max, h, d), jnp.float32)
+    for i, p in enumerate(prefill):
+        k_cache = k_cache.at[i, :p].set(k_full[i, :p])
+        v_cache = v_cache.at[i, :p].set(v_full[i, :p])
+    lens = jnp.asarray(prefill, jnp.int32)
+    # One new token per batch appended at cache_seqlens.
+    q = jax.random.normal(k3, (b, 1, h, d), jnp.float32)
+    k_new = jnp.stack([k_full[i, p : p + 1] for i, p in enumerate(prefill)])
+    v_new = jnp.stack([v_full[i, p : p + 1] for i, p in enumerate(prefill)])
+    out, (k_cache2, v_cache2) = flash_attn_with_kvcache(
+        q, k_cache, v_cache, k_new, v_new, cache_seqlens=lens,
+        block_sizes=BS,
+    )
+    for i, p in enumerate(prefill):
+        ref, _ = attention_ref(
+            jnp.transpose(q[i], (1, 0, 2))[None],
+            jnp.transpose(k_full[i, : p + 1], (1, 0, 2))[None],
+            jnp.transpose(v_full[i, : p + 1], (1, 0, 2))[None],
+        )
+        np.testing.assert_allclose(
+            np.asarray(out[i, 0]),
+            np.asarray(ref[0, :, 0]),
+            atol=3e-4,
+            err_msg=f"batch {i}",
+        )
+        np.testing.assert_allclose(
+            np.asarray(k_cache2[i, p]), np.asarray(k_full[i, p])
+        )
+
+
+def test_combine_shapes():
+    n, b, s, h, d = 3, 1, 64, 2, 32
+    outs = jax.random.normal(jax.random.PRNGKey(0), (n, b, s, h, d))
+    lses = jax.random.normal(jax.random.PRNGKey(1), (n, b, h, s))
+    out = flash_attn_combine(outs, lses)
+    assert out.shape == (b, s, h, d)
+    out2, lse = flash_attn_combine(outs, lses, return_lse=True)
+    assert lse.shape == (b, h, s)

@@ -1,0 +1,123 @@
+"""Training harness: loss descends, DP sharding, checkpoint resume,
+fault-tolerant sampler (CPU, 8 virtual devices)."""
+
+import os
+import tempfile
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+from jax.sharding import Mesh
+
+from liteattention_tpu.losses.cross_entropy import cross_entropy_loss
+from liteattention_tpu.models.gpt import GPTConfig, GPTLMHeadModel
+from liteattention_tpu.training.data import (
+    FaultTolerantSampler,
+    synthetic_lm_batches,
+)
+from liteattention_tpu.training.trainer import TrainConfig, Trainer
+
+
+def _setup(tmp=None):
+    cfg = GPTConfig(
+        vocab_size=128, max_position_embeddings=64, dim=64,
+        num_layers=1, num_heads=2,
+    )
+    model = GPTLMHeadModel(cfg)
+    ids = jnp.zeros((4, 32), jnp.int32)
+    params = jax.jit(model.init)(jax.random.PRNGKey(0), ids)
+
+    def loss_fn(p, batch):
+        logits = model.apply(p, batch)
+        return cross_entropy_loss(logits[:, :-1], batch[:, 1:])
+
+    tcfg = TrainConfig(
+        learning_rate=1e-3, warmup_steps=2, total_steps=50,
+        checkpoint_dir=tmp, checkpoint_every=5,
+    )
+    return cfg, model, params, loss_fn, tcfg
+
+
+def test_loss_descends():
+    cfg, model, params, loss_fn, tcfg = _setup()
+    trainer = Trainer(loss_fn, tcfg)
+    state = trainer.init_state(params)
+    # One fixed batch repeated: the model must memorize it, so the loss
+    # has to fall (random fresh tokens have no learnable signal).
+    import itertools
+    fixed = next(synthetic_lm_batches(cfg.vocab_size, 4, 32, seed=1))
+    batches = itertools.repeat(fixed)
+    logs = []
+    state = trainer.fit(
+        state, batches, num_steps=30, log_every=10,
+        log_fn=logs.append, tokens_per_batch=4 * 32,
+    )
+    assert int(state["step"]) == 30
+    assert logs[-1]["loss"] < logs[0]["loss"] - 0.5
+    assert "tokens_per_s" in logs[-1]
+
+
+def test_data_parallel_matches_single_device():
+    if len(jax.devices()) < 4:
+        pytest.skip("needs 4 devices")
+    cfg, model, params, loss_fn, tcfg = _setup()
+    mesh = Mesh(np.array(jax.devices()[:4]), ("dp",))
+    batches = list(
+        b for b, _ in zip(synthetic_lm_batches(cfg.vocab_size, 4, 32), range(3))
+    )
+    t_dp = Trainer(loss_fn, tcfg, mesh=mesh)
+    t_1 = Trainer(loss_fn, tcfg)
+    s_dp, s_1 = t_dp.init_state(params), t_1.init_state(params)
+    logs_dp, logs_1 = [], []
+    s_dp = t_dp.fit(s_dp, iter(batches), 3, log_every=1,
+                    log_fn=logs_dp.append)
+    s_1 = t_1.fit(s_1, iter(batches), 3, log_every=1,
+                  log_fn=logs_1.append)
+    # bf16 grads + Adam normalization amplify reduction-order noise in
+    # raw params; the loss/grad-norm trajectory must agree closely.
+    for a, b in zip(logs_dp, logs_1):
+        np.testing.assert_allclose(a["loss"], b["loss"], atol=2e-3)
+        np.testing.assert_allclose(
+            a["grad_norm"], b["grad_norm"], rtol=2e-2
+        )
+
+
+def test_checkpoint_resume():
+    with tempfile.TemporaryDirectory() as tmp:
+        cfg, model, params, loss_fn, tcfg = _setup(tmp)
+        trainer = Trainer(loss_fn, tcfg)
+        state = trainer.restore_or_init(params)
+        batches = synthetic_lm_batches(cfg.vocab_size, 4, 32)
+        state = trainer.fit(state, batches, num_steps=10)
+        trainer.finalize_checkpoints()
+        # New trainer resumes from the newest saved step.
+        trainer2 = Trainer(loss_fn, tcfg)
+        state2 = trainer2.restore_or_init(params)
+        assert int(state2["step"]) == 10
+        np.testing.assert_allclose(
+            np.asarray(jax.tree_util.tree_leaves(state2["params"])[0]),
+            np.asarray(jax.tree_util.tree_leaves(state["params"])[0]),
+        )
+
+
+def test_fault_tolerant_sampler_resume():
+    s = FaultTolerantSampler(num_samples=10, seed=3)
+    it = iter(s)
+    first = [next(it) for _ in range(7)]
+    saved = s.state_dict()
+    rest = [next(it) for _ in range(3)]
+    # Fresh sampler restored mid-epoch continues identically.
+    s2 = FaultTolerantSampler(num_samples=10, seed=0)
+    s2.load_state_dict(saved)
+    it2 = iter(s2)
+    rest2 = [next(it2) for _ in range(3)]
+    assert rest == rest2
+    # One epoch covers every sample exactly once.
+    assert sorted(first + rest) == list(range(10))
+    # Sharded variant partitions the permutation.
+    sh0 = FaultTolerantSampler(10, seed=3, shard=0, num_shards=2)
+    sh1 = FaultTolerantSampler(10, seed=3, shard=1, num_shards=2)
+    a = [next(iter(sh0)) for _ in range(1)]
+    b = [next(iter(sh1)) for _ in range(1)]
+    assert a != b
