@@ -1,0 +1,107 @@
+"""Model-family config adapters onto the GPT backbone.
+
+TPU-native counterpart of the reference's per-family port modules
+(reference flash_attn/models/{opt,gptj,gpt_neox,falcon,llama,baichuan,
+btlm,bigcode}.py -- each maps a HuggingFace config onto the shared
+``GPTModel`` geometry knobs). The backbone in
+:mod:`liteattention_tpu.models.gpt` covers the union of their features
+(rotary vs learned positions, GQA/MQA, gated MLP, parallel block,
+RMSNorm, tied embeddings); these constructors encode each family's
+choices.
+"""
+
+from __future__ import annotations
+
+from liteattention_tpu.models.gpt import GPTConfig
+
+
+def gpt2_config(dim=768, num_layers=12, num_heads=12, vocab=50257,
+                max_pos=1024) -> GPTConfig:
+    """GPT-2 (reference models/gpt.py GPT2 path)."""
+    return GPTConfig(
+        vocab_size=vocab, max_position_embeddings=max_pos, dim=dim,
+        num_layers=num_layers, num_heads=num_heads, tie_embeddings=True,
+    )
+
+
+def opt_config(dim=768, num_layers=12, num_heads=12, vocab=50272,
+               max_pos=2048) -> GPTConfig:
+    """OPT (reference models/opt.py): learned positions, ReLU-family MLP
+    geometry, tied embeddings."""
+    return GPTConfig(
+        vocab_size=vocab, max_position_embeddings=max_pos, dim=dim,
+        num_layers=num_layers, num_heads=num_heads, tie_embeddings=True,
+    )
+
+
+def gptj_config(dim=4096, num_layers=28, num_heads=16, vocab=50400,
+                rotary_dim=64) -> GPTConfig:
+    """GPT-J (reference models/gptj.py): rotary (partial, interleaved
+    conventions handled by the rotary layer), parallel attention+MLP
+    block, no learned positions."""
+    return GPTConfig(
+        vocab_size=vocab, max_position_embeddings=0, dim=dim,
+        num_layers=num_layers, num_heads=num_heads,
+        rotary_emb_dim=rotary_dim, parallel_block=True,
+        tie_embeddings=False,
+    )
+
+
+def gpt_neox_config(dim=6144, num_layers=44, num_heads=64,
+                    vocab=50432) -> GPTConfig:
+    """GPT-NeoX (reference models/gpt_neox.py): rotary (25% of head dim),
+    parallel block."""
+    head_dim = dim // num_heads
+    return GPTConfig(
+        vocab_size=vocab, max_position_embeddings=0, dim=dim,
+        num_layers=num_layers, num_heads=num_heads,
+        rotary_emb_dim=head_dim // 4, parallel_block=True,
+        tie_embeddings=False,
+    )
+
+
+def falcon_config(dim=4544, num_layers=32, num_heads=71,
+                  vocab=65024) -> GPTConfig:
+    """Falcon (reference models/falcon.py): rotary, MQA (one KV head),
+    parallel block."""
+    return GPTConfig(
+        vocab_size=vocab, max_position_embeddings=0, dim=dim,
+        num_layers=num_layers, num_heads=num_heads, num_heads_kv=1,
+        rotary_emb_dim=dim // num_heads, parallel_block=True,
+        tie_embeddings=True,
+    )
+
+
+def llama_config(dim=4096, num_layers=32, num_heads=32, num_heads_kv=None,
+                 vocab=32000, ffn_dim=11008) -> GPTConfig:
+    """LLaMA 1/2/3 (reference models/llama.py): rotary, RMSNorm, SwiGLU,
+    untied embeddings, optional GQA."""
+    return GPTConfig(
+        vocab_size=vocab, max_position_embeddings=0, dim=dim,
+        num_layers=num_layers, num_heads=num_heads,
+        num_heads_kv=num_heads_kv, ffn_dim=ffn_dim,
+        rotary_emb_dim=dim // num_heads, gated_mlp=True,
+        use_rms_norm=True, tie_embeddings=False,
+    )
+
+
+def bigcode_config(dim=6144, num_layers=40, num_heads=48,
+                   vocab=49152, max_pos=8192) -> GPTConfig:
+    """StarCoder/bigcode (reference models/bigcode.py): MQA + learned
+    positions."""
+    return GPTConfig(
+        vocab_size=vocab, max_position_embeddings=max_pos, dim=dim,
+        num_layers=num_layers, num_heads=num_heads, num_heads_kv=1,
+        tie_embeddings=True,
+    )
+
+
+__all__ = [
+    "gpt2_config",
+    "opt_config",
+    "gptj_config",
+    "gpt_neox_config",
+    "falcon_config",
+    "llama_config",
+    "bigcode_config",
+]

@@ -1,0 +1,133 @@
+"""Pretrained-weight loading from HuggingFace checkpoints.
+
+TPU-native counterpart of the reference's remapping loaders
+(reference flash_attn/utils/pretrained.py +
+flash_attn/models/gpt.py remap_state_dict_hf_gpt2 and the per-family
+``remap_state_dict_hf_*`` functions): convert a HuggingFace state dict
+into this framework's flax param tree so HF-pretrained models run on the
+Pallas kernels.
+
+Works from either a ``transformers`` model object or a raw
+``{name: np.ndarray}`` state dict (no torch required at call time if
+arrays are already numpy).
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict, Mapping
+
+import jax.numpy as jnp
+import numpy as np
+
+from liteattention_tpu.models.gpt import GPTConfig
+
+
+def _np(x) -> np.ndarray:
+    if hasattr(x, "detach"):
+        x = x.detach().cpu().numpy()
+    return np.asarray(x)
+
+
+def remap_state_dict_hf_gpt2(
+    state_dict: Mapping[str, Any], cfg: GPTConfig
+) -> Dict[str, Any]:
+    """HF GPT-2 state dict -> flax params for ``GPTLMHeadModel``.
+
+    Parity target: ``remap_state_dict_hf_gpt2`` (reference
+    flash_attn/models/gpt.py). HF GPT-2 Conv1D weights are stored
+    (in, out), which matches flax Dense kernels directly.
+    """
+    sd = {k: _np(v) for k, v in state_dict.items()}
+    p: Dict[str, Any] = {"transformer": {}}
+    t = p["transformer"]
+    t["wte"] = {"embedding": sd["wte.weight"]}
+    t["wpe"] = {"embedding": sd["wpe.weight"]}
+    for i in range(cfg.num_layers):
+        pre = f"h.{i}."
+        blk: Dict[str, Any] = {
+            "norm1_scale": sd[pre + "ln_1.weight"],
+            "norm1_bias": sd[pre + "ln_1.bias"],
+            "norm2_scale": sd[pre + "ln_2.weight"],
+            "norm2_bias": sd[pre + "ln_2.bias"],
+            "mha": {
+                "Wqkv": {
+                    "kernel": sd[pre + "attn.c_attn.weight"],
+                    "bias": sd[pre + "attn.c_attn.bias"],
+                },
+                "out_proj": {
+                    "kernel": sd[pre + "attn.c_proj.weight"],
+                    "bias": sd[pre + "attn.c_proj.bias"],
+                },
+            },
+            "mlp": {
+                "fc1": {
+                    "kernel": sd[pre + "mlp.c_fc.weight"],
+                    "bias": sd[pre + "mlp.c_fc.bias"],
+                },
+                "fc2": {
+                    "kernel": sd[pre + "mlp.c_proj.weight"],
+                    "bias": sd[pre + "mlp.c_proj.bias"],
+                },
+            },
+        }
+        t[f"block_{i}"] = blk
+    t["ln_f_scale"] = sd["ln_f.weight"]
+    t["ln_f_bias"] = sd["ln_f.bias"]
+    return {"params": p}
+
+
+def remap_state_dict_hf_llama(
+    state_dict: Mapping[str, Any], cfg: GPTConfig
+) -> Dict[str, Any]:
+    """HF LLaMA state dict -> flax params (reference
+    flash_attn/models/llama.py remap_state_dict_hf_llama). HF Linear
+    weights are (out, in) and are transposed; q/k/v are fused into Wqkv
+    in the reference's packing order."""
+    sd = {k: _np(v) for k, v in state_dict.items()}
+
+    def lin(name):
+        return sd[name].T
+
+    p: Dict[str, Any] = {"transformer": {}}
+    t = p["transformer"]
+    t["wte"] = {"embedding": sd["model.embed_tokens.weight"]}
+    for i in range(cfg.num_layers):
+        pre = f"model.layers.{i}."
+        wq = lin(pre + "self_attn.q_proj.weight")
+        wk = lin(pre + "self_attn.k_proj.weight")
+        wv = lin(pre + "self_attn.v_proj.weight")
+        gate = lin(pre + "mlp.gate_proj.weight")
+        up = lin(pre + "mlp.up_proj.weight")
+        t[f"block_{i}"] = {
+            "norm1_scale": sd[pre + "input_layernorm.weight"],
+            "norm2_scale": sd[pre + "post_attention_layernorm.weight"],
+            "mha": {
+                "Wqkv": {"kernel": np.concatenate([wq, wk, wv], axis=1)},
+                "out_proj": {
+                    "kernel": lin(pre + "self_attn.o_proj.weight")
+                },
+            },
+            "mlp": {
+                "fc1": {"kernel": np.concatenate([gate, up], axis=1)},
+                "fc2": {"kernel": lin(pre + "mlp.down_proj.weight")},
+            },
+        }
+    t["ln_f_scale"] = sd["model.norm.weight"]
+    p["lm_head"] = {"kernel": lin("lm_head.weight")}
+    return {"params": p}
+
+
+def state_dict_from_pretrained(model_name: str) -> Dict[str, np.ndarray]:
+    """Fetch a HF state dict (reference utils/pretrained.py
+    ``state_dict_from_pretrained``). Requires local HF cache or network."""
+    from transformers import AutoModelForCausalLM
+
+    model = AutoModelForCausalLM.from_pretrained(model_name)
+    return {k: _np(v) for k, v in model.state_dict().items()}
+
+
+__all__ = [
+    "remap_state_dict_hf_gpt2",
+    "remap_state_dict_hf_llama",
+    "state_dict_from_pretrained",
+]

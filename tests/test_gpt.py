@@ -98,3 +98,37 @@ def test_parallel_cross_entropy_matches_dense():
     )(logits, labels)
     loss_d = cross_entropy_loss(logits, labels)
     np.testing.assert_allclose(float(loss_p), float(loss_d), rtol=1e-5)
+
+
+def test_family_config_adapters_forward():
+    """Every family adapter yields a working forward at toy scale
+    (reference models/{opt,gptj,gpt_neox,falcon,bigcode}.py ports)."""
+    from liteattention_tpu.models.configs import (
+        bigcode_config,
+        falcon_config,
+        gpt2_config,
+        gpt_neox_config,
+        gptj_config,
+        llama_config,
+    )
+
+    factories = [
+        lambda: gpt2_config(dim=64, num_layers=1, num_heads=2, vocab=64,
+                            max_pos=64),
+        lambda: gptj_config(dim=64, num_layers=1, num_heads=2, vocab=64,
+                            rotary_dim=16),
+        lambda: gpt_neox_config(dim=64, num_layers=1, num_heads=2, vocab=64),
+        lambda: falcon_config(dim=64, num_layers=1, num_heads=2, vocab=64),
+        lambda: llama_config(dim=64, num_layers=1, num_heads=2, vocab=64,
+                             ffn_dim=128),
+        lambda: bigcode_config(dim=64, num_layers=1, num_heads=2, vocab=64,
+                               max_pos=64),
+    ]
+    ids = jax.random.randint(jax.random.PRNGKey(0), (1, 32), 0, 64)
+    for make in factories:
+        cfg = make()
+        model = GPTLMHeadModel(cfg)
+        params = jax.jit(model.init)(jax.random.PRNGKey(1), ids)
+        logits = model.apply(params, ids)
+        assert logits.shape == (1, 32, 64)
+        assert np.isfinite(np.asarray(logits)).all(), cfg
