@@ -53,6 +53,9 @@ def flash_attn_func(
     v: jax.Array,
     softmax_scale: Optional[float] = None,
     causal: bool = False,
+    window_size: Tuple[int, int] = (-1, -1),
+    softcap: float = 0.0,
+    alibi_slopes: Optional[jax.Array] = None,
     attn_read_list: Optional[jax.Array] = None,
     attn_must_do_list: Optional[jax.Array] = None,
     attn_write_list=None,  # accepted for signature parity; see module doc
@@ -88,19 +91,28 @@ def flash_attn_func(
     vh = _bshd_to_bhsd(v)
     d = q.shape[-1]
     bs = block_sizes or get_block_sizes(d, q.dtype.itemsize)
+    window = None if window_size == (-1, -1) else tuple(window_size)
     if attn_read_list is None:
-        out, lse = flash_attention(
+        out, lse = flash_attention_masked(
             qh,
             kh,
             vh,
+            alibi_slopes=alibi_slopes,
             scale=softmax_scale,
             causal=causal,
+            window=window,
+            softcap=softcap,
             block_sizes=bs,
             return_lse=True,
         )
         new_mask = None
     else:
         assert not causal, "skip-masked attention is non-causal (video DiT)"
+        assert window is None and softcap == 0.0 and alibi_slopes is None, (
+            "skip-masked attention composes with none of window/softcap/"
+            "alibi (matching the reference's lean skipable build, "
+            "hopper/setup.py:47-68)"
+        )
         kv_idx, count = compact_mask(attn_read_list)
         out, lse, votes = lite_flash_attention(
             qh,

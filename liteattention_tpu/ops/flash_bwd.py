@@ -34,6 +34,7 @@ from jax.experimental.pallas import tpu as pltpu
 from liteattention_tpu.ops.tile_sizes import BlockSizes, get_block_sizes
 
 DEFAULT_MASK_VALUE = -0.7 * float(jnp.finfo(jnp.float32).max)
+LOG2E = 1.4426950408889634
 
 
 def _default_interpret() -> bool:
@@ -69,11 +70,15 @@ def _dq_kernel(
     has_segments: bool = False,
     has_bound: bool = False,
     bound_causal: bool = False,
+    window=None,
+    softcap: float = 0.0,
+    has_alibi: bool = False,
 ):
     rest = list(rest)
     qseg_ref = rest.pop(0) if has_segments else None
     kseg_ref = rest.pop(0) if has_segments else None
     bound_ref = rest.pop(0) if has_bound else None
+    alibi_ref = rest.pop(0) if has_alibi else None
     dq_ref, dq_acc = rest
     qi = pl.program_id(1)
     h = pl.program_id(2)
@@ -95,17 +100,52 @@ def _dq_kernel(
         do = do_ref[0, 0]
         lse = _head_col(lse_ref[0, 0], h, num_heads)  # (bq, 1)
         delta = _head_col(delta_ref[0, 0], h, num_heads)
-        s = (
-            jax.lax.dot_general(
-                q,
-                k,
-                dimension_numbers=(((1,), (1,)), ((), ())),
-                preferred_element_type=jnp.float32,
-                precision=precision,
-            )
-            * scale
+        raw = jax.lax.dot_general(
+            q,
+            k,
+            dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+            precision=precision,
         )
-        if causal or seqlen_k % block_k != 0 or has_segments or has_bound:
+        # Log2-space scores (matches the forward; see flash_fwd.py).
+        if softcap > 0.0:
+            s_nat = softcap * jnp.tanh(raw * scale / softcap)
+            # Derivative of the cap, captured BEFORE masking writes large
+            # sentinels: d(cap*tanh(x/cap))/dx = 1 - (s/cap)^2.
+            cap_factor = 1.0 - (s_nat / softcap) ** 2
+            s = s_nat * LOG2E
+        else:
+            s = raw * (scale * LOG2E)
+        if has_alibi:
+            slope = jnp.sum(
+                jnp.where(
+                    jax.lax.broadcasted_iota(
+                        jnp.int32, alibi_ref.shape, 1
+                    )
+                    == h,
+                    alibi_ref[...].astype(jnp.float32),
+                    0.0,
+                )
+            )
+            arow = (
+                jax.lax.broadcasted_iota(jnp.int32, (block_q, block_k), 0)
+                + qi * block_q
+            )
+            acol = (
+                jax.lax.broadcasted_iota(jnp.int32, (block_q, block_k), 1)
+                + ki * block_k
+            )
+            dist = (
+                (arow - acol) if causal else jnp.abs(arow - acol)
+            ).astype(jnp.float32)
+            s = s - slope * LOG2E * dist
+        if (
+            causal
+            or seqlen_k % block_k != 0
+            or has_segments
+            or has_bound
+            or window is not None
+        ):
             col = (
                 jax.lax.broadcasted_iota(jnp.int32, (block_q, block_k), 1)
                 + ki * block_k
@@ -127,8 +167,14 @@ def _dq_kernel(
                     valid = jnp.logical_and(valid, col < bound + row + 1)
                 else:
                     valid = jnp.logical_and(valid, col < bound)
+            if window is not None:
+                left, right = window
+                if left >= 0:
+                    valid = jnp.logical_and(valid, col >= row - left)
+                if right >= 0:
+                    valid = jnp.logical_and(valid, col <= row + right)
             s = jnp.where(valid, s, DEFAULT_MASK_VALUE)
-        p = jnp.exp(s - lse)
+        p = jnp.exp2(s - lse * LOG2E)
         dp = jax.lax.dot_general(
             do,
             v,
@@ -136,7 +182,10 @@ def _dq_kernel(
             preferred_element_type=jnp.float32,
             precision=precision,
         )
-        ds = p * (dp - delta) * scale
+        ds = p * (dp - delta)
+        if softcap > 0.0:
+            ds = ds * cap_factor
+        ds = ds * scale
         dq_acc[...] += jax.lax.dot(
             ds.astype(k.dtype),
             k,
@@ -169,11 +218,15 @@ def _dkv_kernel(
     has_segments: bool = False,
     has_bound: bool = False,
     bound_causal: bool = False,
+    window=None,
+    softcap: float = 0.0,
+    has_alibi: bool = False,
 ):
     rest = list(rest)
     qseg_ref = rest.pop(0) if has_segments else None
     kseg_ref = rest.pop(0) if has_segments else None
     bound_ref = rest.pop(0) if has_bound else None
+    alibi_ref = rest.pop(0) if has_alibi else None
     dk_ref, dv_ref, dk_acc, dv_acc = rest
     ki = pl.program_id(1)
     h = pl.program_id(2)
@@ -197,17 +250,52 @@ def _dkv_kernel(
         do = do_ref[0, 0]
         lse = _head_col(lse_ref[0, 0], h, num_heads)
         delta = _head_col(delta_ref[0, 0], h, num_heads)
-        s = (
-            jax.lax.dot_general(
-                q,
-                k,
-                dimension_numbers=(((1,), (1,)), ((), ())),
-                preferred_element_type=jnp.float32,
-                precision=precision,
-            )
-            * scale
+        raw = jax.lax.dot_general(
+            q,
+            k,
+            dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+            precision=precision,
         )
-        if causal or seqlen_k % block_k != 0 or has_segments or has_bound:
+        # Log2-space scores (matches the forward; see flash_fwd.py).
+        if softcap > 0.0:
+            s_nat = softcap * jnp.tanh(raw * scale / softcap)
+            # Derivative of the cap, captured BEFORE masking writes large
+            # sentinels: d(cap*tanh(x/cap))/dx = 1 - (s/cap)^2.
+            cap_factor = 1.0 - (s_nat / softcap) ** 2
+            s = s_nat * LOG2E
+        else:
+            s = raw * (scale * LOG2E)
+        if has_alibi:
+            slope = jnp.sum(
+                jnp.where(
+                    jax.lax.broadcasted_iota(
+                        jnp.int32, alibi_ref.shape, 1
+                    )
+                    == h,
+                    alibi_ref[...].astype(jnp.float32),
+                    0.0,
+                )
+            )
+            arow = (
+                jax.lax.broadcasted_iota(jnp.int32, (block_q, block_k), 0)
+                + qi * block_q
+            )
+            acol = (
+                jax.lax.broadcasted_iota(jnp.int32, (block_q, block_k), 1)
+                + ki * block_k
+            )
+            dist = (
+                (arow - acol) if causal else jnp.abs(arow - acol)
+            ).astype(jnp.float32)
+            s = s - slope * LOG2E * dist
+        if (
+            causal
+            or seqlen_k % block_k != 0
+            or has_segments
+            or has_bound
+            or window is not None
+        ):
             col = (
                 jax.lax.broadcasted_iota(jnp.int32, (block_q, block_k), 1)
                 + ki * block_k
@@ -229,8 +317,14 @@ def _dkv_kernel(
                     valid = jnp.logical_and(valid, col < bound + row + 1)
                 else:
                     valid = jnp.logical_and(valid, col < bound)
+            if window is not None:
+                left, right = window
+                if left >= 0:
+                    valid = jnp.logical_and(valid, col >= row - left)
+                if right >= 0:
+                    valid = jnp.logical_and(valid, col <= row + right)
             s = jnp.where(valid, s, DEFAULT_MASK_VALUE)
-        p = jnp.exp(s - lse)
+        p = jnp.exp2(s - lse * LOG2E)
         # dV += P^T dO
         dv_acc[...] += jax.lax.dot_general(
             p.astype(do.dtype),
@@ -246,7 +340,10 @@ def _dkv_kernel(
             preferred_element_type=jnp.float32,
             precision=precision,
         )
-        ds = p * (dp - delta) * scale
+        ds = p * (dp - delta)
+        if softcap > 0.0:
+            ds = ds * cap_factor
+        ds = ds * scale
         # dK += dS^T Q
         dk_acc[...] += jax.lax.dot_general(
             ds.astype(q.dtype),
@@ -286,6 +383,9 @@ def flash_attention_bwd(
     kv_segments: Optional[jax.Array] = None,
     kv_bound: Optional[jax.Array] = None,
     bound_causal: bool = False,
+    window=None,
+    softcap: float = 0.0,
+    alibi_slopes: Optional[jax.Array] = None,
 ) -> Tuple[jax.Array, jax.Array, jax.Array]:
     """dQ, dK, dV for the dense flash forward. Inputs are the padded
     [B, H, S, D] arrays plus saved lse [B, H, Sq] (natural log)."""
@@ -335,6 +435,9 @@ def flash_attention_bwd(
                 kv_bound.astype(jnp.int32).reshape(b, 1, 1), (b, 1, sk_p)
             )
         )
+    has_alibi = alibi_slopes is not None
+    if has_alibi:
+        extra_inputs.append(alibi_slopes.astype(jnp.float32).reshape(1, h))
 
     precision = (
         jax.lax.Precision.HIGHEST
@@ -352,6 +455,9 @@ def flash_attention_bwd(
         has_segments=has_segments,
         has_bound=has_bound,
         bound_causal=bound_causal,
+        window=window,
+        softcap=softcap,
+        has_alibi=has_alibi,
     )
 
     qspec = pl.BlockSpec(
@@ -373,6 +479,13 @@ def flash_attention_bwd(
     if has_bound:
         extra_specs_dq.append(
             pl.BlockSpec((1, 1, block_k), lambda bi, qi, hi, ki: (bi, 0, ki))
+        )
+    if has_alibi:
+        extra_specs_dq.append(
+            pl.BlockSpec(
+                (1, h), lambda bi, qi, hi, ki: (0, 0),
+                memory_space=pltpu.SMEM,
+            )
         )
     dq = pl.pallas_call(
         functools.partial(_dq_kernel, kt=kt, **common),
@@ -418,6 +531,13 @@ def flash_attention_bwd(
     if has_bound:
         extra_specs_dkv.append(
             pl.BlockSpec((1, 1, block_k), lambda bi, ki, hi, qi: (bi, 0, ki))
+        )
+    if has_alibi:
+        extra_specs_dkv.append(
+            pl.BlockSpec(
+                (1, h), lambda bi, ki, hi, qi: (0, 0),
+                memory_space=pltpu.SMEM,
+            )
         )
     dk, dv = pl.pallas_call(
         functools.partial(_dkv_kernel, qt=qt, group=group, **common),

@@ -53,6 +53,7 @@ from liteattention_tpu.ops.tile_sizes import BlockSizes, get_block_sizes
 
 DEFAULT_MASK_VALUE = -0.7 * float(jnp.finfo(jnp.float32).max)
 LOG2E = 1.4426950408889634
+LN2 = 0.6931471805599453
 MIN_LANES = 128
 
 
@@ -160,6 +161,10 @@ def _lite_kernel(
         # replacement of the reference's TMA producer warp).
         j = step_smem[0]
         tile = sched_at(1 + j)
+        # Scores in log2 space (scale folded with log2(e)): exp2 on the
+        # VPU skips exp's per-element multiply, and the skip criterion
+        # becomes a direct subtraction -- exactly the reference's
+        # softmax_scale_log2 representation (softmax.h:131,194).
         s = jax.lax.dot_general(
             q,
             k_blk[...],
@@ -167,7 +172,7 @@ def _lite_kernel(
             preferred_element_type=jnp.float32,
             precision=precision,
         )
-        s = s * scale
+        s = s * (scale * LOG2E)
         if seqlen_k % block_k != 0:
             col = (
                 jax.lax.broadcasted_iota(jnp.int32, (block_q, block_k), 1)
@@ -179,7 +184,9 @@ def _lite_kernel(
         local_max = jnp.max(s, axis=1, keepdims=True)  # [bq, 1]
 
         # --- QK-Skip detection (softmax.h:194 semantics, fp32) ---
-        do_qk = (local_max - m_prev[:, :1]) * LOG2E > thr
+        # local_max/m_prev are in log2 units; thr is log2-space by
+        # definition, so the comparison is direct.
+        do_qk = (local_max - m_prev[:, :1]) > thr
         any_do = jnp.any(jnp.logical_and(do_qk, row_valid))
         vote = jnp.where(
             j == 0, jnp.int32(0), jnp.logical_not(any_do).astype(jnp.int32)
@@ -188,10 +195,10 @@ def _lite_kernel(
             (1, votes_scr.shape[1]), vote, jnp.int32
         )
 
-        # --- online softmax update ---
+        # --- online softmax update (log2 space) ---
         m_next = jnp.maximum(m_prev, local_max)
-        alpha = jnp.exp(m_prev[:, :1] - m_next[:, :1])
-        p = jnp.exp(s - m_next[:, :1])
+        alpha = jnp.exp2(m_prev[:, :1] - m_next[:, :1])
+        p = jnp.exp2(s - m_next[:, :1])
         l_curr = jnp.sum(p, axis=1, keepdims=True)
         m_scr[...] = m_next
         l_scr[...] = alpha * l_scr[...] + l_curr
@@ -220,8 +227,10 @@ def _lite_kernel(
 
     # Scatter this head's lse / votes columns into the per-(b, q-tile)
     # blocks that stay resident while the H grid dimension advances.
-    m_col = m_scr[:, :1]
-    lse = jnp.where(l == 0.0, -jnp.inf, m_col + jnp.log(jnp.maximum(l, 1e-37)))
+    m_col = m_scr[:, :1]  # log2 units -> natural-log LSE
+    lse = jnp.where(
+        l == 0.0, -jnp.inf, m_col * LN2 + jnp.log(jnp.maximum(l, 1e-37))
+    )
     head_col = jax.lax.broadcasted_iota(jnp.int32, (block_q, num_heads), 1)
     lse_ref[0] = jnp.where(head_col == h, lse, lse_ref[0])
     vote_col = jax.lax.broadcasted_iota(jnp.int32, (kt8, num_heads), 1)

@@ -85,3 +85,100 @@ def test_dense_custom_scale():
     np.testing.assert_allclose(
         np.asarray(out), np.asarray(ref), atol=2e-3, rtol=1e-3
     )
+
+
+def test_sliding_window():
+    from liteattention_tpu.ops.flash_fwd import flash_attention_masked
+
+    q, k, v = _rand_qkv(jax.random.PRNGKey(5), 1, 2, 384, 64, jnp.float32)
+    out = flash_attention_masked(
+        q, k, v, window=(64, 0), causal=True, block_sizes=BlockSizes(128, 128),
+        interpret=True,
+    )
+    # Oracle: causal + sliding window of 64.
+    sq = q.shape[2]
+    row = jax.lax.broadcasted_iota(jnp.int32, (sq, sq), 0)
+    col = jax.lax.broadcasted_iota(jnp.int32, (sq, sq), 1)
+    bias = jnp.where(
+        (col <= row) & (col >= row - 64), 0.0, -0.7 * 3.4e38
+    )
+    ref, _ = attention_ref(q, k, v, bias=bias[None, None])
+    np.testing.assert_allclose(
+        np.asarray(out), np.asarray(ref), atol=3e-4, rtol=1e-3
+    )
+
+
+def test_softcap():
+    from liteattention_tpu.ops.flash_fwd import flash_attention_masked
+
+    q, k, v = _rand_qkv(jax.random.PRNGKey(6), 1, 2, 256, 64, jnp.float32)
+    cap = 5.0
+    out = flash_attention_masked(
+        q, k, v, softcap=cap, block_sizes=BlockSizes(128, 128),
+        interpret=True,
+    )
+    scale = 1.0 / 8.0
+    s = jnp.einsum(
+        "bhqd,bhkd->bhqk", q, k, precision=jax.lax.Precision.HIGHEST
+    ) * scale
+    s = cap * jnp.tanh(s / cap)
+    p = jax.nn.softmax(s, axis=-1)
+    ref = jnp.einsum(
+        "bhqk,bhkd->bhqd", p, v, precision=jax.lax.Precision.HIGHEST
+    )
+    np.testing.assert_allclose(
+        np.asarray(out), np.asarray(ref), atol=3e-4, rtol=1e-3
+    )
+    # Differentiability with softcap.
+    g = jax.grad(
+        lambda q: jnp.sum(
+            flash_attention_masked(
+                q, k, v, softcap=cap, block_sizes=BlockSizes(128, 128),
+                interpret=True,
+            ).astype(jnp.float32) ** 2
+        )
+    )(q)
+    g_ref = jax.grad(
+        lambda q: jnp.sum(
+            jnp.einsum(
+                "bhqk,bhkd->bhqd",
+                jax.nn.softmax(
+                    cap
+                    * jnp.tanh(
+                        jnp.einsum(
+                            "bhqd,bhkd->bhqk", q, k,
+                            precision=jax.lax.Precision.HIGHEST,
+                        )
+                        * scale
+                        / cap
+                    ),
+                    axis=-1,
+                ),
+                v,
+                precision=jax.lax.Precision.HIGHEST,
+            )
+            ** 2
+        )
+    )(q)
+    np.testing.assert_allclose(
+        np.asarray(g), np.asarray(g_ref), atol=2e-3, rtol=1e-2
+    )
+
+
+def test_alibi():
+    from liteattention_tpu.ops.flash_fwd import flash_attention_masked
+
+    q, k, v = _rand_qkv(jax.random.PRNGKey(7), 1, 2, 256, 64, jnp.float32)
+    slopes = jnp.asarray([0.5, 0.25], jnp.float32)
+    out = flash_attention_masked(
+        q, k, v, alibi_slopes=slopes, causal=True,
+        block_sizes=BlockSizes(128, 128), interpret=True,
+    )
+    sq = q.shape[2]
+    row = jax.lax.broadcasted_iota(jnp.int32, (sq, sq), 0)
+    col = jax.lax.broadcasted_iota(jnp.int32, (sq, sq), 1)
+    bias = -slopes[None, :, None, None] * (row - col).astype(jnp.float32)
+    ref, _ = attention_ref(q, k, v, causal=True, bias=bias)
+    np.testing.assert_allclose(
+        np.asarray(out), np.asarray(ref), atol=3e-4, rtol=1e-3
+    )

@@ -155,3 +155,35 @@ def test_pad_unpad_roundtrip():
         np.asarray(back * mask[..., None]),
         np.asarray(x * mask[..., None]),
     )
+
+
+def test_activations():
+    from liteattention_tpu.ops.activations import (
+        bias_gelu,
+        gelu_approx,
+        sqrelu_fwd,
+        swiglu,
+    )
+
+    x = jnp.linspace(-2, 2, 16)
+    np.testing.assert_allclose(
+        np.asarray(sqrelu_fwd(x)), np.asarray(jax.nn.relu(x) ** 2)
+    )
+    np.testing.assert_allclose(
+        np.asarray(swiglu(x, x)), np.asarray(jax.nn.silu(x) * x)
+    )
+    np.testing.assert_allclose(
+        np.asarray(bias_gelu(x, jnp.ones_like(x))),
+        np.asarray(jax.nn.gelu(x + 1, approximate=True)),
+    )
+    assert gelu_approx(x).shape == x.shape
+
+
+def test_patch_embed():
+    from liteattention_tpu.layers.patch_embed import PatchEmbed
+
+    pe = PatchEmbed(patch_size=(8, 8), embed_dim=32, dtype=jnp.float32)
+    imgs = jax.random.normal(jax.random.PRNGKey(0), (2, 32, 32, 3))
+    params = pe.init(jax.random.PRNGKey(1), imgs)
+    out = pe.apply(params, imgs)
+    assert out.shape == (2, 16, 32)
