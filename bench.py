@@ -45,14 +45,19 @@ def _sync(out):
     np.asarray(jnp.sum(leaf.astype(jnp.float32)))
 
 
-def _timeit(fn, *args, iters=8, warmup=2):
+def _timeit(fn, *args, iters=10, warmup=2):
+    # Per-iteration sync + median: the remote-runtime tunnel adds
+    # heavy-tailed noise (~15% run-to-run on block timings), and the
+    # median of synced samples is far more stable than a mean of one
+    # block.
     for _ in range(warmup):
         _sync(fn(*args))
-    t0 = time.perf_counter()
+    samples = []
     for _ in range(iters):
-        out = fn(*args)
-    _sync(out)
-    return (time.perf_counter() - t0) / iters
+        t0 = time.perf_counter()
+        _sync(fn(*args))
+        samples.append(time.perf_counter() - t0)
+    return float(np.median(samples))
 
 
 def main():

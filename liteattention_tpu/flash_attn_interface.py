@@ -257,6 +257,7 @@ def flash_attn_with_kvcache(
     cache_seqlens: Optional[jax.Array] = None,
     softmax_scale: Optional[float] = None,
     causal: bool = True,
+    num_splits: int = 1,
     return_softmax_lse: bool = False,
     block_sizes: Optional[BlockSizes] = None,
 ):
@@ -289,16 +290,48 @@ def flash_attn_with_kvcache(
     vh = _bshd_to_bhsd(v_cache)
     bs = block_sizes or get_block_sizes(d, q.dtype.itemsize)
     bound = cache_seqlens if causal else cache_seqlens + s_new
-    out, lse = flash_attention_masked(
-        qh,
-        kh,
-        vh,
-        kv_bound=bound,
-        scale=softmax_scale,
-        bound_causal=causal,
-        block_sizes=bs,
-        return_lse=True,
-    )
+    if num_splits > 1:
+        # Split-KV decode (the reference's num_splits + combine-kernel
+        # path, flash_api.cpp:437-466 + flash_fwd_combine_kernel.h): the
+        # cache is chunked on the sequence axis, each split computes a
+        # bounded partial attention, and the LSE merge recombines.
+        # Parallelism across splits comes from the extra grid rows XLA
+        # sees; useful when batch*heads underfills the chip at decode.
+        assert s_max % num_splits == 0
+        chunk = s_max // num_splits
+        outs, lses = [], []
+        for i in range(num_splits):
+            lo = i * chunk
+            # Shifted (possibly negative / oversized) bound: the kernel
+            # predicate col_local < (bound - lo) [+ row + 1] is then
+            # exactly the global predicate in every split.
+            split_bound = bound - lo
+            o_i, lse_i = flash_attention_masked(
+                qh,
+                kh[:, :, lo : lo + chunk],
+                vh[:, :, lo : lo + chunk],
+                kv_bound=split_bound,
+                scale=softmax_scale,
+                bound_causal=causal,
+                block_sizes=bs,
+                return_lse=True,
+            )
+            outs.append(o_i)
+            lses.append(lse_i)
+        out, lse = combine_attention(
+            jnp.stack(outs), jnp.stack(lses), axis=0
+        )
+    else:
+        out, lse = flash_attention_masked(
+            qh,
+            kh,
+            vh,
+            kv_bound=bound,
+            scale=softmax_scale,
+            bound_causal=causal,
+            block_sizes=bs,
+            return_lse=True,
+        )
     out = _bhsd_to_bshd(out)
     result = [out]
     if return_softmax_lse:

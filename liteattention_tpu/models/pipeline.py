@@ -21,6 +21,7 @@ from typing import Any, Dict, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from liteattention_tpu.models.wan import WanConfig, WanModel, init_skip_states
 
@@ -59,6 +60,9 @@ def denoise(
     thresholds: Optional[jax.Array] = None,
     enable_skipping: bool = True,
     timestep_shift: float = 5.0,
+    step_range: Optional[Tuple[int, int]] = None,
+    initial_states: Optional[Dict[int, Any]] = None,
+    initial_states_uncond: Optional[Dict[int, Any]] = None,
 ) -> Tuple[jax.Array, Dict[str, Any]]:
     """Run the full denoising trajectory with LiteAttention state carry.
 
@@ -85,10 +89,21 @@ def denoise(
     use_cfg = null_text is not None
 
     if enable_skipping:
-        states_c = init_skip_states(cfg, b, grid)
-        states_u = init_skip_states(cfg, b, grid) if use_cfg else None
+        states_c = initial_states or init_skip_states(cfg, b, grid)
+        states_u = (
+            (initial_states_uncond or init_skip_states(cfg, b, grid))
+            if use_cfg
+            else None
+        )
     else:
         states_c = states_u = None
+
+    if step_range is not None:
+        lo, hi = step_range
+        ts = ts[lo:hi]
+        sigmas = sigmas[lo:hi]
+        sigma_next = sigma_next[lo:hi]
+        thresholds = thresholds[lo:hi]
 
     def sparsity_of(states):
         if states is None:
@@ -125,8 +140,93 @@ def denoise(
         "sparsity_per_step": sparsity_trace,
         "final_sparsity": sparsity_trace[-1],
         "final_states": st_c,
+        "final_states_uncond": st_u,
     }
     return x, telemetry
 
 
-__all__ = ["denoise", "linear_threshold_schedule", "flow_timesteps"]
+def denoise_two_expert(
+    model: WanModel,
+    params_high,
+    params_low,
+    noise: jax.Array,
+    text: jax.Array,
+    null_text: Optional[jax.Array] = None,
+    num_steps: int = 50,
+    boundary: float = 0.875,
+    guidance_scale: float = 5.0,
+    guidance_scale_low: Optional[float] = None,
+    thresholds: Optional[jax.Array] = None,
+    enable_skipping: bool = True,
+    timestep_shift: float = 5.0,
+) -> Tuple[jax.Array, Dict[str, Any]]:
+    """Wan2.2-A14B-style two-expert denoising.
+
+    Wan2.2 swaps between a high-noise and a low-noise expert of the SAME
+    architecture at a sigma boundary (t >= boundary * 1000 -> high-noise
+    expert). Skip-mask states persist ACROSS the expert switch -- the
+    attention maps stay temporally coherent even when weights change,
+    which is exactly what the reference exploits to hit 32% sparsity on
+    Wan2.2 (reference README.md:37,64-69).
+
+    Implemented as two chained :func:`denoise` segments over a split
+    timestep schedule, threading the final skip states of the high-noise
+    segment into the low-noise one.
+    """
+    # The expert-switch step index is schedule math, not data: compute it
+    # in numpy so the whole two-segment pipeline stays jittable.
+    sig = np.linspace(1.0, 1.0 / num_steps, num_steps)
+    sig = timestep_shift * sig / (1.0 + (timestep_shift - 1.0) * sig)
+    n_high = int(np.sum(sig >= boundary))
+    if thresholds is None:
+        thresholds = linear_threshold_schedule(num_steps)
+    if guidance_scale_low is None:
+        guidance_scale_low = guidance_scale
+
+    # Segment 1: high-noise expert.
+    x, tel_hi = denoise(
+        model,
+        params_high,
+        noise,
+        text,
+        null_text,
+        num_steps=num_steps,
+        guidance_scale=guidance_scale,
+        thresholds=thresholds,
+        enable_skipping=enable_skipping,
+        timestep_shift=timestep_shift,
+        step_range=(0, n_high),
+    )
+    # Segment 2: low-noise expert, resuming the skip states.
+    x, tel_lo = denoise(
+        model,
+        params_low,
+        x,
+        text,
+        null_text,
+        num_steps=num_steps,
+        guidance_scale=guidance_scale_low,
+        thresholds=thresholds,
+        enable_skipping=enable_skipping,
+        timestep_shift=timestep_shift,
+        step_range=(n_high, num_steps),
+        initial_states=tel_hi["final_states"],
+        initial_states_uncond=tel_hi.get("final_states_uncond"),
+    )
+    telemetry = {
+        "sparsity_per_step": jnp.concatenate(
+            [tel_hi["sparsity_per_step"], tel_lo["sparsity_per_step"]]
+        ),
+        "final_sparsity": tel_lo["final_sparsity"],
+        "final_states": tel_lo["final_states"],
+        "num_high_noise_steps": n_high,
+    }
+    return x, telemetry
+
+
+__all__ = [
+    "denoise",
+    "denoise_two_expert",
+    "linear_threshold_schedule",
+    "flow_timesteps",
+]

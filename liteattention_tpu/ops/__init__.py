@@ -5,8 +5,13 @@ from liteattention_tpu.ops.combine import (
     combine_attention,
     combine_attention_psum,
 )
-from liteattention_tpu.ops.flash_fwd import flash_attention
+from liteattention_tpu.ops.flash_fwd import (
+    flash_attention,
+    flash_attention_masked,
+)
+from liteattention_tpu.ops.flash_bwd import flash_attention_bwd
 from liteattention_tpu.ops.lite_flash_fwd import lite_flash_attention
+from liteattention_tpu.ops.paged_attention import paged_attention
 from liteattention_tpu.ops.mask import (
     SkipMaskState,
     compact_mask,
@@ -19,6 +24,9 @@ from liteattention_tpu.ops.tile_sizes import BlockSizes, get_block_sizes
 
 __all__ = [
     "attention_ref",
+    "flash_attention_masked",
+    "flash_attention_bwd",
+    "paged_attention",
     "skip_votes_ref",
     "combine_attention",
     "combine_attention_psum",

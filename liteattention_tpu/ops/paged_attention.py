@@ -1,0 +1,200 @@
+"""Paged-KV decode attention (Pallas/TPU).
+
+TPU-native counterpart of the reference's paged-KV machinery
+(reference hopper/_internal/cpp/paged_kv.h + the ``page_table`` path of
+``flash_attn_with_kvcache``, flash_api.cpp:410-466): the KV cache lives
+in non-contiguous fixed-size pages; each sequence owns an arbitrary list
+of pages.
+
+Design (cf. the public JAX paged-attention pattern): pages ARE blocks.
+``k_pages`` has shape ``[Hk, num_pages, page_size, D]``, so one page is
+exactly one BlockSpec block, and the per-sequence page walk is an inner
+``emit_pipeline`` over ``ceil(len/page_size)`` steps whose index map
+reads the page table from scalar memory -- multi-buffered page gathers
+without hand-rolled semaphores. The reference's TMA page loads
+(paged_kv.h) map onto the same pipeline.
+
+Decode-only (one query token per sequence); prefill goes through
+:func:`liteattention_tpu.ops.flash_fwd.flash_attention_masked`.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+DEFAULT_MASK_VALUE = -0.7 * float(jnp.finfo(jnp.float32).max)
+LOG2E = 1.4426950408889634
+MIN_LANES = 128
+
+
+def _default_interpret() -> bool:
+    return jax.default_backend() == "cpu"
+
+
+def _paged_kernel(
+    # scalar prefetch
+    lengths_ref,  # SMEM [B] int32
+    page_tbl_ref,  # SMEM [B, P] int32
+    # inputs
+    q_ref,  # VMEM (1, 1, group, D)
+    k_pages,  # ANY [Hk, num_pages, page_size, D]
+    v_pages,  # ANY [Hk, num_pages, page_size, D]
+    # outputs
+    o_ref,  # VMEM (1, 1, group, D)
+    # scratch
+    step_smem,  # SMEM (1,) int32
+    m_scr,
+    l_scr,
+    acc_scr,
+    *,
+    scale: float,
+    page_size: int,
+    group: int,
+):
+    b = pl.program_id(0)
+    hk = pl.program_id(1)
+    length = lengths_ref[b]
+    num_blocks = pl.cdiv(length, page_size)
+
+    m_scr[...] = jnp.full_like(m_scr, -jnp.inf)
+    l_scr[...] = jnp.zeros_like(l_scr)
+    acc_scr[...] = jnp.zeros_like(acc_scr)
+    step_smem[0] = 0
+
+    q = q_ref[0, 0]  # (group, D)
+
+    def inner(k_blk, v_blk):
+        j = step_smem[0]
+        s = jax.lax.dot_general(
+            q,
+            k_blk[0],
+            dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )  # (group, page_size)
+        s = s * (scale * LOG2E)
+        col = (
+            jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
+            + j * page_size
+        )
+        s = jnp.where(col < length, s, DEFAULT_MASK_VALUE)
+        m_prev = m_scr[...]
+        m_curr = jnp.max(s, axis=1, keepdims=True)
+        m_next = jnp.maximum(m_prev, m_curr)
+        alpha = jnp.exp2(m_prev[:, :1] - m_next[:, :1])
+        p = jnp.exp2(s - m_next[:, :1])
+        m_scr[...] = m_next
+        l_scr[...] = alpha * l_scr[...] + jnp.sum(p, axis=1, keepdims=True)
+        acc_scr[...] = acc_scr[...] * alpha + jax.lax.dot(
+            p.astype(v_blk.dtype),
+            v_blk[0],
+            preferred_element_type=jnp.float32,
+        )
+        step_smem[0] = j + 1
+
+    d_p = q_ref.shape[-1]
+    pipe = pltpu.emit_pipeline(
+        inner,
+        grid=(num_blocks,),
+        in_specs=[
+            pl.BlockSpec(
+                (1, page_size, d_p),
+                lambda j: (page_tbl_ref[b, j], 0, 0),
+            ),
+            pl.BlockSpec(
+                (1, page_size, d_p),
+                lambda j: (page_tbl_ref[b, j], 0, 0),
+            ),
+        ],
+    )
+    pipe(k_pages.at[hk], v_pages.at[hk])
+
+    l = l_scr[:, :1]
+    l_inv = jnp.where(l == 0.0, 1.0, 1.0 / l)
+    o_ref[0, 0] = (acc_scr[...] * l_inv).astype(o_ref.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("scale", "interpret"))
+def paged_attention(
+    q: jax.Array,
+    k_pages: jax.Array,
+    v_pages: jax.Array,
+    lengths: jax.Array,
+    page_indices: jax.Array,
+    scale: Optional[float] = None,
+    interpret: Optional[bool] = None,
+) -> jax.Array:
+    """Decode attention over a paged KV cache.
+
+    Args:
+      q: ``[B, Hq, D]`` current-token queries.
+      k_pages / v_pages: ``[Hk, num_pages, page_size, D]`` page pools.
+      lengths: int32 ``[B]`` live tokens per sequence.
+      page_indices: int32 ``[B, pages_per_seq]`` page table (entries
+        beyond ``ceil(len/page_size)`` are ignored).
+
+    Returns ``[B, Hq, D]``.
+    """
+    if interpret is None:
+        interpret = _default_interpret()
+    b, hq, d = q.shape
+    hk, num_pages, page_size, _ = k_pages.shape
+    assert hq % hk == 0
+    group = hq // hk
+    if scale is None:
+        scale = 1.0 / (d**0.5)
+    # Pad head_dim for lane-aligned page DMAs (see lite kernel).
+    d_pad = (-d) % MIN_LANES
+    if d_pad:
+        q = jnp.pad(q, ((0, 0), (0, 0), (0, d_pad)))
+        k_pages = jnp.pad(
+            k_pages, ((0, 0), (0, 0), (0, 0), (0, d_pad))
+        )
+        v_pages = jnp.pad(
+            v_pages, ((0, 0), (0, 0), (0, 0), (0, d_pad))
+        )
+    d_p = d + d_pad
+    q4 = q.reshape(b, hk, group, d_p)
+
+    kernel = functools.partial(
+        _paged_kernel, scale=scale, page_size=page_size, group=group
+    )
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(b, hk),
+        in_specs=[
+            pl.BlockSpec(
+                (1, 1, group, d_p), lambda bi, hi, lens, tbl: (bi, hi, 0, 0)
+            ),
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
+        ],
+        out_specs=pl.BlockSpec(
+            (1, 1, group, d_p), lambda bi, hi, lens, tbl: (bi, hi, 0, 0)
+        ),
+        scratch_shapes=[
+            pltpu.SMEM((1,), jnp.int32),
+            pltpu.VMEM((group, MIN_LANES), jnp.float32),
+            pltpu.VMEM((group, MIN_LANES), jnp.float32),
+            pltpu.VMEM((group, d_p), jnp.float32),
+        ],
+    )
+    out = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((b, hk, group, d_p), q.dtype),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "arbitrary"),
+        ),
+        interpret=interpret,
+    )(lengths.astype(jnp.int32), page_indices.astype(jnp.int32), q4,
+      k_pages, v_pages)
+    return out.reshape(b, hq, d_p)[:, :, :d]
+
+
+__all__ = ["paged_attention"]

@@ -151,3 +151,23 @@ def test_combine_shapes():
     assert out.shape == (b, s, h, d)
     out2, lse = flash_attn_combine(outs, lses, return_lse=True)
     assert lse.shape == (b, h, s)
+
+
+def test_kvcache_split_kv_matches_unsplit():
+    b, s_max, h, d = 2, 256, 2, 64
+    key = jax.random.PRNGKey(9)
+    k1, k2, k3 = jax.random.split(key, 3)
+    k_cache = jax.random.normal(k1, (b, s_max, h, d), jnp.float32)
+    v_cache = jax.random.normal(k2, (b, s_max, h, d), jnp.float32)
+    q = jax.random.normal(k3, (b, 1, h, d), jnp.float32)
+    lens = jnp.asarray([200, 37], jnp.int32)
+    out1 = flash_attn_with_kvcache(
+        q, k_cache, v_cache, cache_seqlens=lens, block_sizes=BS
+    )
+    out2 = flash_attn_with_kvcache(
+        q, k_cache, v_cache, cache_seqlens=lens, num_splits=2,
+        block_sizes=BS,
+    )
+    np.testing.assert_allclose(
+        np.asarray(out1), np.asarray(out2), atol=2e-5, rtol=1e-5
+    )

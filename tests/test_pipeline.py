@@ -73,3 +73,34 @@ def test_denoise_dense_baseline():
     )(params, noise, text)
     assert np.isfinite(np.asarray(out, np.float32)).all()
     assert float(tel["final_sparsity"]) == 0.0
+
+
+def test_denoise_two_expert_threads_states():
+    from liteattention_tpu.models.pipeline import denoise_two_expert
+
+    cfg = WanConfig.tiny()
+    model = WanModel(cfg)
+    b, f, h, w = 1, 8, 8, 16
+    noise = jax.random.normal(
+        jax.random.PRNGKey(0), (b, f, h, w, cfg.in_channels)
+    ).astype(jnp.bfloat16)
+    text = jax.random.normal(
+        jax.random.PRNGKey(1), (b, cfg.text_len, cfg.text_dim)
+    ).astype(jnp.bfloat16)
+    t0 = jnp.full((b,), 999.0, jnp.float32)
+    p_hi = jax.jit(model.init)(jax.random.PRNGKey(2), noise, t0, text)
+    p_lo = jax.jit(model.init)(jax.random.PRNGKey(3), noise, t0, text)
+    out, tel = jax.jit(
+        lambda a, b_, n, t: denoise_two_expert(
+            model, a, b_, n, t, num_steps=4, boundary=0.7,
+            thresholds=jnp.array([float("inf")] * 4),
+        )
+    )(p_hi, p_lo, noise, text)
+    assert out.shape == noise.shape
+    assert np.isfinite(np.asarray(out, np.float32)).all()
+    sp = np.asarray(tel["sparsity_per_step"])
+    assert sp.shape == (4,)
+    # Skip state persists across the expert switch: sparsity stays at the
+    # anchor level for the whole trajectory.
+    assert (sp == 0.5).all()
+    assert 0 < int(tel["num_high_noise_steps"]) < 4
