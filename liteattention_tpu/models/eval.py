@@ -1,0 +1,103 @@
+"""Quality-parity evaluation harness for temporal-sparse denoising.
+
+The reference validates LiteAttention with VBench scores on Wan video
+output (reference README.md:47-87). VBench needs decoded video + its
+judge models; this harness measures the layer the engine actually
+touches -- **how far the sparse denoising trajectory deviates from the
+dense one** -- which is the controllable proxy for downstream quality
+parity, plus the achieved sparsity, on any checkpoint (including random
+init, so CI can run it).
+
+Metrics per threshold setting:
+  * relative L2 deviation of the final latents vs the dense run;
+  * PSNR of sparse-vs-dense final latents;
+  * mean/final attention sparsity and per-step trace.
+
+The reference's quality/sparsity trade-off sweep (README.md:93-98
+threshold table) is :func:`threshold_sweep` here.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict, List, Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+
+from liteattention_tpu.models.pipeline import denoise
+from liteattention_tpu.models.wan import WanModel
+
+
+def latent_psnr(a: jax.Array, b: jax.Array) -> jax.Array:
+    """PSNR between two latent tensors (range taken from the dense run)."""
+    af = a.astype(jnp.float32)
+    bf = b.astype(jnp.float32)
+    mse = jnp.mean((af - bf) ** 2)
+    peak = jnp.max(jnp.abs(bf))
+    return 10.0 * jnp.log10(jnp.maximum(peak**2 / jnp.maximum(mse, 1e-20),
+                                        1e-20))
+
+
+def relative_l2(a: jax.Array, b: jax.Array) -> jax.Array:
+    af = a.astype(jnp.float32)
+    bf = b.astype(jnp.float32)
+    return jnp.linalg.norm(af - bf) / jnp.maximum(
+        jnp.linalg.norm(bf), 1e-20
+    )
+
+
+def evaluate_sparsity_quality(
+    model: WanModel,
+    params,
+    noise: jax.Array,
+    text: jax.Array,
+    null_text: Optional[jax.Array] = None,
+    num_steps: int = 20,
+    thresholds: Optional[jax.Array] = None,
+    **denoise_kwargs,
+) -> Dict[str, Any]:
+    """One sparse-vs-dense A/B at a given threshold schedule."""
+    dense_out, _ = denoise(
+        model, params, noise, text, null_text, num_steps=num_steps,
+        enable_skipping=False, **denoise_kwargs,
+    )
+    sparse_out, tel = denoise(
+        model, params, noise, text, null_text, num_steps=num_steps,
+        thresholds=thresholds, enable_skipping=True, **denoise_kwargs,
+    )
+    return {
+        "relative_l2": relative_l2(sparse_out, dense_out),
+        "psnr_db": latent_psnr(sparse_out, dense_out),
+        "mean_sparsity": jnp.mean(tel["sparsity_per_step"]),
+        "final_sparsity": tel["final_sparsity"],
+        "sparsity_per_step": tel["sparsity_per_step"],
+    }
+
+
+def threshold_sweep(
+    model: WanModel,
+    params,
+    noise: jax.Array,
+    text: jax.Array,
+    thresholds_list: Sequence[float] = (-10.0, -3.0, -1.0),
+    num_steps: int = 20,
+    **kwargs,
+) -> List[Dict[str, Any]]:
+    """Sparsity/quality trade-off sweep over constant thresholds
+    (the reference's threshold table, README.md:93-98)."""
+    results = []
+    for thr in thresholds_list:
+        r = evaluate_sparsity_quality(
+            model, params, noise, text, num_steps=num_steps,
+            thresholds=jnp.full((num_steps,), thr), **kwargs,
+        )
+        r["threshold"] = thr
+        results.append(
+            {k: (float(v) if jnp.ndim(v) == 0 else v)
+             for k, v in r.items()}
+        )
+    return results
+
+
+__all__ = ["evaluate_sparsity_quality", "threshold_sweep", "latent_psnr",
+           "relative_l2"]

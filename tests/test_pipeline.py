@@ -104,3 +104,39 @@ def test_denoise_two_expert_threads_states():
     # anchor level for the whole trajectory.
     assert (sp == 0.5).all()
     assert 0 < int(tel["num_high_noise_steps"]) < 4
+
+
+def test_eval_harness_threshold_sweep():
+    from liteattention_tpu.models.eval import (
+        evaluate_sparsity_quality,
+        threshold_sweep,
+    )
+
+    cfg = WanConfig.tiny()
+    model = WanModel(cfg)
+    b, f, h, w = 1, 8, 8, 16
+    noise = jax.random.normal(
+        jax.random.PRNGKey(0), (b, f, h, w, cfg.in_channels)
+    ).astype(jnp.bfloat16)
+    text = jax.random.normal(
+        jax.random.PRNGKey(1), (b, cfg.text_len, cfg.text_dim)
+    ).astype(jnp.bfloat16)
+    t0 = jnp.full((b,), 999.0, jnp.float32)
+    params = jax.jit(model.init)(jax.random.PRNGKey(2), noise, t0, text)
+
+    # thr=-inf: sparse == dense exactly (no skipping happens).
+    r = evaluate_sparsity_quality(
+        model, params, noise, text, num_steps=2,
+        thresholds=jnp.array([float("-inf")] * 2),
+    )
+    assert float(r["relative_l2"]) < 1e-5
+    assert float(r["final_sparsity"]) == 0.0
+
+    # Sweep: looser thresholds monotonically increase sparsity and
+    # cannot decrease deviation below the tighter setting's.
+    res = threshold_sweep(
+        model, params, noise, text,
+        thresholds_list=[float("-inf"), float("inf")], num_steps=2,
+    )
+    assert res[0]["mean_sparsity"] <= res[1]["mean_sparsity"]
+    assert res[1]["final_sparsity"] == 0.5  # anchor-only at thr=+inf
