@@ -1,0 +1,103 @@
+"""End-to-end Wan-geometry denoising: lite vs dense wall clock.
+
+The north-star measurement shape (BASELINE.json config 4): Wan2.1-14B
+block geometry (dim 5120, 40 heads x 128, ffn 13824, umT5 text) at
+720p-scale token count (73 728), trimmed to a few blocks/steps so one
+chip finishes in minutes. Attention dominates a Wan block at this
+sequence length (~85% of FLOPs), so the attention sparsity translates
+nearly 1:1 into E2E step-time savings -- the reference's ablation shape
+(README.md:79-87).
+
+Random weights give near-uniform attention, so the demo drives the mask
+with explicit thresholds (including the skip-heavy end) rather than
+relying on learned structure; with real Wan weights the same script
+measures true calibrated sparsity.
+
+Usage: python examples/wan_e2e_speed.py [--tokens 73728] [--layers 2]
+       [--steps 4]
+"""
+
+import argparse
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from liteattention_tpu.models.pipeline import denoise
+from liteattention_tpu.models.wan import WanConfig, WanModel
+
+
+def sync(x):
+    np.asarray(jnp.sum(jax.tree_util.tree_leaves(x)[0].astype(jnp.float32)))
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--layers", type=int, default=2)
+    ap.add_argument("--steps", type=int, default=4)
+    ap.add_argument("--frames", type=int, default=18)
+    ap.add_argument("--height", type=int, default=128)
+    ap.add_argument("--width", type=int, default=128)
+    args = ap.parse_args()
+
+    cfg = WanConfig(num_layers=args.layers)
+    model = WanModel(cfg)
+    b = 1
+    f, hh, ww = args.frames, args.height, args.width
+    tokens = f * (hh // 2) * (ww // 2)
+    print(f"wan geometry: {args.layers} blocks, {tokens} tokens")
+
+    noise = jax.random.normal(
+        jax.random.PRNGKey(0), (b, f, hh, ww, cfg.in_channels)
+    ).astype(jnp.bfloat16)
+    text = jax.random.normal(
+        jax.random.PRNGKey(1), (b, cfg.text_len, cfg.text_dim)
+    ).astype(jnp.bfloat16)
+    t0 = jnp.full((b,), 999.0, jnp.float32)
+    params = jax.jit(model.init)(jax.random.PRNGKey(2), noise, t0, text)
+    n_params = sum(
+        int(np.prod(x.shape)) for x in jax.tree_util.tree_leaves(params)
+    )
+    print(f"params: {n_params / 1e9:.2f}B")
+
+    dense_fn = jax.jit(
+        lambda p, n, t: denoise(
+            model, p, n, t, num_steps=args.steps, enable_skipping=False
+        )
+    )
+    t = time.perf_counter()
+    sync(dense_fn(params, noise, text))
+    print(f"dense compile+first: {time.perf_counter() - t:.1f}s")
+    t = time.perf_counter()
+    out_d, _ = dense_fn(params, noise, text)
+    sync(out_d)
+    dense_s = (time.perf_counter() - t) / args.steps
+    print(f"dense: {dense_s * 1e3:.0f} ms/step")
+
+    lite_fn = jax.jit(
+        lambda p, n, t, thr: denoise(
+            model, p, n, t, num_steps=args.steps, thresholds=thr,
+            enable_skipping=True,
+        )
+    )
+    for thr in [-10.0, 0.1, 1.0]:
+        thrs = jnp.full((args.steps,), thr, jnp.float32)
+        sync(lite_fn(params, noise, text, thrs))  # compile + mask warmup
+        t = time.perf_counter()
+        (out_l, tel) = lite_fn(params, noise, text, thrs)
+        sync(out_l)
+        lite_s = (time.perf_counter() - t) / args.steps
+        sp = float(tel["final_sparsity"])
+        print(
+            f"lite thr={thr}: {lite_s * 1e3:.0f} ms/step, "
+            f"sparsity={sp:.1%}, e2e speedup={dense_s / lite_s:.2f}x"
+        )
+
+
+if __name__ == "__main__":
+    main()
