@@ -25,7 +25,10 @@ import jax.numpy as jnp
 
 from liteattention_tpu.layers.rotary import RotaryEmbedding
 from liteattention_tpu.ops.attention_ref import attention_ref
-from liteattention_tpu.ops.flash_fwd import flash_attention
+from liteattention_tpu.ops.flash_fwd import (
+    flash_attention,
+    flash_attention_masked,
+)
 from liteattention_tpu.ops.tile_sizes import BlockSizes, get_block_sizes
 
 
@@ -176,12 +179,28 @@ class MHA(nn.Module):
             kc = jax.lax.dynamic_update_slice(kc, k, (0, offset, 0, 0))
             vc = jax.lax.dynamic_update_slice(vc, v, (0, offset, 0, 0))
             cache[layer] = (kc, vc)
-            total = offset + k.shape[1]
-            k = kc[:, :total]
-            v = vc[:, :total]
-            # With a cache the new queries sit at the sequence end; plain
-            # causal masking is only correct for the prefill call.
-            causal = self.causal and offset == 0
+            # Attend over the FULL fixed-capacity cache with a per-batch
+            # bound: shapes are identical at every decode step, so the
+            # step compiles once and replays -- the TPU analog of the
+            # reference's CUDA-graph decode cache
+            # (flash_attn/utils/generation.py). Bottom-right causality
+            # covers both prefill (offset 0) and appended tokens.
+            bound_val = offset if self.causal else offset + k.shape[1]
+            bound = jnp.full((kc.shape[0],), bound_val, jnp.int32)
+            out = flash_attention_masked(
+                q.transpose(0, 2, 1, 3),
+                kc.transpose(0, 2, 1, 3),
+                vc.transpose(0, 2, 1, 3),
+                kv_bound=bound,
+                scale=self.softmax_scale,
+                bound_causal=self.causal,
+                block_sizes=self.block_sizes
+                or get_block_sizes(d, q.dtype.itemsize),
+            ).transpose(0, 2, 1, 3)
+            out = out.reshape(out.shape[0], out.shape[1], h * d)
+            return dense(self.embed_dim, "out_proj", self.out_proj_bias)(
+                out
+            )
 
         out = self._attend(q, k, v, causal, deterministic)
         out = out.reshape(out.shape[0], out.shape[1], h * d)
