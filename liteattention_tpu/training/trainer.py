@@ -119,24 +119,75 @@ class Trainer:
         if mesh is not None:
             batch_sharding = NamedSharding(mesh, P(dp_axis))
             repl = NamedSharding(mesh, P())
-            self._step = jax.jit(
-                step,
-                in_shardings=(repl, batch_sharding),
-                out_shardings=(repl, repl),
-            )
+            if config.shard_opt_state:
+                # ZeRO-1: shard each optimizer-state leaf across the dp
+                # axis on its first dp-divisible dimension (params stay
+                # replicated; XLA inserts the gather/scatter around the
+                # update). The reference implements this as explicit
+                # wrappers (training/src/utils/ddp_zero1.py); here it is
+                # a sharding annotation.
+                ndev = mesh.shape[dp_axis]
+
+                def leaf_sharding(x):
+                    if not hasattr(x, "shape") or x.ndim == 0:
+                        return repl
+                    for axis, dim in enumerate(x.shape):
+                        if dim % ndev == 0 and dim >= ndev:
+                            spec = [None] * x.ndim
+                            spec[axis] = dp_axis
+                            return NamedSharding(mesh, P(*spec))
+                    return repl
+
+                self._opt_sharding_fn = leaf_sharding
+                dummy_state = None  # resolved lazily in init_state
+                self._step_fn_raw = step
+                self._step = None  # built in _build_step with opt tree
+            else:
+                self._opt_sharding_fn = None
+                self._step = jax.jit(
+                    step,
+                    in_shardings=(repl, batch_sharding),
+                    out_shardings=(repl, repl),
+                )
+            self._repl = repl
             self._batch_sharding = batch_sharding
+            self._raw_step = step
         else:
+            self._opt_sharding_fn = None
             self._step = jax.jit(step)
             self._batch_sharding = None
+
+    def _build_sharded_step(self, state):
+        """jit the step with ZeRO-1 shardings derived from the state tree."""
+        opt_shard = jax.tree_util.tree_map(
+            self._opt_sharding_fn, state["opt_state"]
+        )
+        state_shard = {
+            "params": jax.tree_util.tree_map(
+                lambda _: self._repl, state["params"]
+            ),
+            "opt_state": opt_shard,
+            "step": self._repl,
+        }
+        self._step = jax.jit(
+            self._raw_step,
+            in_shardings=(state_shard, self._batch_sharding),
+            out_shardings=(state_shard, self._repl),
+        )
+        return state_shard
 
     # -- state --------------------------------------------------------
 
     def init_state(self, params) -> TrainState:
-        return TrainState(
+        state = TrainState(
             params=params,
             opt_state=self.tx.init(params),
             step=jnp.zeros((), jnp.int32),
         )
+        if self._opt_sharding_fn is not None:
+            shardings = self._build_sharded_step(state)
+            state = jax.device_put(state, shardings)
+        return state
 
     def restore_or_init(self, params) -> TrainState:
         """Resume from the newest checkpoint if one exists (reference

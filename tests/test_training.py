@@ -121,3 +121,39 @@ def test_fault_tolerant_sampler_resume():
     a = [next(iter(sh0)) for _ in range(1)]
     b = [next(iter(sh1)) for _ in range(1)]
     assert a != b
+
+
+def test_zero1_opt_state_sharding():
+    if len(jax.devices()) < 4:
+        pytest.skip("needs 4 devices")
+    cfg, model, params, loss_fn, _ = _setup()
+    mesh = Mesh(np.array(jax.devices()[:4]), ("dp",))
+    tcfg = TrainConfig(
+        learning_rate=1e-3, warmup_steps=2, total_steps=50,
+        shard_opt_state=True,
+    )
+    trainer = Trainer(loss_fn, tcfg, mesh=mesh)
+    state = trainer.init_state(params)
+    # Adam moments of dp-divisible leaves must actually be sharded.
+    mu_leaves = [
+        x for x in jax.tree_util.tree_leaves(state["opt_state"])
+        if hasattr(x, "sharding") and x.ndim >= 1 and x.shape[0] % 4 == 0
+    ]
+    assert any(
+        not l.sharding.is_fully_replicated for l in mu_leaves
+    ), "no optimizer-state leaf is sharded"
+    batches = synthetic_lm_batches(cfg.vocab_size, 4, 32)
+    logs = []
+    state = trainer.fit(state, batches, 3, log_every=1, log_fn=logs.append)
+    assert np.isfinite(logs[-1]["loss"])
+    # Trajectory matches the unsharded trainer.
+    t_ref = Trainer(loss_fn, TrainConfig(
+        learning_rate=1e-3, warmup_steps=2, total_steps=50))
+    s_ref = t_ref.init_state(params)
+    logs_ref = []
+    s_ref = t_ref.fit(
+        s_ref, synthetic_lm_batches(cfg.vocab_size, 4, 32), 3,
+        log_every=1, log_fn=logs_ref.append,
+    )
+    for a, b in zip(logs, logs_ref):
+        np.testing.assert_allclose(a["loss"], b["loss"], atol=2e-3)
