@@ -140,3 +140,44 @@ def test_eval_harness_threshold_sweep():
     )
     assert res[0]["mean_sparsity"] <= res[1]["mean_sparsity"]
     assert res[1]["final_sparsity"] == 0.5  # anchor-only at thr=+inf
+
+
+def test_threshold_calibration():
+    from liteattention_tpu.models.calibrate import (
+        calibrate_constant_threshold,
+        calibrate_schedule,
+    )
+
+    cfg = WanConfig.tiny()
+    model = WanModel(cfg)
+    b, f, h, w = 1, 8, 8, 16
+    noise = jax.random.normal(
+        jax.random.PRNGKey(0), (b, f, h, w, cfg.in_channels)
+    ).astype(jnp.bfloat16)
+    text = jax.random.normal(
+        jax.random.PRNGKey(1), (b, cfg.text_len, cfg.text_dim)
+    ).astype(jnp.bfloat16)
+    t0 = jnp.full((b,), 999.0, jnp.float32)
+    params = jax.jit(model.init)(jax.random.PRNGKey(2), noise, t0, text)
+
+    # Huge budget: bisection should land at the loose end (hi).
+    r = calibrate_constant_threshold(
+        model, params, noise, text, target_rel_l2=1e9,
+        lo=-8.0, hi=0.5, iters=2, num_steps=2,
+    )
+    assert r["threshold"] == 0.5
+    # Tiny budget: tightest end, with a warning if unattainable or a
+    # threshold <= lo midpoint otherwise.
+    r2 = calibrate_constant_threshold(
+        model, params, noise, text, target_rel_l2=0.0,
+        lo=-8.0, hi=0.5, iters=2, num_steps=2,
+    )
+    assert r2["threshold"] <= 0.5
+
+    sched, info = calibrate_schedule(
+        model, params, noise, text, num_steps=6, target_rel_l2=1e9,
+        lo=-8.0, hi=0.5, iters=1,
+    )
+    assert sched.shape == (6,)
+    assert float(sched[-1]) == info["threshold"]
+    assert float(sched[0]) < float(sched[-1])
