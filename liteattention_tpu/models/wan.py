@@ -281,7 +281,7 @@ class WanBlock(nn.Module):
 class WanModel(nn.Module):
     """Wan2.x-family DiT backbone.
 
-    ``__call__(latents, t, text, skip_states, threshold)`` where
+    ``__call__(latents, t, text, skip_states, threshold, image_ctx)`` where
     ``latents``: [B, F, H, W, C] (video latent grid), ``t``: [B] diffusion
     timesteps, ``text``: [B, L, text_dim] encoder states, ``skip_states``:
     optional dict {layer_idx: SkipMaskState} threaded through the
@@ -298,6 +298,7 @@ class WanModel(nn.Module):
         text: jax.Array,
         skip_states: Optional[Dict[int, Any]] = None,
         threshold=-10.0,
+        image_ctx: Optional[jax.Array] = None,
     ):
         cfg = self.cfg
         b, f, hh, ww, c = latents.shape
@@ -319,6 +320,17 @@ class WanModel(nn.Module):
         )
         ctx = nn.gelu(ctx, approximate=True)
         ctx = nn.Dense(cfg.dim, dtype=cfg.dtype, name="text_proj_2")(ctx)
+        if image_ctx is not None:
+            # I2V conditioning (Wan2.x-I2V): CLIP image tokens are
+            # projected and prepended to the cross-attention context; the
+            # first-frame latent conditioning enters as extra latent
+            # channels (set cfg.in_channels accordingly).
+            img = nn.Dense(cfg.dim, dtype=cfg.dtype, name="img_proj_1")(
+                image_ctx.astype(cfg.dtype)
+            )
+            img = nn.gelu(img, approximate=True)
+            img = nn.Dense(cfg.dim, dtype=cfg.dtype, name="img_proj_2")(img)
+            ctx = jnp.concatenate([img, ctx], axis=1)
 
         # Time embedding -> shared 6 x dim modulation.
         te = timestep_embedding(t, cfg.freq_dim)

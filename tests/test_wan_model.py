@@ -69,3 +69,22 @@ def test_rope_orthogonality():
         np.linalg.norm(np.asarray(x), axis=-1),
         rtol=1e-5,
     )
+
+
+def test_i2v_image_context():
+    cfg, model, latents, t, text = _setup()
+    img_ctx = jax.random.normal(
+        jax.random.PRNGKey(5), (1, 4, cfg.text_dim)
+    ).astype(jnp.bfloat16)
+    params = model.init(
+        jax.random.PRNGKey(2), latents, t, text, image_ctx=img_ctx
+    )
+    out, _ = model.apply(params, latents, t, text, image_ctx=img_ctx)
+    assert out.shape == latents.shape[:-1] + (cfg.out_channels,)
+    assert np.isfinite(np.asarray(out, np.float32)).all()
+    # Image context must influence the output.
+    out2, _ = model.apply(
+        params, latents, t, text, image_ctx=img_ctx * 0.0
+    )
+    assert float(jnp.abs(out.astype(jnp.float32) -
+                         out2.astype(jnp.float32)).max()) > 0
