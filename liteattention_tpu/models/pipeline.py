@@ -63,6 +63,8 @@ def denoise(
     step_range: Optional[Tuple[int, int]] = None,
     initial_states: Optional[Dict[int, Any]] = None,
     initial_states_uncond: Optional[Dict[int, Any]] = None,
+    image_ctx: Optional[jax.Array] = None,
+    latent_cond: Optional[jax.Array] = None,
 ) -> Tuple[jax.Array, Dict[str, Any]]:
     """Run the full denoising trajectory with LiteAttention state carry.
 
@@ -114,13 +116,21 @@ def denoise(
         ]
         return jnp.stack(per_layer).mean()
 
+    cond_kwargs = dict(image_ctx=image_ctx, latent_cond=latent_cond)
+
     def step(carry, inp):
         x, st_c, st_u = carry
         t, sig, sig_nxt, thr = inp
         tt = jnp.full((b,), t, jnp.float32)
-        v_c, st_c = model.apply(params, x, tt, text, st_c, thr)
+        v_c, st_c = model.apply(
+            params, x, tt, text, st_c, thr, **cond_kwargs
+        )
         if use_cfg:
-            v_u, st_u = model.apply(params, x, tt, null_text, st_u, thr)
+            # CFG keeps the image conditioning in BOTH branches (the
+            # negative branch drops only the text prompt).
+            v_u, st_u = model.apply(
+                params, x, tt, null_text, st_u, thr, **cond_kwargs
+            )
             v = v_u + guidance_scale * (v_c - v_u)
         else:
             v = v_c
@@ -159,6 +169,8 @@ def denoise_two_expert(
     thresholds: Optional[jax.Array] = None,
     enable_skipping: bool = True,
     timestep_shift: float = 5.0,
+    image_ctx: Optional[jax.Array] = None,
+    latent_cond: Optional[jax.Array] = None,
 ) -> Tuple[jax.Array, Dict[str, Any]]:
     """Wan2.2-A14B-style two-expert denoising.
 
@@ -196,6 +208,8 @@ def denoise_two_expert(
         enable_skipping=enable_skipping,
         timestep_shift=timestep_shift,
         step_range=(0, n_high),
+        image_ctx=image_ctx,
+        latent_cond=latent_cond,
     )
     # Segment 2: low-noise expert, resuming the skip states.
     x, tel_lo = denoise(
@@ -212,6 +226,8 @@ def denoise_two_expert(
         step_range=(n_high, num_steps),
         initial_states=tel_hi["final_states"],
         initial_states_uncond=tel_hi.get("final_states_uncond"),
+        image_ctx=image_ctx,
+        latent_cond=latent_cond,
     )
     telemetry = {
         "sparsity_per_step": jnp.concatenate(

@@ -149,6 +149,22 @@ class RMSNorm(nn.Module):
         return (n * scale).astype(self.dtype)
 
 
+class CtxProj(nn.Module):
+    """Two-layer gelu MLP projecting encoder states into model dim
+    (shared by the text and image conditioning paths)."""
+
+    dim: int
+    dtype: Any = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, x):
+        x = nn.Dense(self.dim, dtype=self.dtype, name="fc1")(
+            x.astype(self.dtype)
+        )
+        x = nn.gelu(x, approximate=True)
+        return nn.Dense(self.dim, dtype=self.dtype, name="fc2")(x)
+
+
 def _attn_bhsd(x, num_heads):
     b, n, _ = x.shape
     return x.reshape(b, n, num_heads, -1).transpose(0, 2, 1, 3)
@@ -299,8 +315,16 @@ class WanModel(nn.Module):
         skip_states: Optional[Dict[int, Any]] = None,
         threshold=-10.0,
         image_ctx: Optional[jax.Array] = None,
+        latent_cond: Optional[jax.Array] = None,
     ):
         cfg = self.cfg
+        if latent_cond is not None:
+            # I2V first-frame conditioning: extra channels (encoded
+            # reference frame + temporal mask) concatenated to the noisy
+            # latents before patchify, the Wan-I2V input convention.
+            latents = jnp.concatenate(
+                [latents, latent_cond.astype(latents.dtype)], axis=-1
+            )
         b, f, hh, ww, c = latents.shape
         pt, ph, pw = cfg.patch_size
         gf, gh, gw = f // pt, hh // ph, ww // pw
@@ -314,22 +338,11 @@ class WanModel(nn.Module):
             x.astype(cfg.dtype)
         )
 
-        # Text projection.
-        ctx = nn.Dense(cfg.dim, dtype=cfg.dtype, name="text_proj_1")(
-            text.astype(cfg.dtype)
-        )
-        ctx = nn.gelu(ctx, approximate=True)
-        ctx = nn.Dense(cfg.dim, dtype=cfg.dtype, name="text_proj_2")(ctx)
+        # Conditioning context: text, plus (I2V) CLIP image tokens
+        # prepended through a second instance of the same projection.
+        ctx = CtxProj(cfg.dim, cfg.dtype, name="text_proj")(text)
         if image_ctx is not None:
-            # I2V conditioning (Wan2.x-I2V): CLIP image tokens are
-            # projected and prepended to the cross-attention context; the
-            # first-frame latent conditioning enters as extra latent
-            # channels (set cfg.in_channels accordingly).
-            img = nn.Dense(cfg.dim, dtype=cfg.dtype, name="img_proj_1")(
-                image_ctx.astype(cfg.dtype)
-            )
-            img = nn.gelu(img, approximate=True)
-            img = nn.Dense(cfg.dim, dtype=cfg.dtype, name="img_proj_2")(img)
+            img = CtxProj(cfg.dim, cfg.dtype, name="img_proj")(image_ctx)
             ctx = jnp.concatenate([img, ctx], axis=1)
 
         # Time embedding -> shared 6 x dim modulation.

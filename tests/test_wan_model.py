@@ -76,15 +76,39 @@ def test_i2v_image_context():
     img_ctx = jax.random.normal(
         jax.random.PRNGKey(5), (1, 4, cfg.text_dim)
     ).astype(jnp.bfloat16)
+    # First-frame latent conditioning channels (Wan-I2V convention).
+    cond = jax.random.normal(
+        jax.random.PRNGKey(6), latents.shape[:-1] + (4,)
+    ).astype(jnp.bfloat16)
     params = model.init(
-        jax.random.PRNGKey(2), latents, t, text, image_ctx=img_ctx
+        jax.random.PRNGKey(2), latents, t, text,
+        image_ctx=img_ctx, latent_cond=cond,
     )
-    out, _ = model.apply(params, latents, t, text, image_ctx=img_ctx)
+    out, _ = model.apply(
+        params, latents, t, text, image_ctx=img_ctx, latent_cond=cond
+    )
     assert out.shape == latents.shape[:-1] + (cfg.out_channels,)
     assert np.isfinite(np.asarray(out, np.float32)).all()
-    # Image context must influence the output.
+    # Both conditioning channels must influence the output.
     out2, _ = model.apply(
-        params, latents, t, text, image_ctx=img_ctx * 0.0
+        params, latents, t, text, image_ctx=img_ctx * 0.0,
+        latent_cond=cond,
     )
     assert float(jnp.abs(out.astype(jnp.float32) -
                          out2.astype(jnp.float32)).max()) > 0
+    out3, _ = model.apply(
+        params, latents, t, text, image_ctx=img_ctx,
+        latent_cond=cond * 0.0,
+    )
+    assert float(jnp.abs(out.astype(jnp.float32) -
+                         out3.astype(jnp.float32)).max()) > 0
+    # And the full pipeline threads them (CFG keeps image conditioning
+    # in both branches).
+    from liteattention_tpu.models.pipeline import denoise
+
+    video, tel = jax.jit(
+        lambda p, n, t_, u, ic, lc: denoise(
+            model, p, n, t_, u, num_steps=2, image_ctx=ic, latent_cond=lc
+        )
+    )(params, latents, text, jnp.zeros_like(text), img_ctx, cond)
+    assert np.isfinite(np.asarray(video, np.float32)).all()
