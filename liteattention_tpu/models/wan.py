@@ -37,6 +37,9 @@ from liteattention_tpu.lite_attention import (
 )
 from liteattention_tpu.ops.flash_fwd import flash_attention
 from liteattention_tpu.ops.tile_sizes import BlockSizes, get_block_sizes
+from liteattention_tpu.parallel.seq_parallel import (
+    seq_parallel_attention_step,
+)
 
 
 @dataclasses.dataclass(frozen=True)
@@ -58,6 +61,11 @@ class WanConfig:
     eps: float = 1e-6
     dtype: Any = jnp.bfloat16
     block_sizes: Optional[BlockSizes] = None
+    # Sequence-parallel self-attention over an ICI mesh axis (config 5):
+    # when set, the model must run inside shard_map-compatible jit with
+    # that mesh active; KV and the per-layer skip masks are sharded on
+    # the axis, Q is replicated, outputs merge via psum LSE combine.
+    sp_axis: Optional[str] = None
 
     def attn_block_sizes(self) -> BlockSizes:
         return self.block_sizes or get_block_sizes(self.head_dim, 2)
@@ -203,7 +211,11 @@ class WanSelfAttention(nn.Module):
         kh = k.transpose(0, 2, 1, 3)
         vh = _attn_bhsd(v, cfg.num_heads)
         bs = cfg.attn_block_sizes()
-        if state is None:
+        if cfg.sp_axis is not None and state is not None:
+            oh, new_state = seq_parallel_attention_step(
+                state, qh, kh, vh, threshold, cfg.sp_axis, bs
+            )
+        elif state is None:
             oh = flash_attention(qh, kh, vh, block_sizes=bs)
             new_state = None
         else:
@@ -405,7 +417,7 @@ class WanModel(nn.Module):
 
 
 def init_skip_states(
-    cfg: WanConfig, batch: int, grid: Tuple[int, int, int]
+    cfg: WanConfig, batch: int, grid: Tuple[int, int, int], mesh=None
 ) -> Dict[int, Any]:
     """Per-layer skip-mask states for a latent grid (one persistent
     LiteAttention instance per block, reference README.md:162-172)."""
@@ -413,13 +425,22 @@ def init_skip_states(
     gh = grid[1] // cfg.patch_size[1]
     gw = grid[2] // cfg.patch_size[2]
     n = gf * gh * gw
-    return {
+    states = {
         i: lite_attention_init(
             batch, cfg.num_heads, n, n, cfg.head_dim, 2,
             block_sizes=cfg.attn_block_sizes(),
         )
         for i in range(cfg.num_layers)
     }
+    if cfg.sp_axis is not None and mesh is not None:
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        sharding = NamedSharding(mesh, P(None, None, None, cfg.sp_axis))
+        states = {
+            i: st._replace(do_mask=jax.device_put(st.do_mask, sharding))
+            for i, st in states.items()
+        }
+    return states
 
 
 __all__ = [

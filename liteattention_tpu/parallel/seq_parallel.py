@@ -32,6 +32,7 @@ import jax
 import jax.numpy as jnp
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
+
 from liteattention_tpu.ops.combine import combine_attention_psum
 from liteattention_tpu.ops.flash_fwd import flash_attention
 from liteattention_tpu.ops.lite_flash_fwd import lite_flash_attention
@@ -141,4 +142,61 @@ def make_seq_parallel_attention(
     return init_fn, step_fn
 
 
-__all__ = ["make_seq_parallel_attention", "seq_parallel_spec"]
+def seq_parallel_attention_step(
+    state: SkipMaskState,
+    q: jax.Array,
+    k: jax.Array,
+    v: jax.Array,
+    threshold,
+    axis_name: str = "sp",
+    block_sizes: Optional[BlockSizes] = None,
+):
+    """One KV-split sequence-parallel lite-attention step, for use inside
+    a jitted model whose inputs are already sharded (e.g. WanModel with
+    ``sp_axis`` set). Wraps the local step in shard_map over the ambient
+    mesh: Q replicated, K/V + mask sharded on ``axis_name``, outputs
+    merged with the psum LSE combine.
+
+    Returns (out, new_state) with out replicated and the mask shard left
+    on its chip.
+    """
+    mesh = jax.sharding.get_abstract_mesh()
+
+    def local(do_mask, step, q, k_sh, v_sh, thr):
+        d = q.shape[-1]
+        bs = block_sizes or get_block_sizes(d, q.dtype.itemsize)
+        kv_idx, count = compact_mask(do_mask)
+        o_l, lse_l, votes = lite_flash_attention(
+            q, k_sh, v_sh, kv_idx, count, thr, block_sizes=bs
+        )
+        out, _ = combine_attention_psum(o_l, lse_l, axis_name)
+        st = update_mask(SkipMaskState(do_mask, step), votes)
+        return out, st.do_mask, st.step
+
+    out, new_mask, new_step = jax.shard_map(
+        local,
+        mesh=mesh,
+        in_specs=(
+            P(None, None, None, axis_name),
+            P(),
+            P(None, None, None, None),
+            P(None, None, axis_name, None),
+            P(None, None, axis_name, None),
+            P(),
+        ),
+        out_specs=(
+            P(None, None, None, None),
+            P(None, None, None, axis_name),
+            P(),
+        ),
+        check_vma=False,
+    )(state.do_mask, state.step,
+      q, k, v, jnp.asarray(threshold, jnp.float32))
+    return out, SkipMaskState(new_mask, new_step)
+
+
+__all__ = [
+    "make_seq_parallel_attention",
+    "seq_parallel_attention_step",
+    "seq_parallel_spec",
+]
