@@ -231,6 +231,19 @@ def flash_attn_varlen_func(
         assert tq == tk, (
             "causal varlen requires identical q/k packing (self-attention)"
         )
+        try:
+            import numpy as _np
+
+            same = bool(
+                (_np.asarray(cu_seqlens_q) == _np.asarray(cu_seqlens_k))
+                .all()
+            )
+            assert same, (
+                "causal varlen requires cu_seqlens_q == cu_seqlens_k "
+                "(cross-packing causality is undefined on the packed axis)"
+            )
+        except jax.errors.TracerArrayConversionError:
+            pass  # traced cu_seqlens: caller's responsibility
     out, lse = flash_attention_masked(
         qh,
         kh,
@@ -289,7 +302,14 @@ def flash_attn_with_kvcache(
     kh = _bshd_to_bhsd(k_cache)
     vh = _bshd_to_bhsd(v_cache)
     bs = block_sizes or get_block_sizes(d, q.dtype.itemsize)
-    bound = cache_seqlens if causal else cache_seqlens + s_new
+    # Valid cache region: [0, cache_seqlens + appended). Bottom-right
+    # causality aligns the last query with the last valid position, so
+    # the kernel bound is total - s_new when causal (with no appended
+    # k/v, queries must NOT see slots past cache_seqlens -- they hold
+    # zeros/stale data).
+    appended = 0 if k is None else s_new
+    total = cache_seqlens + appended
+    bound = total - s_new if causal else total
     if num_splits > 1:
         # Split-KV decode (the reference's num_splits + combine-kernel
         # path, flash_api.cpp:437-466 + flash_fwd_combine_kernel.h): the

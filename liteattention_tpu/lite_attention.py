@@ -307,9 +307,7 @@ class LiteAttention:
         if self.enable_skipping:
             self._read_mask = state.do_mask
         result = lite_attention_step(
-            state
-            if state is not None
-            else lite_attention_init(b, h, s, k.shape[2], d),
+            state,
             q,
             k,
             v,

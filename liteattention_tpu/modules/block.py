@@ -54,25 +54,26 @@ class Block(nn.Module):
     ):
         mixer = (self.mixer or (lambda: MHA(self.dim, 8, dtype=self.dtype)))()
         mlp = (self.mlp or (lambda: Mlp(4 * self.dim, dtype=self.dtype)))()
-        rng = (
-            self.make_rng("dropout")
-            if (self.resid_dropout1 > 0 or self.resid_dropout2 > 0)
-            and not deterministic
-            else None
-        )
+        need_rng = (
+            self.resid_dropout1 > 0 or self.resid_dropout2 > 0
+        ) and not deterministic
+        if need_rng:
+            rng1, rng2 = jax.random.split(self.make_rng("dropout"))
+        else:
+            rng1 = rng2 = None
 
         if not self.prenorm:
             # Post-norm (BERT-style): residual add then norm.
             w1, b1 = self._norm_params("norm1")
             h = mixer(hidden_states, deterministic=deterministic, **mixer_kwargs)
             h = dropout_add_norm(
-                h, hidden_states, w1, b1, self.resid_dropout1, rng,
+                h, hidden_states, w1, b1, self.resid_dropout1, rng1,
                 self.eps, rms=self.use_rms_norm, deterministic=deterministic,
             )
             w2, b2 = self._norm_params("norm2")
             m = mlp(h)
             return dropout_add_norm(
-                m, h, w2, b2, self.resid_dropout2, rng, self.eps,
+                m, h, w2, b2, self.resid_dropout2, rng2, self.eps,
                 rms=self.use_rms_norm, deterministic=deterministic,
             )
 
@@ -85,7 +86,7 @@ class Block(nn.Module):
             w1,
             b1,
             self.resid_dropout1,
-            rng,
+            rng1,
             self.eps,
             prenorm=True,
             residual_in_fp32=self.residual_in_fp32,
@@ -103,7 +104,7 @@ class Block(nn.Module):
             w2,
             b2,
             self.resid_dropout2,
-            rng,
+            rng2,
             self.eps,
             prenorm=True,
             residual_in_fp32=self.residual_in_fp32,

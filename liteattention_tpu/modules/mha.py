@@ -24,7 +24,6 @@ import jax
 import jax.numpy as jnp
 
 from liteattention_tpu.layers.rotary import RotaryEmbedding
-from liteattention_tpu.ops.attention_ref import attention_ref
 from liteattention_tpu.ops.flash_fwd import (
     flash_attention,
     flash_attention_masked,
@@ -88,7 +87,6 @@ class MHA(nn.Module):
             # path in the same situation).
             kh_r = jnp.repeat(kh, qh.shape[1] // kh.shape[1], axis=1)
             vh_r = jnp.repeat(vh, qh.shape[1] // vh.shape[1], axis=1)
-            out, lse = attention_ref(qh, kh_r, vh_r, scale, causal)
             sc = scale or 1.0 / (qh.shape[-1] ** 0.5)
             s = jnp.einsum(
                 "bhqd,bhkd->bhqk",

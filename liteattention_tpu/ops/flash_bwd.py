@@ -66,6 +66,7 @@ def _dq_kernel(
     block_k: int,
     seqlen_k: int,
     causal: bool,
+    causal_offset: int,
     precision,
     has_segments: bool = False,
     has_bound: bool = False,
@@ -90,7 +91,7 @@ def _dq_kernel(
 
     run = True
     if causal:
-        run = (qi + 1) * block_q - 1 >= ki * block_k
+        run = (qi + 1) * block_q - 1 + causal_offset >= ki * block_k
 
     @pl.when(run)
     def _step():
@@ -117,13 +118,14 @@ def _dq_kernel(
         else:
             s = raw * (scale * LOG2E)
         if has_alibi:
+            row_sl = alibi_ref[0]  # (1, hp)
             slope = jnp.sum(
                 jnp.where(
                     jax.lax.broadcasted_iota(
-                        jnp.int32, alibi_ref.shape, 1
+                        jnp.int32, row_sl.shape, 1
                     )
                     == h,
-                    alibi_ref[...].astype(jnp.float32),
+                    row_sl,
                     0.0,
                 )
             )
@@ -156,7 +158,7 @@ def _dq_kernel(
             )
             valid = col < seqlen_k
             if causal:
-                valid = jnp.logical_and(valid, col <= row)
+                valid = jnp.logical_and(valid, col <= row + causal_offset)
             if has_segments:
                 qs = jnp.transpose(qseg_ref[...])
                 ks = kseg_ref[...]
@@ -169,12 +171,16 @@ def _dq_kernel(
                     valid = jnp.logical_and(valid, col < bound)
             if window is not None:
                 left, right = window
+                pos = row + causal_offset
                 if left >= 0:
-                    valid = jnp.logical_and(valid, col >= row - left)
+                    valid = jnp.logical_and(valid, col >= pos - left)
                 if right >= 0:
-                    valid = jnp.logical_and(valid, col <= row + right)
+                    valid = jnp.logical_and(valid, col <= pos + right)
             s = jnp.where(valid, s, DEFAULT_MASK_VALUE)
-        p = jnp.exp2(s - lse * LOG2E)
+        lse2 = lse * LOG2E
+        p = jnp.where(
+            jnp.isfinite(lse2), jnp.exp2(s - lse2), 0.0
+        )
         dp = jax.lax.dot_general(
             do,
             v,
@@ -214,6 +220,7 @@ def _dkv_kernel(
     block_k: int,
     seqlen_k: int,
     causal: bool,
+    causal_offset: int,
     precision,
     has_segments: bool = False,
     has_bound: bool = False,
@@ -240,7 +247,7 @@ def _dkv_kernel(
 
     run = True
     if causal:
-        run = (qi + 1) * block_q - 1 >= ki * block_k
+        run = (qi + 1) * block_q - 1 + causal_offset >= ki * block_k
 
     @pl.when(run)
     def _step():
@@ -267,13 +274,14 @@ def _dkv_kernel(
         else:
             s = raw * (scale * LOG2E)
         if has_alibi:
+            row_sl = alibi_ref[0]  # (1, hp)
             slope = jnp.sum(
                 jnp.where(
                     jax.lax.broadcasted_iota(
-                        jnp.int32, alibi_ref.shape, 1
+                        jnp.int32, row_sl.shape, 1
                     )
                     == h,
-                    alibi_ref[...].astype(jnp.float32),
+                    row_sl,
                     0.0,
                 )
             )
@@ -306,7 +314,7 @@ def _dkv_kernel(
             )
             valid = col < seqlen_k
             if causal:
-                valid = jnp.logical_and(valid, col <= row)
+                valid = jnp.logical_and(valid, col <= row + causal_offset)
             if has_segments:
                 qs = jnp.transpose(qseg_ref[...])
                 ks = kseg_ref[...]
@@ -319,12 +327,16 @@ def _dkv_kernel(
                     valid = jnp.logical_and(valid, col < bound)
             if window is not None:
                 left, right = window
+                pos = row + causal_offset
                 if left >= 0:
-                    valid = jnp.logical_and(valid, col >= row - left)
+                    valid = jnp.logical_and(valid, col >= pos - left)
                 if right >= 0:
-                    valid = jnp.logical_and(valid, col <= row + right)
+                    valid = jnp.logical_and(valid, col <= pos + right)
             s = jnp.where(valid, s, DEFAULT_MASK_VALUE)
-        p = jnp.exp2(s - lse * LOG2E)
+        lse2 = lse * LOG2E
+        p = jnp.where(
+            jnp.isfinite(lse2), jnp.exp2(s - lse2), 0.0
+        )
         # dV += P^T dO
         dv_acc[...] += jax.lax.dot_general(
             p.astype(do.dtype),
@@ -437,7 +449,10 @@ def flash_attention_bwd(
         )
     has_alibi = alibi_slopes is not None
     if has_alibi:
-        extra_inputs.append(alibi_slopes.astype(jnp.float32).reshape(1, h))
+        hp = max(128, -(-h // 128) * 128)
+        sl = alibi_slopes.astype(jnp.float32).reshape(-1, h)
+        sl = jnp.broadcast_to(sl[:, None, :], (b, 1, h))
+        extra_inputs.append(jnp.pad(sl, ((0, 0), (0, 0), (0, hp - h))))
 
     precision = (
         jax.lax.Precision.HIGHEST
@@ -451,6 +466,7 @@ def flash_attention_bwd(
         block_k=block_k,
         seqlen_k=sk,
         causal=causal,
+        causal_offset=sk - sq,
         precision=precision,
         has_segments=has_segments,
         has_bound=has_bound,
@@ -481,11 +497,9 @@ def flash_attention_bwd(
             pl.BlockSpec((1, 1, block_k), lambda bi, qi, hi, ki: (bi, 0, ki))
         )
     if has_alibi:
+        hp = max(128, -(-h // 128) * 128)
         extra_specs_dq.append(
-            pl.BlockSpec(
-                (1, h), lambda bi, qi, hi, ki: (0, 0),
-                memory_space=pltpu.SMEM,
-            )
+            pl.BlockSpec((1, 1, hp), lambda bi, qi, hi, ki: (bi, 0, 0))
         )
     dq = pl.pallas_call(
         functools.partial(_dq_kernel, kt=kt, **common),
@@ -533,11 +547,9 @@ def flash_attention_bwd(
             pl.BlockSpec((1, 1, block_k), lambda bi, ki, hi, qi: (bi, 0, ki))
         )
     if has_alibi:
+        hp = max(128, -(-h // 128) * 128)
         extra_specs_dkv.append(
-            pl.BlockSpec(
-                (1, h), lambda bi, ki, hi, qi: (0, 0),
-                memory_space=pltpu.SMEM,
-            )
+            pl.BlockSpec((1, 1, hp), lambda bi, ki, hi, qi: (bi, 0, 0))
         )
     dk, dv = pl.pallas_call(
         functools.partial(_dkv_kernel, qt=qt, group=group, **common),

@@ -51,6 +51,7 @@ def _fwd_kernel(
     block_k: int,
     seqlen_k: int,
     causal: bool,
+    causal_offset: int = 0,
     has_segments: bool = False,
     has_bound: bool = False,
     bound_causal: bool = False,
@@ -78,10 +79,12 @@ def _fwd_kernel(
         acc_scr[...] = jnp.zeros_like(acc_scr)
 
     if causal:
-        # Tiles strictly above the diagonal contribute nothing: skip all
-        # compute (the TPU form of the reference's block-range pruning in
-        # hopper/_internal/cpp/block.h).
-        should_run = (qi + 1) * block_q - 1 >= ki * block_k
+        # Tiles strictly above the (bottom-right-aligned) diagonal
+        # contribute nothing: skip all compute (the TPU form of the
+        # reference's block-range pruning, hopper/_internal/cpp/block.h).
+        should_run = (
+            (qi + 1) * block_q - 1 + causal_offset >= ki * block_k
+        )
     else:
         should_run = True
 
@@ -117,14 +120,15 @@ def _fwd_kernel(
             s = raw * (scale * LOG2E)
         if has_alibi:
             # ALiBi bias (reference csrc/flash_attn alibi support):
-            # -slope * distance; slope is per q-head.
+            # -slope * distance; slope per (batch,) q-head.
+            row_sl = alibi_ref[0]  # (1, hp)
             slope = jnp.sum(
                 jnp.where(
                     jax.lax.broadcasted_iota(
-                        jnp.int32, alibi_ref.shape, 1
+                        jnp.int32, row_sl.shape, 1
                     )
                     == h,
-                    alibi_ref[...].astype(jnp.float32),
+                    row_sl,
                     0.0,
                 )
             )
@@ -161,7 +165,10 @@ def _fwd_kernel(
             )
             valid = col < seqlen_k
             if causal:
-                valid = jnp.logical_and(valid, col <= row)
+                # Bottom-right alignment for sq != sk (flash_attn >= 2.1
+                # convention): the last query row aligns with the last
+                # key column.
+                valid = jnp.logical_and(valid, col <= row + causal_offset)
             if has_segments:
                 # Packed-varlen masking: tokens attend within their own
                 # segment only (the reference's cu_seqlens semantics,
@@ -180,13 +187,15 @@ def _fwd_kernel(
                     valid = jnp.logical_and(valid, col < bound)
             if window is not None:
                 # Sliding-window (local) attention, reference
-                # window_size=(left, right) semantics: row attends
-                # [row-left, row+right]; -1 means unbounded.
+                # window_size=(left, right) semantics around the
+                # bottom-right-aligned position: row attends
+                # [pos-left, pos+right]; -1 means unbounded.
                 left, right = window
+                pos = row + causal_offset
                 if left >= 0:
-                    valid = jnp.logical_and(valid, col >= row - left)
+                    valid = jnp.logical_and(valid, col >= pos - left)
                 if right >= 0:
-                    valid = jnp.logical_and(valid, col <= row + right)
+                    valid = jnp.logical_and(valid, col <= pos + right)
             s = jnp.where(valid, s, DEFAULT_MASK_VALUE)
 
         m_prev = m_scr[...]
@@ -209,11 +218,17 @@ def _fwd_kernel(
     @pl.when(ki == kt - 1)
     def _store():
         l = l_scr[:, :1]
-        l_inv = jnp.where(l == 0.0, 1.0, 1.0 / l)
+        m_col = m_scr[:, :1]  # log2 units
+        # Fully-masked rows never see a real score: their running max is
+        # still at the mask sentinel. Reference semantics: zero output,
+        # -inf lse (epilogue store_zero, flash_fwd_kernel_sm90.h:557-567).
+        empty = m_col <= DEFAULT_MASK_VALUE * 0.5
+        l_inv = jnp.where(
+            jnp.logical_or(empty, l == 0.0), 0.0, 1.0 / jnp.maximum(l, 1e-37)
+        )
         o_ref[0, 0] = (acc_scr[...] * l_inv).astype(o_ref.dtype)
-        m_col = m_scr[:, :1]  # log2 units -> natural-log LSE
         lse = jnp.where(
-            l == 0.0,
+            jnp.logical_or(empty, l == 0.0),
             -jnp.inf,
             m_col * LN2 + jnp.log(jnp.maximum(l, 1e-37)),
         )
@@ -306,14 +321,15 @@ def _flash_forward_impl(
         )
     has_alibi = alibi_slopes is not None
     if has_alibi:
-        extra_inputs.append(
-            alibi_slopes.astype(jnp.float32).reshape(1, h)
-        )
+        # Accept both reference forms: (nheads,) shared or
+        # (batch, nheads) per-batch slopes.
+        hp = max(MIN_LANES, -(-h // MIN_LANES) * MIN_LANES)
+        sl = alibi_slopes.astype(jnp.float32).reshape(-1, h)
+        sl = jnp.broadcast_to(sl[:, None, :], (b, 1, h))
+        sl = jnp.pad(sl, ((0, 0), (0, 0), (0, hp - h)))
+        extra_inputs.append(sl)
         extra_specs.append(
-            pl.BlockSpec(
-                (1, h), lambda bi, qi, hi, ki: (0, 0),
-                memory_space=pltpu.SMEM,
-            )
+            pl.BlockSpec((1, 1, hp), lambda bi, qi, hi, ki: (bi, 0, 0))
         )
 
     grid = (b, qt, h, kt)
@@ -326,6 +342,7 @@ def _flash_forward_impl(
         block_k=block_k,
         seqlen_k=sk,
         causal=causal,
+        causal_offset=sk - sq,
         has_segments=has_segments,
         has_bound=has_bound,
         bound_causal=bound_causal,

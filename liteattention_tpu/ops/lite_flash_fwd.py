@@ -222,14 +222,21 @@ def _lite_kernel(
     pipe(k_hbm.at[b, hk], v_hbm.at[b, hk])
 
     l = l_scr[:, :1]
-    l_inv = jnp.where(l == 0.0, 1.0, 1.0 / l)
+    m_col = m_scr[:, :1]  # log2 units
+    # Rows whose max never left the mask sentinel saw no real score:
+    # zero output, -inf lse (reference store_zero semantics).
+    empty = m_col <= DEFAULT_MASK_VALUE * 0.5
+    l_inv = jnp.where(
+        jnp.logical_or(empty, l == 0.0), 0.0, 1.0 / jnp.maximum(l, 1e-37)
+    )
     o_ref[0, 0] = (acc_scr[...] * l_inv).astype(o_ref.dtype)
 
     # Scatter this head's lse / votes columns into the per-(b, q-tile)
     # blocks that stay resident while the H grid dimension advances.
-    m_col = m_scr[:, :1]  # log2 units -> natural-log LSE
     lse = jnp.where(
-        l == 0.0, -jnp.inf, m_col * LN2 + jnp.log(jnp.maximum(l, 1e-37))
+        jnp.logical_or(empty, l == 0.0),
+        -jnp.inf,
+        m_col * LN2 + jnp.log(jnp.maximum(l, 1e-37)),
     )
     head_col = jax.lax.broadcasted_iota(jnp.int32, (block_q, num_heads), 1)
     lse_ref[0] = jnp.where(head_col == h, lse, lse_ref[0])

@@ -115,7 +115,11 @@ def _paged_kernel(
     pipe(k_pages.at[hk], v_pages.at[hk])
 
     l = l_scr[:, :1]
-    l_inv = jnp.where(l == 0.0, 1.0, 1.0 / l)
+    m_col = m_scr[:, :1]
+    empty = m_col <= DEFAULT_MASK_VALUE * 0.5
+    l_inv = jnp.where(
+        jnp.logical_or(empty, l == 0.0), 0.0, 1.0 / jnp.maximum(l, 1e-37)
+    )
     o_ref[0, 0] = (acc_scr[...] * l_inv).astype(o_ref.dtype)
 
 

@@ -182,3 +182,69 @@ def test_alibi():
     np.testing.assert_allclose(
         np.asarray(out), np.asarray(ref), atol=3e-4, rtol=1e-3
     )
+
+
+def test_causal_bottom_right_alignment():
+    """FA >= 2.1 convention: for sq < sk the last query row aligns with
+    the last key column (suffix scoring / chunked prefill)."""
+    from liteattention_tpu.ops.flash_fwd import flash_attention
+
+    q, k, v = _rand_qkv(jax.random.PRNGKey(8), 1, 2, 256, 64, jnp.float32)
+    q_tail = q[:, :, -32:]
+    out = flash_attention(
+        q_tail, k, v, causal=True, block_sizes=BlockSizes(128, 128),
+        interpret=True,
+    )
+    full = flash_attention(
+        q, k, v, causal=True, block_sizes=BlockSizes(128, 128),
+        interpret=True,
+    )
+    np.testing.assert_allclose(
+        np.asarray(out), np.asarray(full[:, :, -32:]), atol=2e-5, rtol=1e-4
+    )
+
+
+def test_fully_masked_rows_zero_output():
+    """A q segment with zero kv tokens must produce zero output and -inf
+    lse (reference store_zero), not the mean of V."""
+    from liteattention_tpu.ops.flash_fwd import flash_attention_masked
+
+    q, k, v = _rand_qkv(jax.random.PRNGKey(9), 2, 1, 128, 64, jnp.float32)
+    bound = jnp.asarray([0, 64], jnp.int32)  # batch 0 sees nothing
+    out, lse = flash_attention_masked(
+        q, k, v, kv_bound=bound, block_sizes=BlockSizes(128, 128),
+        return_lse=True, interpret=True,
+    )
+    np.testing.assert_allclose(np.asarray(out[0]), 0.0)
+    assert np.all(np.isneginf(np.asarray(lse[0])))
+    assert np.isfinite(np.asarray(out[1])).all()
+    # Gradients through the empty batch stay finite (zero).
+    g = jax.grad(
+        lambda q: jnp.sum(
+            flash_attention_masked(
+                q, k, v, kv_bound=bound, block_sizes=BlockSizes(128, 128),
+                interpret=True,
+            ).astype(jnp.float32) ** 2
+        )
+    )(q)
+    assert np.isfinite(np.asarray(g)).all()
+    np.testing.assert_allclose(np.asarray(g[0]), 0.0)
+
+
+def test_alibi_per_batch_slopes():
+    from liteattention_tpu.ops.flash_fwd import flash_attention_masked
+
+    q, k, v = _rand_qkv(jax.random.PRNGKey(10), 2, 2, 128, 64, jnp.float32)
+    slopes = jnp.asarray([[0.5, 0.25], [0.1, 0.05]], jnp.float32)
+    out = flash_attention_masked(
+        q, k, v, alibi_slopes=slopes, causal=True,
+        block_sizes=BlockSizes(128, 128), interpret=True,
+    )
+    sq = q.shape[2]
+    row = jax.lax.broadcasted_iota(jnp.int32, (sq, sq), 0)
+    col = jax.lax.broadcasted_iota(jnp.int32, (sq, sq), 1)
+    bias = -slopes[:, :, None, None] * (row - col).astype(jnp.float32)
+    ref, _ = attention_ref(q, k, v, causal=True, bias=bias)
+    np.testing.assert_allclose(
+        np.asarray(out), np.asarray(ref), atol=3e-4, rtol=1e-3
+    )
