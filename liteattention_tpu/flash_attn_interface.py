@@ -35,6 +35,7 @@ from liteattention_tpu.ops.flash_fwd import (
     flash_attention_masked,
 )
 from liteattention_tpu.ops.lite_flash_fwd import lite_flash_attention
+from liteattention_tpu.ops.paged_attention import paged_attention
 from liteattention_tpu.ops.mask import compact_mask, update_mask, SkipMaskState
 from liteattention_tpu.ops.tile_sizes import BlockSizes, get_block_sizes
 
@@ -268,6 +269,7 @@ def flash_attn_with_kvcache(
     k: Optional[jax.Array] = None,
     v: Optional[jax.Array] = None,
     cache_seqlens: Optional[jax.Array] = None,
+    page_table: Optional[jax.Array] = None,
     softmax_scale: Optional[float] = None,
     causal: bool = True,
     num_splits: int = 1,
@@ -286,6 +288,28 @@ def flash_attn_with_kvcache(
     Causality is bottom-right aligned: new query i attends cache
     positions < cache_seqlens + i + 1.
     """
+    if page_table is not None:
+        # Paged cache (reference page_table path, flash_api.cpp paged-KV
+        # heuristics): caches are [num_pages, page_size, Hk, D] page
+        # pools; decode-only (one query token), no in-call append.
+        assert k is None and v is None, (
+            "paged flash_attn_with_kvcache does not append in-call; "
+            "write new tokens into their page first"
+        )
+        assert q.shape[1] == 1, "paged path is decode-only (seqlen_q == 1)"
+        assert cache_seqlens is not None
+        kp = jnp.transpose(k_cache, (2, 0, 1, 3))  # [Hk, pages, psz, D]
+        vp = jnp.transpose(v_cache, (2, 0, 1, 3))
+        out = paged_attention(
+            q[:, 0],
+            kp,
+            vp,
+            cache_seqlens.astype(jnp.int32),
+            page_table.astype(jnp.int32),
+            scale=softmax_scale,
+        )[:, None]
+        return out
+
     b, s_max, hk, d = k_cache.shape
     s_new = q.shape[1]
     if cache_seqlens is None:

@@ -171,3 +171,38 @@ def test_kvcache_split_kv_matches_unsplit():
     np.testing.assert_allclose(
         np.asarray(out1), np.asarray(out2), atol=2e-5, rtol=1e-5
     )
+
+
+def test_kvcache_page_table_route():
+    hk, num_pages, psz, d = 2, 16, 16, 64
+    b = 2
+    key = jax.random.PRNGKey(11)
+    k1, k2, k3 = jax.random.split(key, 3)
+    k_pages = jax.random.normal(k1, (num_pages, psz, hk, d), jnp.float32)
+    v_pages = jax.random.normal(k2, (num_pages, psz, hk, d), jnp.float32)
+    q = jax.random.normal(k3, (b, 1, hk, d), jnp.float32)
+    lens = jnp.asarray([40, 20], jnp.int32)
+    tbl = jnp.asarray(
+        np.random.RandomState(0).permutation(num_pages)[: b * 4].reshape(
+            b, 4
+        ),
+        jnp.int32,
+    )
+    out = flash_attn_with_kvcache(
+        q, k_pages, v_pages, cache_seqlens=lens, page_table=tbl
+    )
+    assert out.shape == (b, 1, hk, d)
+    # Oracle: gather the pages contiguously per sequence.
+    for i in range(b):
+        n = int(lens[i])
+        kc = k_pages[tbl[i]].reshape(-1, hk, d)[:n]
+        vc = v_pages[tbl[i]].reshape(-1, hk, d)[:n]
+        ref, _ = attention_ref(
+            jnp.transpose(q[i], (1, 0, 2))[None],
+            jnp.transpose(kc, (1, 0, 2))[None],
+            jnp.transpose(vc, (1, 0, 2))[None],
+        )
+        np.testing.assert_allclose(
+            np.asarray(out[i, 0]), np.asarray(ref[0, :, 0]),
+            atol=2e-5, rtol=1e-4, err_msg=f"batch {i}",
+        )
