@@ -12,6 +12,14 @@ on subsequent steps -- no HBM load, no QK^T, no softmax, no PV
 __version__ = "0.1.0"
 
 from liteattention_tpu import ops
+from liteattention_tpu.flash_attn_interface import (
+    flash_attn_combine,
+    flash_attn_func,
+    flash_attn_kvpacked_func,
+    flash_attn_qkvpacked_func,
+    flash_attn_varlen_func,
+    flash_attn_with_kvcache,
+)
 from liteattention_tpu.lite_attention import (
     LiteAttention,
     SeqParallelLiteAttention,
@@ -25,4 +33,10 @@ __all__ = [
     "SeqParallelLiteAttention",
     "lite_attention_init",
     "lite_attention_step",
+    "flash_attn_func",
+    "flash_attn_qkvpacked_func",
+    "flash_attn_kvpacked_func",
+    "flash_attn_varlen_func",
+    "flash_attn_with_kvcache",
+    "flash_attn_combine",
 ]

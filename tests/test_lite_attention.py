@@ -156,3 +156,43 @@ def test_denoising_scan_functional():
     # With an aggressive final threshold some sparsity must appear on
     # random inputs.
     assert prev_sparsity >= 0.0
+
+
+def test_must_skip_list_at_init():
+    """must_skip_list pre-carves holes at (re)initialization (reference
+    init_skip_list, lite_attention.py:126-145) without mutating input."""
+    q, k, v = _bshd(8)
+    attn = LiteAttention(threshold=-10.0, block_sizes=BS)
+    ranges = [255, 128]  # inclusive pair, reference order (hi, lo)
+    ranges_copy = list(ranges)
+    attn(q, k, v, must_skip_list=ranges)
+    assert ranges == ranges_copy, "input list must not be mutated"
+    do = np.asarray(attn.state.do_mask)
+    # Tile 1 ([128, 256)) is fully inside the skip range -> carved out.
+    assert not do[..., 1].any()
+    assert do[..., 0].all() and do[..., 2].all()
+
+
+def test_seq_parallel_wrapper_per_split_state():
+    """Legacy per-split wrapper: independent skip state per KV split
+    (reference hopper/lite_attention.py:322-345)."""
+    from liteattention_tpu import SeqParallelLiteAttention
+
+    q, k, v = _bshd(9)
+    sp = SeqParallelLiteAttention(num_nodes=2, threshold=-10.0)
+    sp.set_threshold(float("inf"))
+    half = S // 2
+    for i in range(2):
+        out = sp(q, k[:, i * half : (i + 1) * half],
+                 v[:, i * half : (i + 1) * half], i)
+        assert out.shape == q.shape
+    states = [la.state for la in sp.lite_attention]
+    assert all(st is not None for st in states)
+    # Each split evolved its own mask to anchor-only.
+    for st in states:
+        do = np.asarray(st.do_mask)
+        assert (do.sum(-1) == 1).all()
+    sp.reset_skip_state()
+    assert all(la.state is None for la in sp.lite_attention)
+    sp.enable_skip_optimization(False)
+    assert all(not la.enable_skipping for la in sp.lite_attention)
