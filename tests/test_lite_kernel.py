@@ -145,3 +145,15 @@ def test_bf16_lite():
         atol=2e-2,
         rtol=2e-2,
     )
+
+
+def test_votes_match_reference_semantics_gqa():
+    q, k, v = _rand_qkv(7, 1, 4, 256, 64, hk=2)
+    st = init_mask(1, 4, 256, 256, 128, 128)
+    thr = -2.0
+    _, _, votes = _run(q, k, v, st.do_mask, thr=thr)
+    # Oracle computed against the repeated-KV equivalent.
+    ref_votes = skip_votes_ref(
+        q, jnp.repeat(k, 2, axis=1), st.do_mask, thr, 128, 128
+    )
+    np.testing.assert_array_equal(np.asarray(votes), np.asarray(ref_votes))
