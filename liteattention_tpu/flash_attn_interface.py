@@ -54,15 +54,24 @@ def flash_attn_func(
     v: jax.Array,
     softmax_scale: Optional[float] = None,
     causal: bool = False,
+    qv=None,
+    q_descale=None,
+    k_descale=None,
+    v_descale=None,
     window_size: Tuple[int, int] = (-1, -1),
+    attention_chunk: int = 0,
     softcap: float = 0.0,
-    alibi_slopes: Optional[jax.Array] = None,
+    num_splits: int = 1,
+    pack_gqa=None,
+    deterministic: bool = False,
+    sm_margin: int = 0,
     attn_read_list: Optional[jax.Array] = None,
     attn_must_do_list: Optional[jax.Array] = None,
     attn_write_list=None,  # accepted for signature parity; see module doc
     thr: float = -3.0,
     return_softmax_lse: bool = False,
     return_skip_mask: bool = False,
+    alibi_slopes: Optional[jax.Array] = None,
     block_sizes: Optional[BlockSizes] = None,
 ):
     """Attention forward, dense or skip-masked.
@@ -86,6 +95,18 @@ def flash_attn_func(
       ``out`` plus optionally ``lse`` (fp32 ``[B, H, S]``) and the evolved
       mask, in that order.
     """
+    # Positional-parity arguments (reference
+    # flash_attn_interface.py:466-567). fp8 descales and attention_chunk
+    # are unsupported; scheduling hints (num_splits, pack_gqa, sm_margin)
+    # are Mosaic's job on TPU; kernels are always deterministic.
+    if qv is not None or attention_chunk:
+        raise NotImplementedError(
+            "qv-packed fp8 path / attention_chunk are not supported"
+        )
+    assert q_descale is None and k_descale is None and v_descale is None, (
+        "fp8 descales are not supported (bf16/f32 kernels)"
+    )
+    del num_splits, pack_gqa, deterministic, sm_margin
     del attn_write_list
     qh = _bshd_to_bhsd(q)
     kh = _bshd_to_bhsd(k)
