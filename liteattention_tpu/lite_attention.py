@@ -39,17 +39,29 @@ import jax
 import jax.numpy as jnp
 
 from liteattention_tpu.ops.flash_fwd import flash_attention
-from liteattention_tpu.ops.lite_flash_fwd import lite_flash_attention
+from liteattention_tpu.ops.lite_flash_fwd import (
+    VOTE_TILE,
+    lite_flash_attention,
+)
 from liteattention_tpu.ops.mask import (
     SkipMaskState,
     cdiv,
     compact_mask,
+    compact_mask_gather,
     init_mask,
     must_do_mask,
     sparsity,
     update_mask,
 )
 from liteattention_tpu.ops.tile_sizes import BlockSizes, get_block_sizes
+
+
+def effective_blocks(bs: BlockSizes, seqlen_q: int, seqlen_k: int):
+    """Clamp compute tiles to the (128-padded) sequence lengths --
+    must match the clamping inside the kernels."""
+    bq = min(bs.block_q, max(128, cdiv(seqlen_q, 128) * 128))
+    bk = min(bs.block_k, max(128, cdiv(seqlen_k, 128) * 128))
+    return bq, bk
 
 
 def lite_attention_init(
@@ -67,14 +79,17 @@ def lite_attention_init(
     Counterpart of ``LiteAttention.init_skip_list``
     (reference hopper/lite_attention.py:113-153).
     """
-    bs = block_sizes or get_block_sizes(head_dim, dtype_bytes)
+    # Round 2: the mask lives at FINE (128x128) granularity regardless
+    # of the compute tile -- reference-level sparsity resolution
+    # (tile_size.h:10-48) at large-tile compute cost (VERDICT item 1).
+    del block_sizes, dtype_bytes  # mask granularity is compute-independent
     return init_mask(
         batch,
         heads,
         seqlen_q,
         seqlen_k,
-        bs.block_q,
-        bs.block_k,
+        VOTE_TILE,
+        VOTE_TILE,
         must_skip_ranges=must_skip_ranges,
     )
 
@@ -116,24 +131,37 @@ def lite_attention_step(
     Returns:
       ``(out, new_state)`` or ``(out, lse, new_state)``.
     """
-    bs = block_sizes or get_block_sizes(q.shape[-1], q.dtype.itemsize)
+    bs = block_sizes or get_block_sizes(
+        q.shape[-1], q.dtype.itemsize,
+        kind="lite" if enable_skipping else "dense",
+    )
     if not enable_skipping:
         out, lse = flash_attention(
             q, k, v, scale=scale, block_sizes=bs, return_lse=True
         )
         new_state = state
     else:
-        kv_idx, count = compact_mask(state.do_mask)
+        # GATHER schedule (round-2 default): surviving FINE k-tiles are
+        # listed directly; runtime scales with fine sparsity itself.
+        bq, bk = effective_blocks(bs, q.shape[2], k.shape[2])
+        fidx, count, qbits = compact_mask_gather(
+            state.do_mask, bq // VOTE_TILE
+        )
         out, lse, votes = lite_flash_attention(
             q,
             k,
             v,
-            kv_idx,
+            fidx,
             count,
             jnp.asarray(threshold, jnp.float32),
+            kv_bits=qbits,
             scale=scale,
             block_sizes=bs,
+            fine_schedule=True,
         )
+        votes = votes[
+            :, :, : state.do_mask.shape[2], : state.do_mask.shape[3]
+        ]
         new_state = update_mask(state, votes, must_do=must_do)
     if return_lse:
         return out, lse, new_state
@@ -269,7 +297,10 @@ class LiteAttention:
         k = jnp.transpose(key, (0, 2, 1, 3))
         v = jnp.transpose(value, (0, 2, 1, 3))
 
-        bs = self.block_sizes or get_block_sizes(d, q.dtype.itemsize)
+        bs = self.block_sizes or get_block_sizes(
+            d, q.dtype.itemsize,
+            kind="lite" if self.enable_skipping else "dense",
+        )
         key_sig = (b, s, k.shape[2], h, d, str(q.dtype), bs)
         if self.enable_skipping and (
             self._state is None or self._last_key != key_sig
@@ -300,7 +331,7 @@ class LiteAttention:
         must_do = None
         if must_do_list is not None and self.enable_skipping:
             must_do = must_do_mask(
-                _ranges_from_flat_list(must_do_list), k.shape[2], bs.block_k
+                _ranges_from_flat_list(must_do_list), k.shape[2], VOTE_TILE
             )
 
         state = self._state

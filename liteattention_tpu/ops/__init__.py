@@ -15,6 +15,8 @@ from liteattention_tpu.ops.paged_attention import paged_attention
 from liteattention_tpu.ops.mask import (
     SkipMaskState,
     compact_mask,
+    compact_mask_fine,
+    compact_mask_gather,
     init_mask,
     must_do_mask,
     sparsity,
@@ -34,6 +36,8 @@ __all__ = [
     "lite_flash_attention",
     "SkipMaskState",
     "compact_mask",
+    "compact_mask_fine",
+    "compact_mask_gather",
     "init_mask",
     "must_do_mask",
     "sparsity",

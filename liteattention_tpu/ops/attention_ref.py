@@ -146,4 +146,184 @@ def skip_votes_ref(
     return votes.reshape(b, h, qt, kt).astype(jnp.int32)
 
 
-__all__ = ["attention_ref", "skip_votes_ref", "DEFAULT_MASK_VALUE"]
+def skip_votes_ref_fine(
+    q,
+    k,
+    do_mask,
+    threshold: float,
+    block_q: int,
+    block_k: int,
+    scale: Optional[float] = None,
+    vote_tile: int = 128,
+):
+    """Oracle for SUB-TILE (fine-granularity) QK-Skip votes (round 2).
+
+    The kernel computes at (block_q, block_k) super-tiles but the mask
+    and votes live at ``vote_tile`` (128) granularity
+    (:func:`liteattention_tpu.ops.lite_flash_fwd.lite_flash_attention`
+    with ``kv_bits``). Semantics mirrored here, per (b, h, q-row):
+
+    * super-tiles are visited in increasing index order iff ANY covered
+      fine tile is live;
+    * within a visited super-tile, each fine tile (qs, ks) gets the
+      criterion ``(local_max_fine - m_prev) * log2(e) > thr`` ANDed over
+      the 128-row group (dead fine tiles are masked out of local maxes);
+    * on the FIRST visited super-tile, the first LIVE fine tile of each
+      row group is forced to vote 0 (the anchor; softmax.h:153);
+    * the running max then absorbs the whole (masked) super-tile.
+
+    Pure numpy (test-only). Returns int32[B, H, Qtf, Ktf]. Votes at DEAD
+    fine positions are unspecified (the monotone mask update neutralizes
+    them); compare live positions only.
+    """
+    import numpy as np
+
+    q = np.asarray(q, np.float32)
+    k = np.asarray(k, np.float32)
+    do_mask = np.asarray(do_mask, bool)
+    b, h, sq, d = q.shape
+    sk = k.shape[2]
+    if scale is None:
+        scale = 1.0 / np.sqrt(d)
+    log2e = 1.4426950408889634
+    qsubs, ksubs = block_q // vote_tile, block_k // vote_tile
+    _, _, qtf, ktf = do_mask.shape
+    qt, kt = -(-qtf // qsubs), -(-ktf // ksubs)
+    s = np.einsum("bhqd,bhkd->bhqk", q, k) * scale
+    s = np.pad(
+        s,
+        ((0, 0), (0, 0), (0, qt * block_q - sq), (0, kt * block_k - sk)),
+        constant_values=-np.inf,
+    )
+    fine = np.zeros((b, h, qt * qsubs, kt * ksubs), bool)
+    fine[:, :, :qtf, :ktf] = do_mask
+    live_elem = np.repeat(np.repeat(fine, vote_tile, 2), vote_tile, 3)
+    s = np.where(live_elem, s, -np.inf)
+    lm = s.reshape(b, h, qt * block_q, kt * ksubs, vote_tile).max(-1)
+    votes = np.ones((b, h, qt * qsubs, kt * ksubs), np.int32)
+    superlive = fine.reshape(b, h, qt, qsubs, kt, ksubs).any(axis=(3, 5))
+    row_ok = np.arange(block_q)
+    with np.errstate(invalid="ignore"):
+        for bi in range(b):
+            for hi in range(h):
+                for qi in range(qt):
+                    visit = np.nonzero(superlive[bi, hi, qi])[0]
+                    rows = slice(qi * block_q, (qi + 1) * block_q)
+                    m = np.full((block_q,), -np.inf, np.float32)
+                    valid_r = (row_ok + qi * block_q) < sq
+                    for j, t in enumerate(visit):
+                        lmt = lm[bi, hi, rows, t * ksubs : (t + 1) * ksubs]
+                        diff = (lmt - m[:, None]) * log2e
+                        do = np.where(np.isnan(diff), False, diff > threshold)
+                        do &= valid_r[:, None]
+                        for qs in range(qsubs):
+                            seg = do[qs * vote_tile : (qs + 1) * vote_tile]
+                            live_row = fine[
+                                bi, hi, qi * qsubs + qs,
+                                t * ksubs : (t + 1) * ksubs,
+                            ]
+                            first_ks = (
+                                int(np.argmax(live_row))
+                                if live_row.any()
+                                else -1
+                            )
+                            for ks in range(ksubs):
+                                anchor = j == 0 and ks == first_ks
+                                vote = (
+                                    0 if anchor
+                                    else int(not seg[:, ks].any())
+                                )
+                                votes[
+                                    bi, hi, qi * qsubs + qs,
+                                    t * ksubs + ks,
+                                ] = vote
+                        m = np.maximum(m, lmt.max(-1))
+    return votes[:, :, :qtf, :ktf]
+
+
+def skip_votes_ref_gather(
+    q,
+    k,
+    do_mask,
+    threshold: float,
+    block_q: int,
+    gsize: int,
+    scale: Optional[float] = None,
+    vote_tile: int = 128,
+):
+    """Oracle for GATHER-schedule votes (compact_mask_gather +
+    lite_flash_attention(fine_schedule=True)).
+
+    Per (b, h, compute-q-row): surviving fine k-tiles (union over the
+    row's ``qsubs`` fine rows) are visited in increasing order in groups
+    of ``gsize``; every entry in a group is tested against the running
+    max from BEFORE the group; the globally-first entry votes 0; the
+    running max then absorbs the group's masked maxes.
+
+    Pure numpy (test-only). Votes at dead fine positions unspecified.
+    """
+    import numpy as np
+
+    q = np.asarray(q, np.float32)
+    k = np.asarray(k, np.float32)
+    do_mask = np.asarray(do_mask, bool)
+    b, h, sq, d = q.shape
+    sk = k.shape[2]
+    if scale is None:
+        scale = 1.0 / np.sqrt(d)
+    log2e = 1.4426950408889634
+    qsubs = block_q // vote_tile
+    _, _, qtf, ktf = do_mask.shape
+    qt = -(-qtf // qsubs)
+    s = np.einsum("bhqd,bhkd->bhqk", q, k) * scale
+    s = np.pad(
+        s,
+        ((0, 0), (0, 0), (0, qt * block_q - sq),
+         (0, ktf * vote_tile - sk)),
+        constant_values=-np.inf,
+    )
+    fine = np.zeros((b, h, qt * qsubs, ktf), bool)
+    fine[:, :, :qtf, :] = do_mask
+    live_elem = np.repeat(np.repeat(fine, vote_tile, 2), vote_tile, 3)
+    s = np.where(live_elem, s, -np.inf)
+    lm = s.reshape(b, h, qt * block_q, ktf, vote_tile).max(-1)
+    votes = np.ones((b, h, qt * qsubs, ktf), np.int32)
+    union = fine.reshape(b, h, qt, qsubs, ktf).any(axis=3)
+    row_ok = np.arange(block_q)
+    with np.errstate(invalid="ignore"):
+        for bi in range(b):
+            for hi in range(h):
+                for qi in range(qt):
+                    visit = np.nonzero(union[bi, hi, qi])[0]
+                    rows = slice(qi * block_q, (qi + 1) * block_q)
+                    m = np.full((block_q,), -np.inf, np.float32)
+                    valid_r = (row_ok + qi * block_q) < sq
+                    for j0 in range(0, len(visit), gsize):
+                        chunk = visit[j0 : j0 + gsize]
+                        lmt = lm[bi, hi, rows][:, chunk]
+                        diff = (lmt - m[:, None]) * log2e
+                        do = np.where(
+                            np.isnan(diff), False, diff > threshold
+                        )
+                        do &= valid_r[:, None]
+                        for e, t in enumerate(chunk):
+                            for qs in range(qsubs):
+                                seg = do[
+                                    qs * vote_tile : (qs + 1) * vote_tile,
+                                    e,
+                                ]
+                                anchor = j0 == 0 and e == 0
+                                votes[bi, hi, qi * qsubs + qs, t] = (
+                                    0 if anchor else int(not seg.any())
+                                )
+                        m = np.maximum(m, lmt.max(-1))
+    return votes[:, :, :qtf, :]
+
+
+__all__ = [
+    "attention_ref",
+    "skip_votes_ref",
+    "skip_votes_ref_fine",
+    "skip_votes_ref_gather",
+    "DEFAULT_MASK_VALUE",
+]

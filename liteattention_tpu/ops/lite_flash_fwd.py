@@ -15,13 +15,24 @@ flash_fwd_kernel_sm90.h). Design mapping (SURVEY.md section 7):
   of exactly the surviving K/V tiles. A skipped tile costs zero HBM
   traffic and zero FLOPs -- the same elimination guarantee as the
   producer skip loop at mainloop:1173-1209.
+* **Sub-tile vote granularity (round 2).** The reference's skip mask
+  lives at its compute-tile granularity (~128x176, tile_size.h:10-48);
+  on TPU the fast compute tile is much larger (512x512), which would
+  cost ~12x sparsity resolution. The round-2 design decouples them: the
+  mask lives at FINE (128x128) granularity, the kernel walks 512-wide
+  SUPER-tiles (scheduled iff any covered fine tile survives), masks dead
+  fine sub-blocks out of the scores via a per-step sub-mask bitmap
+  (one int32 riding the schedule row), and emits one vote per fine
+  sub-tile. Reference-granularity sparsity at large-tile compute cost.
 * The fused skip detection of ``Softmax::max_get_scale_detect_qk_skip``
-  (softmax.h:139-222) becomes a per-tile vote computed from the same
-  fp32 online-softmax state the kernel already holds: a tile votes
-  "skippable" iff **no valid q-row** satisfies
-  ``(local_max - running_max_prev) * scale * log2(e) > thr``. The first
-  visited tile always votes 0 (softmax.h:153). The 4-warp AND
-  (mainloop:1721-1725) is inherently a full-tile AND here.
+  (softmax.h:139-222) becomes per-fine-tile votes computed from the same
+  fp32 online-softmax state the kernel already holds: fine tile
+  (qs, ks) votes "skippable" iff **no valid q-row in its 128-row group**
+  satisfies ``(local_max_ks - running_max_prev) * scale * log2(e) >
+  thr``. Every sub-tile of the first visited super-tile votes 0
+  (softmax.h:153; the global per-row anchor is enforced in
+  :func:`liteattention_tpu.ops.mask.update_mask`). The 4-warp AND
+  (mainloop:1721-1725) is the AND over the row group here.
 * The reference's SkipListWriter (single saving thread recording range
   transitions, mainloop:121-192) becomes a dense int32 vote row written
   once per (b, h, q-tile); :func:`liteattention_tpu.ops.mask.update_mask`
@@ -55,6 +66,7 @@ DEFAULT_MASK_VALUE = -0.7 * float(jnp.finfo(jnp.float32).max)
 LOG2E = 1.4426950408889634
 LN2 = 0.6931471805599453
 MIN_LANES = 128
+VOTE_TILE = 128  # fine (vote/mask) granularity in sequence elements
 
 
 def _default_interpret() -> bool:
@@ -90,19 +102,19 @@ _patch_pipeline_for_interpret()
 def _lite_kernel(
     # inputs
     thr_ref,  # SMEM (1, 1) float32
-    sched_hbm,  # HBM [B, H, Qt, R, 128] int32 schedule rows
+    sched_hbm,  # HBM [B, H, Qt, R(+R), 128] int32 schedule (+bits) rows
     q_ref,  # VMEM (1, 1, block_q, D)
     k_hbm,  # ANY  [B, Hk, Sk_pad, D]
     v_hbm,  # ANY  [B, Hk, Sk_pad, D]
     # outputs
     o_ref,  # VMEM (1, 1, block_q, D)
     lse_ref,  # VMEM (1, block_q, H)    layout [B, Sq, H]
-    votes_ref,  # VMEM (1, 1, kt8, H) int32   layout [B, Qt, Kt8, H]
+    votes_ref,  # VMEM (1, 1, qsubs, ktf8, H) int32
     # scratch
-    sched_smem,  # SMEM (R, 128) int32
+    sched_smem,  # SMEM (R or 2R, 128) int32
     sched_sem,
     step_smem,  # SMEM (1,) int32 inner-step counter
-    votes_scr,  # VMEM (kt8, MIN_LANES) int32
+    votes_scr,  # VMEM (ktf8, MIN_LANES) int32; lane l < qsubs = qsub l
     m_scr,
     l_scr,
     acc_scr,
@@ -114,17 +126,23 @@ def _lite_kernel(
     block_k: int,
     seqlen_q: int,
     seqlen_k: int,
+    qsubs: int,
+    ksubs: int,
+    sched_rows: int,
 ):
     b = pl.program_id(0)
     qi = pl.program_id(1)
     h = pl.program_id(2)
     hk = h // group
     thr = thr_ref[0, 0]
-    kt8 = votes_scr.shape[0]
+    ktf8 = votes_scr.shape[0]
+    fine = qsubs * ksubs > 1
+    vq = block_q // qsubs  # q rows per fine tile
+    vk = block_k // ksubs  # k cols per fine tile
 
-    # Fetch this row's schedule [count, idx_0, ...] into scalar memory.
-    # The row is stored as full (R, 128) tiles so the HBM slice stays
-    # tile-aligned (Mosaic rejects sub-8 sublane slices).
+    # Fetch this row's schedule [count, idx_0, ...] (+ sub-mask bitmaps
+    # in the second row group when fine) into scalar memory. Rows are
+    # stored as full (R, 128) tiles so the HBM slice stays tile-aligned.
     row_dma = pltpu.make_async_copy(
         sched_hbm.at[b, h, qi], sched_smem, sched_sem
     )
@@ -132,6 +150,9 @@ def _lite_kernel(
 
     def sched_at(i):
         return sched_smem[i // 128, i % 128]
+
+    def bits_at(i):
+        return sched_smem[sched_rows + i // 128, i % 128]
 
     # Unvisited tiles stay skipped under the monotone mask update.
     votes_scr[...] = jnp.ones_like(votes_scr)
@@ -156,7 +177,7 @@ def _lite_kernel(
     )
 
     def inner(k_blk, v_blk):
-        # Inner pipeline body: one surviving k-tile. Multi-buffered
+        # Inner pipeline body: one surviving k-super-tile. Multi-buffered
         # HBM->VMEM copies are managed by emit_pipeline (the Mosaic-grade
         # replacement of the reference's TMA producer warp).
         j = step_smem[0]
@@ -173,41 +194,110 @@ def _lite_kernel(
             precision=precision,
         )
         s = s * (scale * LOG2E)
-        if seqlen_k % block_k != 0:
-            col = (
-                jax.lax.broadcasted_iota(jnp.int32, (block_q, block_k), 1)
-                + tile * block_k
+        # Column-group decomposition: all fine-granularity work (sub-mask
+        # application, per-fine-tile local maxes, the split PV matmul)
+        # runs on per-128-column slices -- the sub-mask costs one
+        # (block_q, 1) shift + one masked slice per group instead of
+        # full-tile bit arithmetic (the VPU is the bottleneck at these
+        # tile sizes). Coarse mode is the single-group special case.
+        if fine:
+            bits = bits_at(1 + j)
+            rsub = (
+                jax.lax.broadcasted_iota(jnp.int32, (block_q, 1), 0)
+                // vq
             )
-            s = jnp.where(col < seqlen_k, s, DEFAULT_MASK_VALUE)
+        cols = []
+        for ks in range(ksubs):
+            c = s[:, ks * vk : (ks + 1) * vk] if ksubs > 1 else s
+            if fine:
+                # Liveness of fine tile (rsub, ks) as a per-row vector.
+                live_col = (
+                    jax.lax.shift_right_logical(
+                        jnp.broadcast_to(bits, (block_q, 1)),
+                        rsub * ksubs + ks,
+                    )
+                    & 1
+                ) == 1
+                c = jnp.where(live_col, c, DEFAULT_MASK_VALUE)
+            if seqlen_k % block_k != 0:
+                col = (
+                    jax.lax.broadcasted_iota(jnp.int32, (block_q, vk), 1)
+                    + tile * block_k
+                    + ks * vk
+                )
+                c = jnp.where(col < seqlen_k, c, DEFAULT_MASK_VALUE)
+            cols.append(c)
 
         m_prev = m_scr[...]
-        local_max = jnp.max(s, axis=1, keepdims=True)  # [bq, 1]
 
-        # --- QK-Skip detection (softmax.h:194 semantics, fp32) ---
-        # local_max/m_prev are in log2 units; thr is log2-space by
-        # definition, so the comparison is direct.
-        do_qk = (local_max - m_prev[:, :1]) > thr
-        any_do = jnp.any(jnp.logical_and(do_qk, row_valid))
-        vote = jnp.where(
-            j == 0, jnp.int32(0), jnp.logical_not(any_do).astype(jnp.int32)
-        )
-        votes_scr[pl.ds(tile, 1), :] = jnp.full(
-            (1, votes_scr.shape[1]), vote, jnp.int32
-        )
+        # --- QK-Skip detection (softmax.h:194 semantics, fp32) at fine
+        # granularity: per-128-col local max vs the per-row running max;
+        # AND over each 128-row group. local_max/m_prev are in log2
+        # units; thr is log2-space by definition.
+        lm_list = [
+            jnp.max(c, axis=1, keepdims=True) for c in cols
+        ]  # each (block_q, 1)
+        local_max = lm_list[0]
+        for lm in lm_list[1:]:
+            local_max = jnp.maximum(local_max, lm)
 
-        # --- online softmax update (log2 space) ---
+        lane = jax.lax.broadcasted_iota(jnp.int32, (1, MIN_LANES), 1)
+        vote_rows = []
+        for ks in range(ksubs):
+            do_qk = jnp.logical_and(
+                (lm_list[ks] - m_prev[:, :1]) > thr, row_valid
+            )  # (block_q, 1)
+            # Lane l of this row = vote of q-row-group l (l < qsubs).
+            row = jnp.zeros((1, MIN_LANES), jnp.int32)
+            for qs in range(qsubs):
+                any_do = jnp.any(do_qk[qs * vq : (qs + 1) * vq])
+                # First-tile anchor (softmax.h:153): on the FIRST visited
+                # super-tile, the first LIVE fine tile of each row group
+                # is forced to survive. (At finite thr the computed vote
+                # is already 0 for every j==0 live tile since
+                # m_prev = -inf; the forcing matters at thr = +inf.)
+                if fine:
+                    mask_qs = jax.lax.shift_right_logical(
+                        bits, qs * ksubs
+                    ) & ((1 << ksubs) - 1)
+                    first_qs = mask_qs & (-mask_qs)  # lowest set bit
+                    is_anchor = (
+                        jax.lax.shift_right_logical(first_qs, ks) & 1
+                    ) == 1
+                else:
+                    is_anchor = True
+                vote = jnp.where(
+                    jnp.logical_and(j == 0, is_anchor),
+                    jnp.int32(0),
+                    jnp.logical_not(any_do).astype(jnp.int32),
+                )
+                row = jnp.where(lane == qs, vote, row)
+            vote_rows.append(row)
+        vote_blk = (
+            jnp.concatenate(vote_rows, axis=0)
+            if ksubs > 1
+            else vote_rows[0]
+        )
+        votes_scr[pl.ds(tile * ksubs, ksubs), :] = vote_blk
+
+        # --- online softmax update (log2 space), per column group ---
         m_next = jnp.maximum(m_prev, local_max)
-        alpha = jnp.exp2(m_prev[:, :1] - m_next[:, :1])
-        p = jnp.exp2(s - m_next[:, :1])
-        l_curr = jnp.sum(p, axis=1, keepdims=True)
+        m_red = m_next[:, :1]
+        alpha = jnp.exp2(m_prev[:, :1] - m_red)
         m_scr[...] = m_next
+        acc_scr[...] = acc_scr[...] * alpha
+        l_curr = None
+        for ks in range(ksubs):
+            p = jnp.exp2(cols[ks] - m_red)
+            ps = jnp.sum(p, axis=1, keepdims=True)
+            l_curr = ps if l_curr is None else l_curr + ps
+            acc_scr[...] += jax.lax.dot(
+                p.astype(v_blk.dtype),
+                v_blk[ks * vk : (ks + 1) * vk] if ksubs > 1 else v_blk[...],
+                preferred_element_type=jnp.float32,
+                precision=precision,
+            )
         l_scr[...] = alpha * l_scr[...] + l_curr
-        acc_scr[...] = acc_scr[...] * alpha + jax.lax.dot(
-            p.astype(v_blk.dtype),
-            v_blk[...],
-            preferred_element_type=jnp.float32,
-            precision=precision,
-        )
         step_smem[0] = j + 1
 
     d_p = q_ref.shape[-1]
@@ -240,10 +330,248 @@ def _lite_kernel(
     )
     head_col = jax.lax.broadcasted_iota(jnp.int32, (block_q, num_heads), 1)
     lse_ref[0] = jnp.where(head_col == h, lse, lse_ref[0])
-    vote_col = jax.lax.broadcasted_iota(jnp.int32, (kt8, num_heads), 1)
-    votes_ref[0, 0] = jnp.where(
-        vote_col == h, votes_scr[:, :1], votes_ref[0, 0]
+    ktf = votes_scr.shape[0]
+    vote_head = jax.lax.broadcasted_iota(jnp.int32, (ktf, num_heads), 1)
+    vote_lane = jax.lax.broadcasted_iota(
+        jnp.int32, (ktf, MIN_LANES), 1
     )
+    for qs in range(qsubs):
+        # Extract lane qs (the qsub-row-group's votes) exactly.
+        col = jnp.sum(
+            jnp.where(vote_lane == qs, votes_scr[...], 0),
+            axis=1,
+            keepdims=True,
+        )
+        votes_ref[0, 0, qs] = jnp.where(
+            vote_head == h, col, votes_ref[0, 0, qs]
+        )
+
+
+def _lite_gather_kernel(
+    # inputs
+    thr_ref,  # SMEM (1, 1) float32
+    sched_hbm,  # HBM [B, H, Qt, 2R, 128] int32 (fidx rows + qbits rows)
+    q_ref,  # VMEM (1, 1, block_q, D)
+    k_hbm,  # ANY  [B, Hk, Sk_pad, D]
+    v_hbm,  # ANY  [B, Hk, Sk_pad, D]
+    # outputs
+    o_ref,  # VMEM (1, 1, block_q, D)
+    lse_ref,  # VMEM (1, block_q, H)
+    votes_ref,  # VMEM (1, 1, qsubs, ktf8, H) int32
+    # scratch
+    sched_smem,  # SMEM (2R, 128) int32
+    sched_sem,
+    kbuf,  # VMEM (2, gsize, 128, D) double-buffered gathered K tiles
+    vbuf,  # VMEM (2, gsize, 128, D)
+    dma_sems,  # DMA sems (2, 2 * gsize)
+    votes_scr,  # VMEM (ktf8, MIN_LANES) int32; lane l < qsubs = qsub l
+    m_scr,
+    l_scr,
+    acc_scr,
+    *,
+    scale: float,
+    group: int,
+    num_heads: int,
+    block_q: int,
+    seqlen_q: int,
+    seqlen_k: int,
+    qsubs: int,
+    gsize: int,
+    sched_rows: int,
+):
+    """GATHER-schedule sparse forward: the schedule lists surviving FINE
+    (128-wide) k-tiles; each step gathers ``gsize`` of them from
+    anywhere in the sequence via hand-rolled double-buffered DMAs and
+    shares one online-softmax state update. Fine-granularity elimination
+    (the reference's producer-walk granularity, mainloop:1173-1209) at
+    wide-tile VPU economics.
+
+    (DMAs are hand-rolled rather than ``emit_pipeline``: 128-row pipeline
+    blocks faulted Mosaic on v5e -- see CLAUDE.md wedge log.)
+    """
+    b = pl.program_id(0)
+    qi = pl.program_id(1)
+    h = pl.program_id(2)
+    hk = h // group
+    thr = thr_ref[0, 0]
+    vq = block_q // qsubs
+
+    row_dma = pltpu.make_async_copy(
+        sched_hbm.at[b, h, qi], sched_smem, sched_sem
+    )
+    row_dma.start()
+
+    def sched_at(i):
+        return sched_smem[i // 128, i % 128]
+
+    def qbits_at(i):
+        return sched_smem[sched_rows + i // 128, i % 128]
+
+    votes_scr[...] = jnp.ones_like(votes_scr)
+    m_scr[...] = jnp.full_like(m_scr, -jnp.inf)
+    l_scr[...] = jnp.zeros_like(l_scr)
+    acc_scr[...] = jnp.zeros_like(acc_scr)
+
+    row_dma.wait()
+    count = sched_at(0)
+    num_steps = pl.cdiv(count, gsize)
+
+    precision = (
+        jax.lax.Precision.HIGHEST
+        if q_ref.dtype == jnp.float32
+        else jax.lax.Precision.DEFAULT
+    )
+    q = q_ref[0, 0]
+    row_valid = (
+        jax.lax.broadcasted_iota(jnp.int32, (block_q, 1), 0)
+        + qi * block_q
+        < seqlen_q
+    )
+    rsub = jax.lax.broadcasted_iota(jnp.int32, (block_q, 1), 0) // vq
+    lane = jax.lax.broadcasted_iota(jnp.int32, (1, MIN_LANES), 1)
+
+    def k_copy(step, g, slot):
+        idx = sched_at(1 + step * gsize + g)
+        return pltpu.make_async_copy(
+            k_hbm.at[b, hk, pl.ds(idx * VOTE_TILE, VOTE_TILE), :],
+            kbuf.at[slot, g],
+            dma_sems.at[slot, g],
+        )
+
+    def v_copy(step, g, slot):
+        idx = sched_at(1 + step * gsize + g)
+        return pltpu.make_async_copy(
+            v_hbm.at[b, hk, pl.ds(idx * VOTE_TILE, VOTE_TILE), :],
+            vbuf.at[slot, g],
+            dma_sems.at[slot, gsize + g],
+        )
+
+    def start_step(step, slot):
+        for g in range(gsize):
+            k_copy(step, g, slot).start()
+            v_copy(step, g, slot).start()
+
+    start_step(0, 0)
+
+    def body(j, _):
+        slot = jax.lax.rem(j, 2)
+
+        @pl.when(j + 1 < num_steps)
+        def _prefetch():
+            start_step(j + 1, 1 - slot)
+
+        m_prev = m_scr[...]
+        cols = []
+        lm_list = []
+        for g in range(gsize):
+            k_copy(j, g, slot).wait()
+            pos = j * gsize + g
+            fidx = sched_at(1 + pos)
+            qb = qbits_at(1 + pos)
+            valid_entry = pos < count
+            k_blk = kbuf[slot, g]
+            s_g = jax.lax.dot_general(
+                q,
+                k_blk,
+                dimension_numbers=(((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+                precision=precision,
+            ) * (scale * LOG2E)
+            live_col = jnp.logical_and(
+                (
+                    jax.lax.shift_right_logical(
+                        jnp.broadcast_to(qb, (block_q, 1)), rsub
+                    )
+                    & 1
+                )
+                == 1,
+                valid_entry,
+            )
+            s_g = jnp.where(live_col, s_g, DEFAULT_MASK_VALUE)
+            if seqlen_k % VOTE_TILE != 0:
+                col = (
+                    jax.lax.broadcasted_iota(
+                        jnp.int32, (block_q, VOTE_TILE), 1
+                    )
+                    + fidx * VOTE_TILE
+                )
+                s_g = jnp.where(col < seqlen_k, s_g, DEFAULT_MASK_VALUE)
+            lm_g = jnp.max(s_g, axis=1, keepdims=True)
+            # --- per-fine-tile vote (softmax.h:194 semantics) ---
+            do_qk = jnp.logical_and(
+                (lm_g - m_prev[:, :1]) > thr, row_valid
+            )
+            row = jnp.zeros((1, MIN_LANES), jnp.int32)
+            for qs in range(qsubs):
+                any_do = jnp.any(do_qk[qs * vq : (qs + 1) * vq])
+                # Anchor: the globally-first surviving fine tile votes 0
+                # (softmax.h:153); per-row-group anchoring is completed
+                # by update_mask's first-live guard.
+                vote = jnp.where(
+                    jnp.logical_and(j == 0, g == 0),
+                    jnp.int32(0),
+                    jnp.logical_not(any_do).astype(jnp.int32),
+                )
+                row = jnp.where(lane == qs, vote, row)
+
+            @pl.when(valid_entry)
+            def _store_vote(row=row, fidx=fidx):
+                votes_scr[pl.ds(fidx, 1), :] = row
+
+            cols.append(s_g)
+            lm_list.append(lm_g)
+
+        local_max = lm_list[0]
+        for lm in lm_list[1:]:
+            local_max = jnp.maximum(local_max, lm)
+        m_next = jnp.maximum(m_prev, local_max)
+        m_red = m_next[:, :1]
+        alpha = jnp.exp2(m_prev[:, :1] - m_red)
+        m_scr[...] = m_next
+        acc_scr[...] = acc_scr[...] * alpha
+        l_curr = None
+        for g in range(gsize):
+            v_copy(j, g, slot).wait()
+            p = jnp.exp2(cols[g] - m_red)
+            ps = jnp.sum(p, axis=1, keepdims=True)
+            l_curr = ps if l_curr is None else l_curr + ps
+            acc_scr[...] += jax.lax.dot(
+                p.astype(vbuf.dtype),
+                vbuf[slot, g],
+                preferred_element_type=jnp.float32,
+                precision=precision,
+            )
+        l_scr[...] = alpha * l_scr[...] + l_curr
+        return 0
+
+    jax.lax.fori_loop(0, num_steps, body, 0)
+
+    l = l_scr[:, :1]
+    m_col = m_scr[:, :1]
+    empty = m_col <= DEFAULT_MASK_VALUE * 0.5
+    l_inv = jnp.where(
+        jnp.logical_or(empty, l == 0.0), 0.0, 1.0 / jnp.maximum(l, 1e-37)
+    )
+    o_ref[0, 0] = (acc_scr[...] * l_inv).astype(o_ref.dtype)
+    lse = jnp.where(
+        jnp.logical_or(empty, l == 0.0),
+        -jnp.inf,
+        m_col * LN2 + jnp.log(jnp.maximum(l, 1e-37)),
+    )
+    head_col = jax.lax.broadcasted_iota(jnp.int32, (block_q, num_heads), 1)
+    lse_ref[0] = jnp.where(head_col == h, lse, lse_ref[0])
+    ktf = votes_scr.shape[0]
+    vote_head = jax.lax.broadcasted_iota(jnp.int32, (ktf, num_heads), 1)
+    vote_lane = jax.lax.broadcasted_iota(jnp.int32, (ktf, MIN_LANES), 1)
+    for qs in range(qsubs):
+        col = jnp.sum(
+            jnp.where(vote_lane == qs, votes_scr[...], 0),
+            axis=1,
+            keepdims=True,
+        )
+        votes_ref[0, 0, qs] = jnp.where(
+            vote_head == h, col, votes_ref[0, 0, qs]
+        )
 
 
 def _pad_seq(x: jax.Array, block: int) -> jax.Array:
@@ -253,9 +581,122 @@ def _pad_seq(x: jax.Array, block: int) -> jax.Array:
     return x
 
 
+def _lite_gather_call(
+    q, k, v, fidx, count, threshold, qbits,
+    *, scale, block_q, gsize, interpret,
+):
+    """Host side of the gather schedule (see _lite_gather_kernel)."""
+    b, h, sq, d = q.shape
+    hk = k.shape[1]
+    group = h // hk
+    sk = k.shape[2]
+    qsubs = block_q // VOTE_TILE
+
+    qp = _pad_seq(q, block_q)
+    kp = _pad_seq(k, VOTE_TILE)
+    vp = _pad_seq(v, VOTE_TILE)
+    d_pad = (-d) % MIN_LANES
+    if d_pad:
+        pad = ((0, 0), (0, 0), (0, 0), (0, d_pad))
+        qp, kp, vp = jnp.pad(qp, pad), jnp.pad(kp, pad), jnp.pad(vp, pad)
+    d_p = d + d_pad
+    sq_p = qp.shape[2]
+    qt = sq_p // block_q
+    ktf = kp.shape[2] // VOTE_TILE
+    assert fidx.shape == (b, h, qt, ktf), (fidx.shape, (b, h, qt, ktf))
+    assert count.shape == (b, h, qt)
+    assert qbits.shape == (b, h, qt, ktf)
+    ktf8 = max(8, -(-ktf // 8) * 8)
+
+    # Schedule: [count, fidx...] + [0, qbits...]; width covers the
+    # worst-case over-read (up to gsize - 1 phantom entries past count).
+    sched_rows = -(-(1 + ktf + gsize) // MIN_LANES)
+    row_len = sched_rows * MIN_LANES
+
+    def section(head, body):
+        return jnp.concatenate(
+            [
+                head[..., None].astype(jnp.int32),
+                body.astype(jnp.int32),
+                jnp.zeros((b, h, qt, row_len - 1 - ktf), jnp.int32),
+            ],
+            axis=-1,
+        ).reshape(b, h, qt, sched_rows, MIN_LANES)
+
+    schedule = jnp.concatenate(
+        [section(count, fidx), section(jnp.zeros_like(count), qbits)],
+        axis=3,
+    )
+
+    thr = jnp.reshape(threshold.astype(jnp.float32), (1, 1))
+    kernel = functools.partial(
+        _lite_gather_kernel,
+        scale=scale,
+        group=group,
+        num_heads=h,
+        block_q=block_q,
+        seqlen_q=sq,
+        seqlen_k=sk,
+        qsubs=qsubs,
+        gsize=gsize,
+        sched_rows=sched_rows,
+    )
+    grid = (b, qt, h)
+    out, lse, votes = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec(
+                (1, 1), lambda bi, qi, hi: (0, 0), memory_space=pltpu.SMEM
+            ),
+            pl.BlockSpec(memory_space=pltpu.HBM),
+            pl.BlockSpec(
+                (1, 1, block_q, d_p), lambda bi, qi, hi: (bi, hi, qi, 0)
+            ),
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
+        ],
+        out_specs=[
+            pl.BlockSpec(
+                (1, 1, block_q, d_p), lambda bi, qi, hi: (bi, hi, qi, 0)
+            ),
+            pl.BlockSpec((1, block_q, h), lambda bi, qi, hi: (bi, qi, 0)),
+            pl.BlockSpec(
+                (1, 1, qsubs, ktf8, h),
+                lambda bi, qi, hi: (bi, qi, 0, 0, 0),
+            ),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((b, h, sq_p, d_p), q.dtype),
+            jax.ShapeDtypeStruct((b, sq_p, h), jnp.float32),
+            jax.ShapeDtypeStruct((b, qt, qsubs, ktf8, h), jnp.int32),
+        ],
+        scratch_shapes=[
+            pltpu.SMEM((2 * sched_rows, MIN_LANES), jnp.int32),
+            pltpu.SemaphoreType.DMA(()),
+            pltpu.VMEM((2, gsize, VOTE_TILE, d_p), qp.dtype),
+            pltpu.VMEM((2, gsize, VOTE_TILE, d_p), vp.dtype),
+            pltpu.SemaphoreType.DMA((2, 2 * gsize)),
+            pltpu.VMEM((ktf8, MIN_LANES), jnp.int32),
+            pltpu.VMEM((block_q, MIN_LANES), jnp.float32),
+            pltpu.VMEM((block_q, MIN_LANES), jnp.float32),
+            pltpu.VMEM((block_q, d_p), jnp.float32),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "arbitrary"),
+        ),
+        interpret=interpret,
+    )(thr, schedule, qp, kp, vp)
+    out = out[:, :, :sq, :d]
+    lse = jnp.transpose(lse[:, :sq, :], (0, 2, 1))
+    votes = jnp.transpose(votes[:, :, :, :ktf, :], (0, 4, 1, 2, 3))
+    votes = votes.reshape(b, h, qt * qsubs, ktf)
+    return out, lse, votes
+
+
 @functools.partial(
     jax.jit,
-    static_argnames=("scale", "block_sizes", "interpret"),
+    static_argnames=("scale", "block_sizes", "fine_schedule", "interpret"),
 )
 def lite_flash_attention(
     q: jax.Array,
@@ -264,27 +705,51 @@ def lite_flash_attention(
     kv_idx: jax.Array,
     count: jax.Array,
     threshold: jax.Array,
+    kv_bits: Optional[jax.Array] = None,
     scale: Optional[float] = None,
     block_sizes: Optional[BlockSizes] = None,
+    fine_schedule: bool = False,
     interpret: Optional[bool] = None,
 ) -> Tuple[jax.Array, jax.Array, jax.Array]:
     """Sparse flash attention over a compacted skip mask, emitting votes.
 
+    Three schedule modes share this entry:
+
+    * **Coarse** (``kv_bits=None``): the mask is at compute-tile
+      granularity (round-1 behavior; the reference's own granularity
+      model). Votes come back ``[B, H, Qt, Kt]``.
+    * **Fine super-tile** (``kv_bits`` from
+      :func:`liteattention_tpu.ops.mask.compact_mask_fine`): the mask is
+      at 128x128 fine granularity; scheduled super-tiles carry a
+      liveness bitmap, dead fine tiles are masked from the scores, and
+      votes come back ``[B, H, Qt * qsubs, Kt * ksubs]`` (fine).
+      Elimination happens at super-tile granularity (needs clustered
+      sparsity to convert into runtime).
+    * **Gather** (``fine_schedule=True``; inputs from
+      :func:`liteattention_tpu.ops.mask.compact_mask_gather`): the
+      schedule lists surviving FINE k-tiles directly and each pipeline
+      step gathers ``block_k // 128`` of them from anywhere -- runtime
+      scales with fine sparsity itself, no clustering needed. This is
+      the round-2 default engine path (VERDICT item 1).
+
     Args:
       q, k, v: ``[B, H, S, D]`` (bf16/f32). GQA supported when Hk divides H.
       kv_idx: int32 ``[B, H, Qt, Kt]`` compacted surviving k-tile indices
-        (from :func:`liteattention_tpu.ops.mask.compact_mask`).
+        (super-tile granularity).
       count: int32 ``[B, H, Qt]`` surviving counts (>= 1).
       threshold: fp32 scalar (traced -- changing the per-timestep
         calibrated threshold does not recompile; reference
         ``set_threshold``, hopper/lite_attention.py:306-313).
+      kv_bits: optional int32 ``[B, H, Qt, Kt]`` fine-tile liveness
+        bitmaps aligned with ``kv_idx``.
       scale: softmax scale (default 1/sqrt(D)).
 
     Returns:
       out ``[B, H, Sq, D]``, lse fp32 ``[B, H, Sq]``,
-      votes int32 ``[B, H, Qt, Kt]`` (1 = skippable next step; positions
-      outside the current mask are 1 and are neutralized by the monotone
-      update in :func:`liteattention_tpu.ops.mask.update_mask`).
+      votes int32 at the mask's granularity (1 = skippable next step;
+      positions outside the current mask are 1 and are neutralized by
+      the monotone update in
+      :func:`liteattention_tpu.ops.mask.update_mask`).
     """
     if interpret is None:
         interpret = _default_interpret()
@@ -295,10 +760,25 @@ def lite_flash_attention(
     sk = k.shape[2]
     if scale is None:
         scale = 1.0 / (d**0.5)
-    bs = block_sizes or get_block_sizes(d, q.dtype.itemsize)
+    bs = block_sizes or get_block_sizes(d, q.dtype.itemsize, kind="lite")
     block_q, block_k = bs.block_q, bs.block_k
     block_q = min(block_q, max(128, -(-sq // 128) * 128))
     block_k = min(block_k, max(128, -(-sk // 128) * 128))
+    if fine_schedule:
+        assert kv_bits is not None, (
+            "fine_schedule needs (fidx, count, qbits) from "
+            "compact_mask_gather"
+        )
+        return _lite_gather_call(
+            q, k, v, kv_idx, count, threshold, kv_bits,
+            scale=scale, block_q=block_q, gsize=block_k // VOTE_TILE,
+            interpret=interpret,
+        )
+    if kv_bits is None:
+        qsubs = ksubs = 1
+    else:
+        qsubs = max(1, block_q // VOTE_TILE)
+        ksubs = max(1, block_k // VOTE_TILE)
 
     qp = _pad_seq(q, block_q)
     kp = _pad_seq(k, block_k)
@@ -316,21 +796,43 @@ def lite_flash_attention(
     qt, kt = sq_p // block_q, sk_p // block_k
     assert kv_idx.shape == (b, h, qt, kt), (kv_idx.shape, (b, h, qt, kt))
     assert count.shape == (b, h, qt)
-    kt8 = max(8, -(-kt // 8) * 8)
+    ktf = kt * ksubs
+    ktf8 = max(8, -(-ktf // 8) * 8)
 
     # Schedule rows: [count, idx_0, ..., idx_{Kt-1}] per (b, h, q-tile),
     # stored as (R, 128) int32 tiles per row so the per-step HBM->SMEM DMA
-    # slices whole tiles.
+    # slices whole tiles. Fine mode appends a second R-row group holding
+    # the sub-mask bitmaps at the same flat positions (1 + j).
     sched_rows = -(-(1 + kt) // MIN_LANES)
     row_len = sched_rows * MIN_LANES
-    schedule = jnp.concatenate(
-        [
-            count[..., None].astype(jnp.int32),
-            kv_idx.astype(jnp.int32),
-            jnp.zeros((b, h, qt, row_len - 1 - kt), jnp.int32),
-        ],
-        axis=-1,
-    ).reshape(b, h, qt, sched_rows, MIN_LANES)
+    sections = [
+        jnp.concatenate(
+            [
+                count[..., None].astype(jnp.int32),
+                kv_idx.astype(jnp.int32),
+                jnp.zeros((b, h, qt, row_len - 1 - kt), jnp.int32),
+            ],
+            axis=-1,
+        ).reshape(b, h, qt, sched_rows, MIN_LANES)
+    ]
+    if kv_bits is not None:
+        assert kv_bits.shape == (b, h, qt, kt)
+        sections.append(
+            jnp.concatenate(
+                [
+                    jnp.zeros((b, h, qt, 1), jnp.int32),
+                    kv_bits.astype(jnp.int32),
+                    jnp.zeros((b, h, qt, row_len - 1 - kt), jnp.int32),
+                ],
+                axis=-1,
+            ).reshape(b, h, qt, sched_rows, MIN_LANES)
+        )
+    schedule = (
+        jnp.concatenate(sections, axis=3)
+        if len(sections) > 1
+        else sections[0]
+    )
+    smem_rows = sched_rows * len(sections)
 
     thr = jnp.reshape(threshold.astype(jnp.float32), (1, 1))
     kernel = functools.partial(
@@ -342,6 +844,9 @@ def lite_flash_attention(
         block_k=block_k,
         seqlen_q=sq,
         seqlen_k=sk,
+        qsubs=qsubs,
+        ksubs=ksubs,
+        sched_rows=sched_rows,
     )
     grid = (b, qt, h)
     out, lse, votes = pl.pallas_call(
@@ -366,19 +871,20 @@ def lite_flash_attention(
             ),
             pl.BlockSpec((1, block_q, h), lambda bi, qi, hi: (bi, qi, 0)),
             pl.BlockSpec(
-                (1, 1, kt8, h), lambda bi, qi, hi: (bi, qi, 0, 0)
+                (1, 1, qsubs, ktf8, h),
+                lambda bi, qi, hi: (bi, qi, 0, 0, 0),
             ),
         ],
         out_shape=[
             jax.ShapeDtypeStruct((b, h, sq_p, d_p), q.dtype),
             jax.ShapeDtypeStruct((b, sq_p, h), jnp.float32),
-            jax.ShapeDtypeStruct((b, qt, kt8, h), jnp.int32),
+            jax.ShapeDtypeStruct((b, qt, qsubs, ktf8, h), jnp.int32),
         ],
         scratch_shapes=[
-            pltpu.SMEM((sched_rows, MIN_LANES), jnp.int32),
+            pltpu.SMEM((smem_rows, MIN_LANES), jnp.int32),
             pltpu.SemaphoreType.DMA(()),
             pltpu.SMEM((1,), jnp.int32),
-            pltpu.VMEM((kt8, MIN_LANES), jnp.int32),
+            pltpu.VMEM((ktf8, MIN_LANES), jnp.int32),
             pltpu.VMEM((block_q, MIN_LANES), jnp.float32),
             pltpu.VMEM((block_q, MIN_LANES), jnp.float32),
             pltpu.VMEM((block_q, d_p), jnp.float32),
@@ -390,8 +896,11 @@ def lite_flash_attention(
     )(thr, schedule, qp, kp, vp)
     out = out[:, :, :sq, :d]
     lse = jnp.transpose(lse[:, :sq, :], (0, 2, 1))
-    votes = jnp.transpose(votes[:, :, :kt, :], (0, 3, 1, 2))
+    # votes [B, Qt, qsubs, ktf8, H] -> [B, H, Qt*qsubs, Ktf] (fine) or
+    # [B, H, Qt, Kt] (coarse; qsubs == ksubs == 1).
+    votes = jnp.transpose(votes[:, :, :, :ktf, :], (0, 4, 1, 2, 3))
+    votes = votes.reshape(b, h, qt * qsubs, ktf)
     return out, lse, votes
 
 
-__all__ = ["lite_flash_attention", "LOG2E"]
+__all__ = ["lite_flash_attention", "LOG2E", "VOTE_TILE"]

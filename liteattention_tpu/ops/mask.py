@@ -148,6 +148,18 @@ def update_mask(
     if must_do is not None:
         keep = jnp.logical_or(keep, must_do)
     new_do = jnp.logical_and(state.do_mask, keep)
+    # First-live-tile anchor: a row may never go fully empty (the
+    # reference guarantees this in-kernel by forcing the first visited
+    # tile's vote false, softmax.h:153 + mainloop:88-92; with sub-tile
+    # vote granularity the equivalent global invariant is enforced here:
+    # if every surviving tile of a row voted skip, retain the row's first
+    # surviving tile).
+    empty = jnp.logical_not(jnp.any(new_do, axis=-1, keepdims=True))
+    first_live = jnp.logical_and(
+        state.do_mask,
+        jnp.cumsum(state.do_mask.astype(jnp.int32), axis=-1) == 1,
+    )
+    new_do = jnp.logical_or(new_do, jnp.logical_and(empty, first_live))
     return SkipMaskState(do_mask=new_do, step=state.step + 1)
 
 
@@ -178,6 +190,100 @@ def compact_mask(do_mask: jax.Array) -> Tuple[jax.Array, jax.Array]:
     )
     kv_idx = jnp.where(pos < count[..., None], order, last)
     return kv_idx, count.astype(jnp.int32)
+
+
+@functools.partial(jax.jit, static_argnames=("qsubs", "ksubs"))
+def compact_mask_fine(
+    do_mask: jax.Array, qsubs: int, ksubs: int
+) -> Tuple[jax.Array, jax.Array, jax.Array]:
+    """Hierarchical compaction of a FINE-granularity mask.
+
+    The round-2 sub-tile design (VERDICT item 1): the mask lives at the
+    reference's ~128x128 granularity (cf. tile_size.h:10-48) while the
+    kernel computes at a larger (block_q, block_k) tile; one compute tile
+    covers ``qsubs x ksubs`` fine tiles. A compute super-tile is
+    scheduled iff ANY of its fine tiles survives; within a visited
+    super-tile, dead fine tiles are masked out of the scores and each
+    fine tile gets its own skip vote.
+
+    Args:
+      do_mask: bool[B, H, Qtf, Ktf] fine mask.
+      qsubs, ksubs: fine tiles per compute tile along q / k
+        (``block_q // 128``, ``block_k // 128``). ``qsubs * ksubs`` must
+        be <= 32 (the sub-mask rides one int32 per scheduled tile).
+
+    Returns:
+      kv_idx: int32[B, H, Qt, Kt] compacted surviving SUPER-tile indices
+        (same contract as :func:`compact_mask`).
+      count: int32[B, H, Qt] surviving super-tile counts (>= 1).
+      kv_bits: int32[B, H, Qt, Kt] sub-tile liveness bitmaps aligned with
+        ``kv_idx``: bit (qs * ksubs + ks) of ``kv_bits[..., j]`` is the
+        liveness of fine tile (qs, ks) inside super-tile ``kv_idx[..., j]``.
+    """
+    assert qsubs * ksubs <= 32, "sub-mask must fit an int32 per tile"
+    b, h, qtf, ktf = do_mask.shape
+    qt, kt = cdiv(qtf, qsubs), cdiv(ktf, ksubs)
+    pad = ((0, 0), (0, 0), (0, qt * qsubs - qtf), (0, kt * ksubs - ktf))
+    fine = jnp.pad(do_mask, pad)  # padded fine tiles are dead
+    fine = fine.reshape(b, h, qt, qsubs, kt, ksubs)
+    superm = jnp.any(fine, axis=(3, 5))
+    kv_idx, count = compact_mask(superm)
+    weights = (
+        1 << (
+            jnp.arange(qsubs, dtype=jnp.int32)[:, None] * ksubs
+            + jnp.arange(ksubs, dtype=jnp.int32)[None, :]
+        )
+    )
+    bits = jnp.sum(
+        fine.astype(jnp.int32) * weights[None, None, None, :, None, :],
+        axis=(3, 5),
+    )
+    kv_bits = jnp.take_along_axis(bits, kv_idx, axis=-1)
+    return kv_idx, count, kv_bits
+
+
+@functools.partial(jax.jit, static_argnames=("qsubs",))
+def compact_mask_gather(
+    do_mask: jax.Array, qsubs: int
+) -> Tuple[jax.Array, jax.Array, jax.Array]:
+    """FINE-granularity compaction for the GATHER schedule.
+
+    Unlike :func:`compact_mask_fine` (which schedules compute
+    super-tiles and loses elimination whenever any covered fine tile
+    survives), the gather schedule lists the surviving FINE k-tiles
+    themselves; the kernel fetches ``block_k // 128`` of them per
+    pipeline step from wherever they live. Eliminated compute is then
+    proportional to fine sparsity with no clustering requirement -- the
+    TPU analog of the reference's 128-granular producer walk
+    (mainloop_fwd_sm90_tma_gmma_ws.hpp:1173-1209 at tile_size.h
+    granularity).
+
+    Args:
+      do_mask: bool[B, H, Qtf, Ktf] fine mask.
+      qsubs: fine q-tiles per compute q-tile (``block_q // 128``).
+
+    Returns:
+      fidx: int32[B, H, Qt, Ktf] surviving fine k-tile indices in
+        increasing order (tail repeats the last; one row per compute
+        q-tile = the union over its ``qsubs`` fine rows).
+      count: int32[B, H, Qt] number of surviving fine tiles (>= 1).
+      qbits: int32[B, H, Qt, Ktf] aligned with ``fidx``: bit qs is the
+        liveness of fine tile (qs, fidx[j]).
+    """
+    assert qsubs <= 32
+    b, h, qtf, ktf = do_mask.shape
+    qt = cdiv(qtf, qsubs)
+    fine = jnp.pad(do_mask, ((0, 0), (0, 0), (0, qt * qsubs - qtf), (0, 0)))
+    fine = fine.reshape(b, h, qt, qsubs, ktf)
+    live_k = jnp.any(fine, axis=3)  # [B, H, Qt, Ktf]
+    fidx, count = compact_mask(live_k)
+    weights = 1 << jnp.arange(qsubs, dtype=jnp.int32)
+    bits = jnp.sum(
+        fine.astype(jnp.int32) * weights[None, None, None, :, None],
+        axis=3,
+    )
+    qbits = jnp.take_along_axis(bits, fidx, axis=-1)
+    return fidx, count, qbits
 
 
 def sparsity(do_mask: jax.Array) -> jax.Array:
@@ -252,6 +358,8 @@ __all__ = [
     "must_do_mask",
     "update_mask",
     "compact_mask",
+    "compact_mask_fine",
+    "compact_mask_gather",
     "sparsity",
     "mask_to_range_list",
     "range_list_to_mask",

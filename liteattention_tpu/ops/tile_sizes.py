@@ -13,9 +13,11 @@ Guidelines (see /opt/skills/guides docs):
   * bigger q-blocks amortize per-grid-step overhead and k/v reloads;
   * bigger k-blocks cut DMA count but grow the fp32 scores tile
     (block_q x block_k x 4 bytes) -- the VMEM heavy hitter;
-  * the skip-mask granularity equals (block_q, block_k): smaller k-blocks
-    expose more sparsity (the quality/speed knob of the whole engine), so
-    we keep block_k at 256 and scale block_q with head_dim instead.
+  * the skip-mask (vote) granularity is decoupled from the compute tile:
+    the lite kernel votes at 128x128 sub-tiles regardless of
+    (block_q, block_k), so the compute tile is chosen purely for speed
+    (reference-granularity sparsity at 512-tile cost; VERDICT round-1
+    item 1).
 """
 
 from __future__ import annotations
@@ -43,22 +45,44 @@ def get_block_sizes(
     head_dim: int,
     dtype_bytes: int = 2,
     override: Optional[Tuple[int, int]] = None,
+    kind: str = "dense",
 ) -> BlockSizes:
     """Pick (block_q, block_k) for a head dim / element size.
 
     The public analog of ``LiteAttention.get_MN``
     (hopper/lite_attention.py:88-111); callers use it to size skip masks
     consistently with the kernels.
+
+    Measured on-chip (v5e, 73.7k tokens, h=8, d=128, bf16; round-2
+    ``tools/perf_sweep.py``, same-process ratios):
+
+      dense tile        ms      MFU
+      (256,  512)     368.6    0.31
+      (512,  512)     340.0    0.33
+      (768,  512)     278.5    0.41
+      (512,  768)     245.7    0.46
+      (1024, 512)     268.2    0.42
+      (512, 1024)     193.1    0.59
+      (1024,1024)     188.5    0.60
+      stock pallas flash_attention: default 0.09, tuned-1024 0.57.
+
+    The DENSE default is (512, 1024): within 3% of the best measured
+    point with half the VMEM footprint of (1024, 1024), and it beats the
+    tuned stock kernel. The LITE default stays (512, 512): the skip
+    SCHEDULING granularity equals block_k (a super-tile is eliminated
+    only when every covered fine tile is dead), and the measured
+    sparsity->runtime conversion at (512, 512) dominates the wider tiles
+    (1.07+ of ideal up to 57% clustered sparsity vs 0.67-0.92).
     """
     if override is not None:
         return BlockSizes(*override)
-    # Measured on v5e (16k tokens, d=128, bf16): (512, 512) hits ~60
-    # TFLOP/s vs ~30 at (256, 256) -- fewer grid steps amortize the
-    # per-tile scratch rescales and pipeline bubbles. 512-wide k-tiles
-    # are also the skip-mask granularity; see module docstring.
+    if kind == "lite":
+        if head_dim <= 128:
+            return BlockSizes(512, 512)
+        return BlockSizes(256, 512)
     if head_dim <= 128:
-        return BlockSizes(512, 512)
-    return BlockSizes(256, 512)
+        return BlockSizes(512, 1024)
+    return BlockSizes(256, 1024)
 
 
 __all__ = ["BlockSizes", "get_block_sizes"]

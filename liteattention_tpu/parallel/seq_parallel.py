@@ -35,11 +35,14 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from liteattention_tpu.ops.combine import combine_attention_psum
 from liteattention_tpu.ops.flash_fwd import flash_attention
-from liteattention_tpu.ops.lite_flash_fwd import lite_flash_attention
+from liteattention_tpu.ops.lite_flash_fwd import (
+    VOTE_TILE,
+    lite_flash_attention,
+)
 from liteattention_tpu.ops.mask import (
     SkipMaskState,
     cdiv,
-    compact_mask,
+    compact_mask_gather,
     init_mask,
     update_mask,
 )
@@ -86,13 +89,15 @@ def make_seq_parallel_attention(
         head_dim: int,
         dtype_bytes: int = 2,
     ) -> SkipMaskState:
-        bs = block_sizes or get_block_sizes(head_dim, dtype_bytes)
+        bs = block_sizes or get_block_sizes(head_dim, dtype_bytes, kind="lite")
         assert seqlen_k % (n * bs.block_k) == 0, (
             f"seqlen_k={seqlen_k} must divide evenly into {n} shards of "
             f"block_k={bs.block_k} tiles"
         )
+        # Fine-granularity mask (matches lite_attention_init); shard
+        # constraint above keeps per-chip fine tiles block-aligned.
         st = init_mask(
-            batch, heads, seqlen_q, seqlen_k, bs.block_q, bs.block_k
+            batch, heads, seqlen_q, seqlen_k, VOTE_TILE, VOTE_TILE
         )
         spec = seq_parallel_spec(axis_name)["state"]
         return SkipMaskState(
@@ -104,11 +109,16 @@ def make_seq_parallel_attention(
 
     def _local_step(state_mask, step, q, k_shard, v_shard, thr):
         d = q.shape[-1]
-        bs = block_sizes or get_block_sizes(d, q.dtype.itemsize)
-        kv_idx, count = compact_mask(state_mask)
-        out_l, lse_l, votes = lite_flash_attention(
-            q, k_shard, v_shard, kv_idx, count, thr, block_sizes=bs
+        bs = block_sizes or get_block_sizes(d, q.dtype.itemsize, kind="lite")
+        bq = min(bs.block_q, max(128, cdiv(q.shape[2], 128) * 128))
+        fidx, count, qbits = compact_mask_gather(
+            state_mask, bq // VOTE_TILE
         )
+        out_l, lse_l, votes = lite_flash_attention(
+            q, k_shard, v_shard, fidx, count, thr, kv_bits=qbits,
+            block_sizes=bs, fine_schedule=True,
+        )
+        votes = votes[:, :, : state_mask.shape[2], : state_mask.shape[3]]
         out, lse = combine_attention_psum(out_l, lse_l, axis_name)
         new_state = update_mask(SkipMaskState(state_mask, step), votes)
         return out, lse, new_state.do_mask, new_state.step
@@ -164,11 +174,16 @@ def seq_parallel_attention_step(
 
     def local(do_mask, step, q, k_sh, v_sh, thr):
         d = q.shape[-1]
-        bs = block_sizes or get_block_sizes(d, q.dtype.itemsize)
-        kv_idx, count = compact_mask(do_mask)
-        o_l, lse_l, votes = lite_flash_attention(
-            q, k_sh, v_sh, kv_idx, count, thr, block_sizes=bs
+        bs = block_sizes or get_block_sizes(d, q.dtype.itemsize, kind="lite")
+        bq = min(bs.block_q, max(128, cdiv(q.shape[2], 128) * 128))
+        fidx, count, qbits = compact_mask_gather(
+            do_mask, bq // VOTE_TILE
         )
+        o_l, lse_l, votes = lite_flash_attention(
+            q, k_sh, v_sh, fidx, count, thr, kv_bits=qbits,
+            block_sizes=bs, fine_schedule=True,
+        )
+        votes = votes[:, :, : do_mask.shape[2], : do_mask.shape[3]]
         out, _ = combine_attention_psum(o_l, lse_l, axis_name)
         st = update_mask(SkipMaskState(do_mask, step), votes)
         return out, st.do_mask, st.step
