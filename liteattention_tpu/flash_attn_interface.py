@@ -36,7 +36,12 @@ from liteattention_tpu.ops.flash_fwd import (
 )
 from liteattention_tpu.ops.lite_flash_fwd import lite_flash_attention
 from liteattention_tpu.ops.paged_attention import paged_attention
-from liteattention_tpu.ops.mask import compact_mask, update_mask, SkipMaskState
+from liteattention_tpu.ops.mask import (
+    SkipMaskState,
+    compact_mask,
+    compact_mask_gather,
+    update_mask,
+)
 from liteattention_tpu.ops.tile_sizes import BlockSizes, get_block_sizes
 
 
@@ -112,7 +117,10 @@ def flash_attn_func(
     kh = _bshd_to_bhsd(k)
     vh = _bshd_to_bhsd(v)
     d = q.shape[-1]
-    bs = block_sizes or get_block_sizes(d, q.dtype.itemsize)
+    bs = block_sizes or get_block_sizes(
+        d, q.dtype.itemsize,
+        kind="dense" if attn_read_list is None else "lite",
+    )
     window = None if window_size == (-1, -1) else tuple(window_size)
     if attn_read_list is None:
         out, lse = flash_attention_masked(
@@ -135,7 +143,28 @@ def flash_attn_func(
             "alibi (matching the reference's lean skipable build, "
             "hopper/setup.py:47-68)"
         )
-        kv_idx, count = compact_mask(attn_read_list)
+        # Mask granularity is inferred from its shape: FINE (128x128,
+        # the round-2 default matching the reference's resolution) or
+        # COARSE (compute-tile granularity; static blocksparse masks).
+        sq, sk = q.shape[1], k.shape[1]
+        bq = min(bs.block_q, max(128, -(-sq // 128) * 128))
+        bk = min(bs.block_k, max(128, -(-sk // 128) * 128))
+        qtm, ktm = attn_read_list.shape[-2:]
+        fine_shape = (-(-sq // 128), -(-sk // 128))
+        coarse_shape = (-(-sq // bq), -(-sk // bk))
+        fine = (qtm, ktm) == fine_shape
+        if fine:
+            kv_idx, count, kv_bits = compact_mask_gather(
+                attn_read_list, bq // 128
+            )
+        elif (qtm, ktm) == coarse_shape:
+            kv_idx, count = compact_mask(attn_read_list)
+            kv_bits = None
+        else:
+            raise ValueError(
+                f"attn_read_list tile grid {(qtm, ktm)} matches neither "
+                f"fine {fine_shape} nor coarse {coarse_shape} granularity"
+            )
         out, lse, votes = lite_flash_attention(
             qh,
             kh,
@@ -143,9 +172,12 @@ def flash_attn_func(
             kv_idx,
             count,
             jnp.asarray(thr, jnp.float32),
+            kv_bits=kv_bits,
             scale=softmax_scale,
             block_sizes=bs,
+            fine_schedule=fine,
         )
+        votes = votes[:, :, :qtm, :ktm]
         st = update_mask(
             SkipMaskState(attn_read_list, jnp.zeros((), jnp.int32)),
             votes,
@@ -202,6 +234,37 @@ def flash_attn_kvpacked_func(
     )
 
 
+def _gather_rotary(tab, pos):
+    """tab [seqlen_ro, rd/2] fp32, pos int32 [B, S] -> [B, S, rd/2]."""
+    return jnp.take(tab.astype(jnp.float32), pos, axis=0)
+
+
+def _apply_rotary_batched(x, cos, sin, interleaved):
+    """Rotary with per-batch per-position tables.
+
+    ``x``: [B, S, H, D]; ``cos``/``sin``: [B, S, rd/2]. Matches the
+    reference's kvcache rotary semantics (rotary_interleaved flag,
+    partial rotary over the first 2*rd/2 features).
+    """
+    ro = 2 * cos.shape[-1]
+    d = x.shape[-1]
+    xf = x[..., :ro].astype(jnp.float32)
+    c = cos[:, :, None, :]
+    s = sin[:, :, None, :]
+    if interleaved:
+        x1, x2 = xf[..., 0::2], xf[..., 1::2]
+        rot = jnp.stack(
+            [x1 * c - x2 * s, x1 * s + x2 * c], axis=-1
+        ).reshape(xf.shape)
+    else:
+        x1, x2 = jnp.split(xf, 2, axis=-1)
+        rot = jnp.concatenate([x1 * c - x2 * s, x1 * s + x2 * c], axis=-1)
+    rot = rot.astype(x.dtype)
+    if ro < d:
+        rot = jnp.concatenate([rot, x[..., ro:]], axis=-1)
+    return rot
+
+
 def flash_attn_varlen_func(
     q: jax.Array,
     k: jax.Array,
@@ -210,15 +273,28 @@ def flash_attn_varlen_func(
     cu_seqlens_k: jax.Array,
     max_seqlen_q: Optional[int] = None,
     max_seqlen_k: Optional[int] = None,
+    seqused_q: Optional[jax.Array] = None,
+    seqused_k: Optional[jax.Array] = None,
     softmax_scale: Optional[float] = None,
     causal: bool = False,
+    qv=None,
+    q_descale=None,
+    k_descale=None,
+    v_descale=None,
+    window_size: Tuple[int, int] = (-1, -1),
+    attention_chunk: int = 0,
+    softcap: float = 0.0,
+    num_splits: int = 1,
+    pack_gqa=None,
+    deterministic: bool = False,
+    sm_margin: int = 0,
     return_softmax_lse: bool = False,
     block_sizes: Optional[BlockSizes] = None,
 ):
     """Variable-length attention over packed sequences.
 
     Parity target: ``flash_attn_varlen_func`` (reference
-    hopper/_internal/flash_attn_interface.py). Inputs are packed
+    hopper/_internal/flash_attn_interface.py:637-683). Inputs are packed
     ``[total_tokens, heads, head_dim]`` with ``cu_seqlens_* [B+1]``
     int32 prefix sums. On TPU the per-sequence boundaries become
     segment-id masking inside the dense kernel (the idiomatic
@@ -226,10 +302,23 @@ def flash_attn_varlen_func(
     flash_prepare_scheduler.cu); ``max_seqlen_*`` are accepted for
     signature parity but unused (the grid is static).
 
-    Causal masking is applied per segment: positions are compared on
-    the packed axis, and cross-segment pairs are masked regardless.
+    ``seqused_q``/``seqused_k`` restrict each sequence to its first N
+    tokens (reference semantics); masked-out q rows produce zero output
+    and -inf lse.
+
+    Causal / sliding-window masking is applied per segment: positions
+    are compared on the packed axis, which equals the per-segment
+    relative comparison iff q and k share the packing -- asserted.
     """
-    del max_seqlen_q, max_seqlen_k
+    if qv is not None or attention_chunk:
+        raise NotImplementedError(
+            "qv-packed fp8 path / attention_chunk are not supported"
+        )
+    assert q_descale is None and k_descale is None and v_descale is None, (
+        "fp8 descales are not supported (bf16/f32 kernels)"
+    )
+    del max_seqlen_q, max_seqlen_k, num_splits, pack_gqa, deterministic
+    del sm_margin
     tq, h, d = q.shape
     tk = k.shape[0]
     # token -> segment index via prefix-sum search.
@@ -237,21 +326,41 @@ def flash_attn_varlen_func(
     pos_k = jnp.arange(tk)
     seg_q = (
         jnp.searchsorted(cu_seqlens_q[1:], pos_q, side="right")
-    ).astype(jnp.int32)[None]
+    ).astype(jnp.int32)
     seg_k = (
         jnp.searchsorted(cu_seqlens_k[1:], pos_k, side="right")
-    ).astype(jnp.int32)[None]
+    ).astype(jnp.int32)
+    if seqused_q is not None:
+        # Tokens past seqused_q[i] within sequence i are dead q rows:
+        # give them a segment id that matches no key.
+        local_q = pos_q - jnp.take(cu_seqlens_q, seg_q)
+        seg_q = jnp.where(
+            local_q < jnp.take(seqused_q.astype(jnp.int32), seg_q),
+            seg_q,
+            -1,
+        )
+    if seqused_k is not None:
+        local_k = pos_k - jnp.take(cu_seqlens_k, seg_k)
+        seg_k = jnp.where(
+            local_k < jnp.take(seqused_k.astype(jnp.int32), seg_k),
+            seg_k,
+            -2,
+        )
+    seg_q = seg_q[None]
+    seg_k = seg_k[None]
     qh = jnp.transpose(q, (1, 0, 2))[None]
     kh = jnp.transpose(k, (1, 0, 2))[None]
     vh = jnp.transpose(v, (1, 0, 2))[None]
     d_model = q.shape[-1]
     bs = block_sizes or get_block_sizes(d_model, q.dtype.itemsize)
-    if causal:
-        # Global-position causal + segment equality == segment-local
-        # causality, provided q and k share the packing (self-attention
-        # varlen). Cross-packing causal varlen is not supported.
+    window = None if tuple(window_size) == (-1, -1) else tuple(window_size)
+    if causal or window is not None:
+        # Global-position causal/window + segment equality == the
+        # segment-local predicate, provided q and k share the packing
+        # (self-attention varlen). Cross-packing is not supported.
         assert tq == tk, (
-            "causal varlen requires identical q/k packing (self-attention)"
+            "causal/windowed varlen requires identical q/k packing "
+            "(self-attention)"
         )
         try:
             import numpy as _np
@@ -261,8 +370,9 @@ def flash_attn_varlen_func(
                 .all()
             )
             assert same, (
-                "causal varlen requires cu_seqlens_q == cu_seqlens_k "
-                "(cross-packing causality is undefined on the packed axis)"
+                "causal/windowed varlen requires cu_seqlens_q == "
+                "cu_seqlens_k (cross-packing positions are undefined on "
+                "the packed axis)"
             )
         except jax.errors.TracerArrayConversionError:
             pass  # traced cu_seqlens: caller's responsibility
@@ -274,6 +384,8 @@ def flash_attn_varlen_func(
         kv_segments=seg_k,
         scale=softmax_scale,
         causal=causal,
+        window=window,
+        softcap=softcap,
         block_sizes=bs,
         return_lse=True,
     )
@@ -283,59 +395,223 @@ def flash_attn_varlen_func(
     return out
 
 
+def flash_attn_varlen_qkvpacked_func(
+    qkv: jax.Array,
+    cu_seqlens: jax.Array,
+    max_seqlen: Optional[int] = None,
+    softmax_scale: Optional[float] = None,
+    causal: bool = False,
+    **kwargs,
+):
+    """Packed-QKV varlen attention (reference
+    flash_attn/flash_attn_interface.py:1212). ``qkv``: [total, 3, H, D]."""
+    return flash_attn_varlen_func(
+        qkv[:, 0],
+        qkv[:, 1],
+        qkv[:, 2],
+        cu_seqlens,
+        cu_seqlens,
+        max_seqlen,
+        max_seqlen,
+        softmax_scale=softmax_scale,
+        causal=causal,
+        **kwargs,
+    )
+
+
+def flash_attn_varlen_kvpacked_func(
+    q: jax.Array,
+    kv: jax.Array,
+    cu_seqlens_q: jax.Array,
+    cu_seqlens_k: jax.Array,
+    max_seqlen_q: Optional[int] = None,
+    max_seqlen_k: Optional[int] = None,
+    softmax_scale: Optional[float] = None,
+    causal: bool = False,
+    **kwargs,
+):
+    """Packed-KV varlen attention (reference
+    flash_attn/flash_attn_interface.py:1278). ``kv``: [total_k, 2, H, D]."""
+    return flash_attn_varlen_func(
+        q,
+        kv[:, 0],
+        kv[:, 1],
+        cu_seqlens_q,
+        cu_seqlens_k,
+        max_seqlen_q,
+        max_seqlen_k,
+        softmax_scale=softmax_scale,
+        causal=causal,
+        **kwargs,
+    )
+
+
 def flash_attn_with_kvcache(
     q: jax.Array,
     k_cache: jax.Array,
     v_cache: jax.Array,
     k: Optional[jax.Array] = None,
     v: Optional[jax.Array] = None,
-    cache_seqlens: Optional[jax.Array] = None,
+    qv=None,
+    rotary_cos: Optional[jax.Array] = None,
+    rotary_sin: Optional[jax.Array] = None,
+    cache_seqlens: Optional[Union[int, jax.Array]] = None,
+    cache_batch_idx: Optional[jax.Array] = None,
+    cache_leftpad: Optional[jax.Array] = None,
     page_table: Optional[jax.Array] = None,
+    cu_seqlens_q: Optional[jax.Array] = None,
+    cu_seqlens_k_new: Optional[jax.Array] = None,
+    max_seqlen_q: Optional[int] = None,
+    rotary_seqlens: Optional[jax.Array] = None,
+    q_descale=None,
+    k_descale=None,
+    v_descale=None,
     softmax_scale: Optional[float] = None,
-    causal: bool = True,
+    causal: bool = False,
+    window_size: Tuple[int, int] = (-1, -1),
+    attention_chunk: int = 0,
+    softcap: float = 0.0,
+    rotary_interleaved: bool = True,
+    scheduler_metadata=None,
     num_splits: int = 1,
+    pack_gqa=None,
+    sm_margin: int = 0,
     return_softmax_lse: bool = False,
     block_sizes: Optional[BlockSizes] = None,
 ):
     """Decode/append attention against a fixed-capacity KV cache.
 
     Parity target: ``flash_attn_with_kvcache`` (reference
-    hopper/_internal/flash_attn_interface.py). ``k_cache``/``v_cache``
-    are ``[B, S_max, Hk, D]``; optional new ``k``/``v`` ``[B, S_new, Hk,
-    D]`` are written at ``cache_seqlens`` (per batch) and attended.
-    Returns out (and updated caches via the return tuple -- JAX is
-    functional; the reference updates in place).
+    hopper/_internal/flash_attn_interface.py:688-861; same argument
+    order through ``return_softmax_lse``). ``k_cache``/``v_cache`` are
+    ``[B, S_max, Hk, D]`` (or ``[num_pages, page_size, Hk, D]`` with
+    ``page_table``); optional new ``k``/``v`` ``[B, S_new, Hk, D]`` are
+    written at ``cache_seqlens`` (per batch) and attended. Returns out
+    (and updated caches via the return tuple -- JAX is functional; the
+    reference updates in place).
+
+    Supported reference extras: ``rotary_cos``/``rotary_sin`` (+
+    ``rotary_interleaved``, ``rotary_seqlens``) applied to q and new k
+    pre-kernel at the reference's positions; ``cache_batch_idx``
+    (gather/scatter around the kernel); ``cache_leftpad`` (per-batch
+    first valid key); ``window_size``; ``softcap``; paged decode AND
+    paged append/prefill (new tokens are scattered into their pages
+    first, then attended).
+
+    Not supported (documented descopes): fp8 (``qv``/descales), varlen-q
+    batches (``cu_seqlens_q``/``cu_seqlens_k_new``), skip lists in the
+    decode path. ``causal`` defaults to False like the reference.
 
     Causality is bottom-right aligned: new query i attends cache
-    positions < cache_seqlens + i + 1.
+    positions < cache_seqlens + appended - S_new + i + 1.
     """
-    if page_table is not None:
-        # Paged cache (reference page_table path, flash_api.cpp paged-KV
-        # heuristics): caches are [num_pages, page_size, Hk, D] page
-        # pools; decode-only (one query token), no in-call append.
-        assert k is None and v is None, (
-            "paged flash_attn_with_kvcache does not append in-call; "
-            "write new tokens into their page first"
+    if qv is not None or attention_chunk:
+        raise NotImplementedError(
+            "qv-packed fp8 path / attention_chunk are not supported"
         )
-        assert q.shape[1] == 1, "paged path is decode-only (seqlen_q == 1)"
-        assert cache_seqlens is not None
-        kp = jnp.transpose(k_cache, (2, 0, 1, 3))  # [Hk, pages, psz, D]
-        vp = jnp.transpose(v_cache, (2, 0, 1, 3))
-        out = paged_attention(
-            q[:, 0],
-            kp,
-            vp,
-            cache_seqlens.astype(jnp.int32),
-            page_table.astype(jnp.int32),
-            scale=softmax_scale,
-        )[:, None]
-        return out
-
-    b, s_max, hk, d = k_cache.shape
+    assert q_descale is None and k_descale is None and v_descale is None, (
+        "fp8 descales are not supported (bf16/f32 kernels)"
+    )
+    if cu_seqlens_q is not None or cu_seqlens_k_new is not None:
+        raise NotImplementedError(
+            "varlen-q kvcache batches are not supported; pad q instead"
+        )
+    del scheduler_metadata, pack_gqa, sm_margin, max_seqlen_q
+    if num_splits == 0:
+        num_splits = 1  # reference heuristic knob; Mosaic schedules
+    b = q.shape[0]
     s_new = q.shape[1]
+    window = None if tuple(window_size) == (-1, -1) else tuple(window_size)
     if cache_seqlens is None:
         cache_seqlens = jnp.zeros((b,), jnp.int32)
+    elif isinstance(cache_seqlens, int):
+        cache_seqlens = jnp.full((b,), cache_seqlens, jnp.int32)
     cache_seqlens = cache_seqlens.astype(jnp.int32)
+
+    if rotary_cos is not None:
+        assert rotary_sin is not None
+        rot_base = (
+            rotary_seqlens.astype(jnp.int32)
+            if rotary_seqlens is not None
+            else cache_seqlens
+        )
+        # Reference semantics (flash_attn_interface.py:734-739): k is
+        # rotated at positions cache_seqlens + i; q likewise when causal
+        # or local, else all q rows at position cache_seqlens.
+        if causal or window is not None:
+            pos_q = rot_base[:, None] + jnp.arange(s_new)[None]
+        else:
+            pos_q = jnp.broadcast_to(rot_base[:, None], (b, s_new))
+        q = _apply_rotary_batched(
+            q,
+            _gather_rotary(rotary_cos, pos_q),
+            _gather_rotary(rotary_sin, pos_q),
+            rotary_interleaved,
+        )
+        if k is not None:
+            pos_k = rot_base[:, None] + jnp.arange(k.shape[1])[None]
+            k = _apply_rotary_batched(
+                k,
+                _gather_rotary(rotary_cos, pos_k),
+                _gather_rotary(rotary_sin, pos_k),
+                rotary_interleaved,
+            )
+
+    if page_table is not None:
+        # Paged cache (reference page_table path, flash_api.cpp paged-KV
+        # heuristics): caches are [num_pages, page_size, Hk, D] pools.
+        assert cache_batch_idx is None and cache_leftpad is None, (
+            "cache_batch_idx/cache_leftpad with page_table are not "
+            "supported (the page table already indirects)"
+        )
+        assert window is None and softcap == 0.0, (
+            "window/softcap on the paged path are not supported"
+        )
+        num_pages, page_size, hk, dd = k_cache.shape
+        appended = 0
+        if k is not None:
+            # Scatter the new tokens into their pages (the reference's
+            # in-kernel paged append, mainloop append path).
+            appended = k.shape[1]
+            pos = cache_seqlens[:, None] + jnp.arange(appended)[None]
+            page_of = jnp.take_along_axis(
+                page_table.astype(jnp.int32), pos // page_size, axis=1
+            )
+            slot = pos % page_size
+            k_cache = k_cache.at[page_of.reshape(-1), slot.reshape(-1)].set(
+                k.reshape(-1, hk, dd)
+            )
+            v_cache = v_cache.at[page_of.reshape(-1), slot.reshape(-1)].set(
+                v.reshape(-1, hk, dd)
+            )
+        lengths = cache_seqlens + appended
+        kp = jnp.transpose(k_cache, (2, 0, 1, 3))  # [Hk, pages, psz, D]
+        vp = jnp.transpose(v_cache, (2, 0, 1, 3))
+        res = paged_attention(
+            q,
+            kp,
+            vp,
+            lengths,
+            page_table.astype(jnp.int32),
+            scale=softmax_scale,
+            causal=causal,
+            return_lse=return_softmax_lse,
+        )
+        out, lse = res if return_softmax_lse else (res, None)
+        result = [out]
+        if return_softmax_lse:
+            result.append(lse)
+        if k is not None:
+            result.append((k_cache, v_cache))
+        return result[0] if len(result) == 1 else tuple(result)
+
+    full_k_cache, full_v_cache = k_cache, v_cache
+    if cache_batch_idx is not None:
+        idx = cache_batch_idx.astype(jnp.int32)
+        k_cache = jnp.take(k_cache, idx, axis=0)
+        v_cache = jnp.take(v_cache, idx, axis=0)
+
+    b_c, s_max, hk, d = k_cache.shape
     if k is not None:
         def put(cache, new, off):
             return jax.lax.dynamic_update_slice(
@@ -347,14 +623,15 @@ def flash_attn_with_kvcache(
     kh = _bshd_to_bhsd(k_cache)
     vh = _bshd_to_bhsd(v_cache)
     bs = block_sizes or get_block_sizes(d, q.dtype.itemsize)
-    # Valid cache region: [0, cache_seqlens + appended). Bottom-right
-    # causality aligns the last query with the last valid position, so
-    # the kernel bound is total - s_new when causal (with no appended
-    # k/v, queries must NOT see slots past cache_seqlens -- they hold
-    # zeros/stale data).
+    # Valid cache region: [cache_leftpad, cache_seqlens + appended). The
+    # kernel receives the TOTAL valid length and applies bottom-right
+    # causality (col < total - s_new + row + 1) when ``causal``.
     appended = 0 if k is None else s_new
     total = cache_seqlens + appended
-    bound = total - s_new if causal else total
+    kv_low = (
+        cache_leftpad.astype(jnp.int32) if cache_leftpad is not None
+        else None
+    )
     if num_splits > 1:
         # Split-KV decode (the reference's num_splits + combine-kernel
         # path, flash_api.cpp:437-466 + flash_fwd_combine_kernel.h): the
@@ -367,17 +644,19 @@ def flash_attn_with_kvcache(
         outs, lses = [], []
         for i in range(num_splits):
             lo = i * chunk
-            # Shifted (possibly negative / oversized) bound: the kernel
-            # predicate col_local < (bound - lo) [+ row + 1] is then
-            # exactly the global predicate in every split.
-            split_bound = bound - lo
+            # Shifted (possibly negative / oversized) bounds: the kernel
+            # predicates on col_local are then exactly the global
+            # predicates in every split.
             o_i, lse_i = flash_attention_masked(
                 qh,
                 kh[:, :, lo : lo + chunk],
                 vh[:, :, lo : lo + chunk],
-                kv_bound=split_bound,
+                kv_bound=total - lo,
+                kv_low=None if kv_low is None else kv_low - lo,
                 scale=softmax_scale,
                 bound_causal=causal,
+                window=window,
+                softcap=softcap,
                 block_sizes=bs,
                 return_lse=True,
             )
@@ -391,9 +670,12 @@ def flash_attn_with_kvcache(
             qh,
             kh,
             vh,
-            kv_bound=bound,
+            kv_bound=total,
+            kv_low=kv_low,
             scale=softmax_scale,
             bound_causal=causal,
+            window=window,
+            softcap=softcap,
             block_sizes=bs,
             return_lse=True,
         )
@@ -404,7 +686,12 @@ def flash_attn_with_kvcache(
     if k is not None:
         # JAX is functional: the updated caches are returned rather than
         # mutated in place as the reference does.
-        result.append((k_cache, v_cache))
+        if cache_batch_idx is not None:
+            full_k_cache = full_k_cache.at[idx].set(k_cache)
+            full_v_cache = full_v_cache.at[idx].set(v_cache)
+            result.append((full_k_cache, full_v_cache))
+        else:
+            result.append((k_cache, v_cache))
     return result[0] if len(result) == 1 else tuple(result)
 
 
@@ -445,6 +732,8 @@ __all__ = [
     "flash_attn_qkvpacked_func",
     "flash_attn_kvpacked_func",
     "flash_attn_varlen_func",
+    "flash_attn_varlen_qkvpacked_func",
+    "flash_attn_varlen_kvpacked_func",
     "flash_attn_with_kvcache",
     "flash_attn_combine",
     "get_scheduler_metadata",

@@ -104,4 +104,39 @@ __all__ = [
     "falcon_config",
     "llama_config",
     "bigcode_config",
+    "baichuan_config",
+    "btlm_config",
 ]
+
+
+def baichuan_config(dim=4096, num_layers=32, num_heads=32,
+                    vocab=125696) -> GPTConfig:
+    """Baichuan (reference models/baichuan.py): LLaMA geometry with
+    RMSNorm + SwiGLU; 7B (dim < 5000) uses rotary, 13B uses ALiBi --
+    the same hidden-size inference hack as the reference
+    (models/baichuan.py:116-143)."""
+    use_rotary = dim < 5000
+    return GPTConfig(
+        vocab_size=vocab, max_position_embeddings=0, dim=dim,
+        num_layers=num_layers, num_heads=num_heads,
+        ffn_dim=int(dim * 8 / 3) // 128 * 128,
+        rotary_emb_dim=dim // num_heads if use_rotary else 0,
+        use_alibi=not use_rotary, gated_mlp=True, use_rms_norm=True,
+        tie_embeddings=False,
+    )
+
+
+def btlm_config(dim=2560, num_layers=32, num_heads=32, vocab=50257,
+                mup_width_scale=0.1, mup_embeddings_scale=14.6,
+                mup_output_alpha=2.22) -> GPTConfig:
+    """BTLM-3B (reference models/btlm.py): ALiBi positions, SwiGLU, muP
+    multipliers (embeddings scale, output alpha * width scale on the
+    logits, 1/d attention scaling; models/btlm.py:81-100)."""
+    return GPTConfig(
+        vocab_size=vocab, max_position_embeddings=0, dim=dim,
+        num_layers=num_layers, num_heads=num_heads,
+        gated_mlp=True, use_alibi=True,
+        embeddings_multiplier=mup_embeddings_scale,
+        logits_multiplier=mup_output_alpha * mup_width_scale,
+        scale_qk_dot_by_d=True, tie_embeddings=True,
+    )

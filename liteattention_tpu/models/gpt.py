@@ -48,6 +48,12 @@ class GPTConfig:
     gated_mlp: bool = False  # LLaMA-style SwiGLU
     parallel_block: bool = False  # GPT-J/NeoX fused block
     use_rms_norm: bool = False
+    use_alibi: bool = False  # baichuan-13B / BTLM position scheme
+    # muP knobs (reference models/btlm.py:97-100): embedding/logit
+    # multipliers and 1/d attention scaling.
+    embeddings_multiplier: float = 1.0
+    logits_multiplier: float = 1.0
+    scale_qk_dot_by_d: bool = False
     tie_embeddings: bool = True
     dropout: float = 0.0
     eps: float = 1e-5
@@ -96,6 +102,8 @@ class GPTModel(nn.Module):
             param_dtype=jnp.float32,
             name="wte",
         )(input_ids)
+        if cfg.embeddings_multiplier != 1.0:
+            x = x * cfg.embeddings_multiplier
         if cfg.max_position_embeddings:
             offset = (
                 inference_params.seqlen_offset if inference_params else 0
@@ -111,6 +119,7 @@ class GPTModel(nn.Module):
 
         residual = None
         for i in range(cfg.num_layers):
+            head_dim = cfg.dim // cfg.num_heads
             mixer = lambda: MHA(
                 embed_dim=cfg.dim,
                 num_heads=cfg.num_heads,
@@ -118,6 +127,10 @@ class GPTModel(nn.Module):
                 causal=True,
                 rotary_emb_dim=cfg.rotary_emb_dim,
                 rotary_emb_base=cfg.rotary_emb_base,
+                use_alibi=cfg.use_alibi,
+                softmax_scale=(
+                    1.0 / head_dim if cfg.scale_qk_dot_by_d else None
+                ),
                 dropout=cfg.dropout,
                 dtype=cfg.dtype,
                 name="mha",
@@ -184,6 +197,8 @@ class GPTLMHeadModel(nn.Module):
                 param_dtype=jnp.float32,
                 name="lm_head",
             )(hidden)
+        if self.cfg.logits_multiplier != 1.0:
+            logits = logits * self.cfg.logits_multiplier
         return logits.astype(jnp.float32)
 
 

@@ -51,6 +51,23 @@ def _split_heads(x, num_heads):
     return x.reshape(b, s, num_heads, -1)
 
 
+def alibi_slopes(nheads: int):
+    """Standard ALiBi slope schedule (geometric from 2^(-8/n); the
+    non-power-of-two interleave matches the reference's
+    flash_attn/models usage of the train-short-test-long recipe)."""
+    import math
+
+    def pow2(n):
+        start = 2.0 ** (-(2.0 ** -(math.log2(n) - 3)))
+        return [start * (start**i) for i in range(n)]
+
+    if math.log2(nheads).is_integer():
+        return jnp.asarray(pow2(nheads), jnp.float32)
+    closest = 2 ** int(math.floor(math.log2(nheads)))
+    extra = pow2(2 * closest)[0::2][: nheads - closest]
+    return jnp.asarray(pow2(closest) + extra, jnp.float32)
+
+
 class MHA(nn.Module):
     """Self/cross multi-head attention (reference modules/mha.py:373).
 
@@ -72,6 +89,7 @@ class MHA(nn.Module):
     rotary_emb_dim: int = 0
     rotary_emb_base: float = 10000.0
     rotary_emb_interleaved: bool = False
+    use_alibi: bool = False
     dtype: Any = jnp.bfloat16
     block_sizes: Optional[BlockSizes] = None
 
@@ -93,6 +111,14 @@ class MHA(nn.Module):
                 qh.astype(jnp.float32),
                 kh_r.astype(jnp.float32),
             ) * sc
+            if self.use_alibi:
+                sq, sk = s.shape[-2], s.shape[-1]
+                row = jax.lax.broadcasted_iota(jnp.int32, (sq, sk), 0)
+                col = jax.lax.broadcasted_iota(jnp.int32, (sq, sk), 1)
+                rel = row + (sk - sq) - col
+                dist = (rel if causal else jnp.abs(rel)).astype(jnp.float32)
+                sl = alibi_slopes(s.shape[1])
+                s = s - sl[None, :, None, None] * dist[None, None]
             if causal:
                 sq, sk = s.shape[-2], s.shape[-1]
                 row = jax.lax.broadcasted_iota(jnp.int32, (sq, sk), 0)
@@ -109,9 +135,15 @@ class MHA(nn.Module):
             bs = self.block_sizes or get_block_sizes(
                 qh.shape[-1], q.dtype.itemsize
             )
-            out = flash_attention(
-                qh, kh, vh, scale=scale, causal=causal, block_sizes=bs
-            )
+            if self.use_alibi:
+                out = flash_attention_masked(
+                    qh, kh, vh, scale=scale, causal=causal,
+                    alibi_slopes=alibi_slopes(qh.shape[1]), block_sizes=bs,
+                )
+            else:
+                out = flash_attention(
+                    qh, kh, vh, scale=scale, causal=causal, block_sizes=bs
+                )
         return out.transpose(0, 2, 1, 3)
 
     @nn.compact
@@ -183,12 +215,18 @@ class MHA(nn.Module):
             # reference's CUDA-graph decode cache
             # (flash_attn/utils/generation.py). Bottom-right causality
             # covers both prefill (offset 0) and appended tokens.
-            bound_val = offset if self.causal else offset + k.shape[1]
-            bound = jnp.full((kc.shape[0],), bound_val, jnp.int32)
+            # kv_bound = TOTAL valid key length (the kernel subtracts the
+            # static q length for bottom-right causal alignment).
+            bound = jnp.full(
+                (kc.shape[0],), offset + k.shape[1], jnp.int32
+            )
             out = flash_attention_masked(
                 q.transpose(0, 2, 1, 3),
                 kc.transpose(0, 2, 1, 3),
                 vc.transpose(0, 2, 1, 3),
+                alibi_slopes=(
+                    alibi_slopes(h) if self.use_alibi else None
+                ),
                 kv_bound=bound,
                 scale=self.softmax_scale,
                 bound_causal=self.causal,

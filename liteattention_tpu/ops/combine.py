@@ -45,10 +45,17 @@ def combine_attention(
     m_safe = jnp.where(jnp.isfinite(m), m, 0.0)
     w = jnp.exp(lse32 - m_safe)
     w_sum = jnp.sum(w, axis=axis, keepdims=True)
+    # Rows where every split is empty (w_sum == 0, e.g. num_splits decode
+    # with cache_seqlens == 0) follow the kernels' empty-row convention:
+    # zero output, -inf lse (reference epilogue store_zero,
+    # flash_fwd_kernel_sm90.h:557-567) -- not 0/0 NaN.
+    denom = jnp.maximum(w_sum, jnp.finfo(jnp.float32).tiny)
     out = jnp.sum(
         partial_out.astype(jnp.float32) * jnp.expand_dims(w, -1), axis=axis
-    ) / jnp.squeeze(jnp.expand_dims(w_sum, -1), axis)
-    lse = jnp.squeeze(m_safe + jnp.log(w_sum), axis)
+    ) / jnp.squeeze(jnp.expand_dims(denom, -1), axis)
+    lse = jnp.squeeze(
+        jnp.where(w_sum == 0.0, -jnp.inf, m_safe + jnp.log(denom)), axis
+    )
     return out.astype(partial_out.dtype), lse
 
 
@@ -70,8 +77,10 @@ def combine_attention_psum(
     w = jnp.exp(lse32 - m_safe)
     w_sum = jax.lax.psum(w, axis_name)
     out = jax.lax.psum(out_local.astype(jnp.float32) * w[..., None], axis_name)
-    out = out / w_sum[..., None]
-    lse = m_safe + jnp.log(w_sum)
+    # Same all-shards-empty guard as combine_attention: 0 out, -inf lse.
+    denom = jnp.maximum(w_sum, jnp.finfo(jnp.float32).tiny)
+    out = out / denom[..., None]
+    lse = jnp.where(w_sum == 0.0, -jnp.inf, m_safe + jnp.log(denom))
     return out.astype(out_local.dtype), lse
 
 

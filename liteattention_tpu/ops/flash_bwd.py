@@ -71,6 +71,8 @@ def _dq_kernel(
     has_segments: bool = False,
     has_bound: bool = False,
     bound_causal: bool = False,
+    bound_offset: int = 0,
+    has_low: bool = False,
     window=None,
     softcap: float = 0.0,
     has_alibi: bool = False,
@@ -79,6 +81,7 @@ def _dq_kernel(
     qseg_ref = rest.pop(0) if has_segments else None
     kseg_ref = rest.pop(0) if has_segments else None
     bound_ref = rest.pop(0) if has_bound else None
+    low_ref = rest.pop(0) if has_low else None
     alibi_ref = rest.pop(0) if has_alibi else None
     dq_ref, dq_acc = rest
     qi = pl.program_id(1)
@@ -137,15 +140,17 @@ def _dq_kernel(
                 jax.lax.broadcasted_iota(jnp.int32, (block_q, block_k), 1)
                 + ki * block_k
             )
-            dist = (
-                (arow - acol) if causal else jnp.abs(arow - acol)
-            ).astype(jnp.float32)
+            # Bottom-right-aligned rel pos (matches _fwd_kernel):
+            # rel = row + causal_offset - col.
+            rel = arow + causal_offset - acol
+            dist = (rel if causal else jnp.abs(rel)).astype(jnp.float32)
             s = s - slope * LOG2E * dist
         if (
             causal
             or seqlen_k % block_k != 0
             or has_segments
             or has_bound
+            or has_low
             or window is not None
         ):
             col = (
@@ -164,14 +169,23 @@ def _dq_kernel(
                 ks = kseg_ref[...]
                 valid = jnp.logical_and(valid, qs == ks)
             if has_bound:
+                # kv_bound = per-batch TOTAL valid key length;
+                # bound_offset = static seqlen_q (matches _fwd_kernel).
                 bound = bound_ref[0, 0, 0]
                 if bound_causal:
-                    valid = jnp.logical_and(valid, col < bound + row + 1)
+                    valid = jnp.logical_and(
+                        valid, col < bound - bound_offset + row + 1
+                    )
                 else:
                     valid = jnp.logical_and(valid, col < bound)
+            if has_low:
+                valid = jnp.logical_and(valid, col >= low_ref[0, 0, 0])
             if window is not None:
                 left, right = window
-                pos = row + causal_offset
+                if has_bound:
+                    pos = row + (bound_ref[0, 0, 0] - bound_offset)
+                else:
+                    pos = row + causal_offset
                 if left >= 0:
                     valid = jnp.logical_and(valid, col >= pos - left)
                 if right >= 0:
@@ -225,6 +239,8 @@ def _dkv_kernel(
     has_segments: bool = False,
     has_bound: bool = False,
     bound_causal: bool = False,
+    bound_offset: int = 0,
+    has_low: bool = False,
     window=None,
     softcap: float = 0.0,
     has_alibi: bool = False,
@@ -233,6 +249,7 @@ def _dkv_kernel(
     qseg_ref = rest.pop(0) if has_segments else None
     kseg_ref = rest.pop(0) if has_segments else None
     bound_ref = rest.pop(0) if has_bound else None
+    low_ref = rest.pop(0) if has_low else None
     alibi_ref = rest.pop(0) if has_alibi else None
     dk_ref, dv_ref, dk_acc, dv_acc = rest
     ki = pl.program_id(1)
@@ -293,15 +310,17 @@ def _dkv_kernel(
                 jax.lax.broadcasted_iota(jnp.int32, (block_q, block_k), 1)
                 + ki * block_k
             )
-            dist = (
-                (arow - acol) if causal else jnp.abs(arow - acol)
-            ).astype(jnp.float32)
+            # Bottom-right-aligned rel pos (matches _fwd_kernel):
+            # rel = row + causal_offset - col.
+            rel = arow + causal_offset - acol
+            dist = (rel if causal else jnp.abs(rel)).astype(jnp.float32)
             s = s - slope * LOG2E * dist
         if (
             causal
             or seqlen_k % block_k != 0
             or has_segments
             or has_bound
+            or has_low
             or window is not None
         ):
             col = (
@@ -320,14 +339,23 @@ def _dkv_kernel(
                 ks = kseg_ref[...]
                 valid = jnp.logical_and(valid, qs == ks)
             if has_bound:
+                # kv_bound = per-batch TOTAL valid key length;
+                # bound_offset = static seqlen_q (matches _fwd_kernel).
                 bound = bound_ref[0, 0, 0]
                 if bound_causal:
-                    valid = jnp.logical_and(valid, col < bound + row + 1)
+                    valid = jnp.logical_and(
+                        valid, col < bound - bound_offset + row + 1
+                    )
                 else:
                     valid = jnp.logical_and(valid, col < bound)
+            if has_low:
+                valid = jnp.logical_and(valid, col >= low_ref[0, 0, 0])
             if window is not None:
                 left, right = window
-                pos = row + causal_offset
+                if has_bound:
+                    pos = row + (bound_ref[0, 0, 0] - bound_offset)
+                else:
+                    pos = row + causal_offset
                 if left >= 0:
                     valid = jnp.logical_and(valid, col >= pos - left)
                 if right >= 0:
@@ -395,6 +423,7 @@ def flash_attention_bwd(
     kv_segments: Optional[jax.Array] = None,
     kv_bound: Optional[jax.Array] = None,
     bound_causal: bool = False,
+    kv_low: Optional[jax.Array] = None,
     window=None,
     softcap: float = 0.0,
     alibi_slopes: Optional[jax.Array] = None,
@@ -447,6 +476,13 @@ def flash_attention_bwd(
                 kv_bound.astype(jnp.int32).reshape(b, 1, 1), (b, 1, sk_p)
             )
         )
+    has_low = kv_low is not None
+    if has_low:
+        extra_inputs.append(
+            jnp.broadcast_to(
+                kv_low.astype(jnp.int32).reshape(b, 1, 1), (b, 1, sk_p)
+            )
+        )
     has_alibi = alibi_slopes is not None
     if has_alibi:
         hp = max(128, -(-h // 128) * 128)
@@ -471,6 +507,8 @@ def flash_attention_bwd(
         has_segments=has_segments,
         has_bound=has_bound,
         bound_causal=bound_causal,
+        bound_offset=sq,
+        has_low=has_low,
         window=window,
         softcap=softcap,
         has_alibi=has_alibi,
@@ -493,6 +531,10 @@ def flash_attention_bwd(
             pl.BlockSpec((1, block_k), lambda bi, qi, hi, ki: (0, ki)),
         ]
     if has_bound:
+        extra_specs_dq.append(
+            pl.BlockSpec((1, 1, block_k), lambda bi, qi, hi, ki: (bi, 0, ki))
+        )
+    if has_low:
         extra_specs_dq.append(
             pl.BlockSpec((1, 1, block_k), lambda bi, qi, hi, ki: (bi, 0, ki))
         )
@@ -543,6 +585,10 @@ def flash_attention_bwd(
             pl.BlockSpec((1, block_k), lambda bi, ki, hi, qi: (0, ki)),
         ]
     if has_bound:
+        extra_specs_dkv.append(
+            pl.BlockSpec((1, 1, block_k), lambda bi, ki, hi, qi: (bi, 0, ki))
+        )
+    if has_low:
         extra_specs_dkv.append(
             pl.BlockSpec((1, 1, block_k), lambda bi, ki, hi, qi: (bi, 0, ki))
         )

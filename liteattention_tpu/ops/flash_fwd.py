@@ -55,6 +55,8 @@ def _fwd_kernel(
     has_segments: bool = False,
     has_bound: bool = False,
     bound_causal: bool = False,
+    bound_offset: int = 0,
+    has_low: bool = False,
     window: "Optional[Tuple[int, int]]" = None,
     softcap: float = 0.0,
     has_alibi: bool = False,
@@ -63,6 +65,7 @@ def _fwd_kernel(
     qseg_ref = rest.pop(0) if has_segments else None
     kseg_ref = rest.pop(0) if has_segments else None
     bound_ref = rest.pop(0) if has_bound else None
+    low_ref = rest.pop(0) if has_low else None
     alibi_ref = rest.pop(0) if has_alibi else None
     o_ref, lse_ref, m_scr, l_scr, acc_scr = rest
     # Grid is (B, Qt, H, Kt): Kt innermost (the online-softmax reduction),
@@ -140,11 +143,12 @@ def _fwd_kernel(
                 jax.lax.broadcasted_iota(jnp.int32, (block_q, block_k), 1)
                 + ki * block_k
             )
-            dist = (
-                (arow - acol)
-                if causal
-                else jnp.abs(arow - acol)
-            ).astype(jnp.float32)
+            # Bottom-right-aligned relative position (reference
+            # tests/test_flash_attn.py attn_bias_from_alibi_slopes):
+            # rel = row + seqlen_k - seqlen_q - col; |rel| when
+            # non-causal. causal_offset == seqlen_k - seqlen_q.
+            rel = arow + causal_offset - acol
+            dist = (rel if causal else jnp.abs(rel)).astype(jnp.float32)
             s = s - slope * LOG2E * dist
 
         needs_k_mask = seqlen_k % block_k != 0
@@ -153,6 +157,7 @@ def _fwd_kernel(
             or causal
             or has_segments
             or has_bound
+            or has_low
             or window is not None
         ):
             col = (
@@ -177,21 +182,34 @@ def _fwd_kernel(
                 ks = kseg_ref[...]  # (1, block_k)
                 valid = jnp.logical_and(valid, qs == ks)
             if has_bound:
-                # Per-batch key bound (KV cache / right-padded batches).
+                # Per-batch key end (KV cache / right-padded batches):
+                # ``bound`` is the TOTAL valid key length; ``bound_offset``
+                # is the (static) query length, so the bottom-right-aligned
+                # append-causal predicate is
+                # col < bound - seqlen_q + row + 1 (FA kvcache alignment).
                 bound = bound_ref[0, 0, 0]
                 if bound_causal:
-                    # Append-causal: new q row i sees cols < bound + i + 1
-                    # (FA "bottom-right" alignment for kv-cache decode).
-                    valid = jnp.logical_and(valid, col < bound + row + 1)
+                    valid = jnp.logical_and(
+                        valid, col < bound - bound_offset + row + 1
+                    )
                 else:
                     valid = jnp.logical_and(valid, col < bound)
+            if has_low:
+                # Per-batch key start (reference cache_leftpad): keys
+                # before the start index are padding.
+                valid = jnp.logical_and(valid, col >= low_ref[0, 0, 0])
             if window is not None:
                 # Sliding-window (local) attention, reference
                 # window_size=(left, right) semantics around the
                 # bottom-right-aligned position: row attends
-                # [pos-left, pos+right]; -1 means unbounded.
+                # [pos-left, pos+right]; -1 means unbounded. With a
+                # per-batch bound the alignment is per batch
+                # (pos = row + total - seqlen_q).
                 left, right = window
-                pos = row + causal_offset
+                if has_bound:
+                    pos = row + (bound_ref[0, 0, 0] - bound_offset)
+                else:
+                    pos = row + causal_offset
                 if left >= 0:
                     valid = jnp.logical_and(valid, col >= pos - left)
                 if right >= 0:
@@ -259,6 +277,7 @@ def _flash_forward_impl(
     kv_segments: Optional[jax.Array] = None,
     kv_bound: Optional[jax.Array] = None,
     bound_causal: bool = False,
+    kv_low: Optional[jax.Array] = None,
     window: Optional[Tuple[int, int]] = None,
     softcap: float = 0.0,
     alibi_slopes: Optional[jax.Array] = None,
@@ -319,6 +338,15 @@ def _flash_forward_impl(
         extra_specs.append(
             pl.BlockSpec((1, 1, block_k), lambda bi, qi, hi, ki: (bi, 0, ki))
         )
+    has_low = kv_low is not None
+    if has_low:
+        kl = jnp.broadcast_to(
+            kv_low.astype(jnp.int32).reshape(b, 1, 1), (b, 1, sk_p)
+        )
+        extra_inputs.append(kl)
+        extra_specs.append(
+            pl.BlockSpec((1, 1, block_k), lambda bi, qi, hi, ki: (bi, 0, ki))
+        )
     has_alibi = alibi_slopes is not None
     if has_alibi:
         # Accept both reference forms: (nheads,) shared or
@@ -346,6 +374,8 @@ def _flash_forward_impl(
         has_segments=has_segments,
         has_bound=has_bound,
         bound_causal=bound_causal,
+        bound_offset=sq,
+        has_low=has_low,
         window=window,
         softcap=softcap,
         has_alibi=has_alibi,
@@ -398,32 +428,33 @@ def _flash_forward_impl(
 
 
 @functools.partial(
-    jax.custom_vjp, nondiff_argnums=(7, 8, 9, 10, 11, 12, 13)
+    jax.custom_vjp, nondiff_argnums=(8, 9, 10, 11, 12, 13, 14)
 )
 def _flash_core(
-    q, k, v, q_segments, kv_segments, kv_bound, alibi_slopes,
+    q, k, v, q_segments, kv_segments, kv_bound, kv_low, alibi_slopes,
     scale, causal, bound_causal, window, softcap, block_sizes, interpret,
 ):
     return _flash_forward_impl(
         q, k, v, scale, causal, block_sizes, interpret,
         q_segments=q_segments, kv_segments=kv_segments,
-        kv_bound=kv_bound, bound_causal=bound_causal,
+        kv_bound=kv_bound, bound_causal=bound_causal, kv_low=kv_low,
         window=window, softcap=softcap, alibi_slopes=alibi_slopes,
     )
 
 
 def _flash_core_fwd(
-    q, k, v, q_segments, kv_segments, kv_bound, alibi_slopes,
+    q, k, v, q_segments, kv_segments, kv_bound, kv_low, alibi_slopes,
     scale, causal, bound_causal, window, softcap, block_sizes, interpret,
 ):
     out, lse = _flash_forward_impl(
         q, k, v, scale, causal, block_sizes, interpret,
         q_segments=q_segments, kv_segments=kv_segments,
-        kv_bound=kv_bound, bound_causal=bound_causal,
+        kv_bound=kv_bound, bound_causal=bound_causal, kv_low=kv_low,
         window=window, softcap=softcap, alibi_slopes=alibi_slopes,
     )
     return (out, lse), (
-        q, k, v, out, lse, q_segments, kv_segments, kv_bound, alibi_slopes
+        q, k, v, out, lse, q_segments, kv_segments, kv_bound, kv_low,
+        alibi_slopes,
     )
 
 
@@ -436,16 +467,18 @@ def _flash_core_bwd(
     # (hopper/_internal/flash_attn_interface.py FlashAttnFunc.backward).
     from liteattention_tpu.ops.flash_bwd import flash_attention_bwd
 
-    q, k, v, out, lse, q_segments, kv_segments, kv_bound, alibi = res
+    q, k, v, out, lse, q_segments, kv_segments, kv_bound, kv_low, alibi = (
+        res
+    )
     do, _ = grads
     dq, dk, dv = flash_attention_bwd(
         q, k, v, out, lse, do, scale, causal,
         block_sizes=block_sizes, interpret=interpret,
         q_segments=q_segments, kv_segments=kv_segments,
-        kv_bound=kv_bound, bound_causal=bound_causal,
+        kv_bound=kv_bound, bound_causal=bound_causal, kv_low=kv_low,
         window=window, softcap=softcap, alibi_slopes=alibi,
     )
-    return dq, dk, dv, None, None, None, None
+    return dq, dk, dv, None, None, None, None, None
 
 
 _flash_core.defvjp(_flash_core_fwd, _flash_core_bwd)
@@ -479,8 +512,8 @@ def flash_attention(
     if scale is None:
         scale = 1.0 / (q.shape[-1] ** 0.5)
     out, lse = _flash_core(
-        q, k, v, None, None, None, None, scale, causal, False, None, 0.0,
-        block_sizes, interpret,
+        q, k, v, None, None, None, None, None, scale, causal, False, None,
+        0.0, block_sizes, interpret,
     )
     if return_lse:
         return out, lse
@@ -507,6 +540,7 @@ def flash_attention_masked(
     q_segments: Optional[jax.Array] = None,
     kv_segments: Optional[jax.Array] = None,
     kv_bound: Optional[jax.Array] = None,
+    kv_low: Optional[jax.Array] = None,
     alibi_slopes: Optional[jax.Array] = None,
     scale: Optional[float] = None,
     causal: bool = False,
@@ -523,17 +557,20 @@ def flash_attention_masked(
     sequences + segment ids; reference
     hopper/_internal/flash_attn_interface.py flash_attn_varlen_func) and
     ``flash_attn_with_kvcache`` (per-batch ``kv_bound``;
-    flash_attn_interface.py flash_attn_with_kvcache). ``bound_causal``
-    applies bottom-right-aligned causality against the bound (decode
-    append). Differentiable w.r.t. q/k/v (the Pallas backward kernels
-    apply identical masking).
+    flash_attn_interface.py flash_attn_with_kvcache). ``kv_bound`` is the
+    per-batch TOTAL valid key length; ``bound_causal`` applies
+    bottom-right-aligned causality against it (q row i sees cols
+    < kv_bound - seqlen_q + i + 1 -- decode append). ``kv_low`` is the
+    per-batch first valid key (reference ``cache_leftpad``).
+    Differentiable w.r.t. q/k/v (the Pallas backward kernels apply
+    identical masking).
     """
     if interpret is None:
         interpret = _default_interpret()
     if scale is None:
         scale = 1.0 / (q.shape[-1] ** 0.5)
     out, lse = _flash_core(
-        q, k, v, q_segments, kv_segments, kv_bound, alibi_slopes,
+        q, k, v, q_segments, kv_segments, kv_bound, kv_low, alibi_slopes,
         scale, causal, bound_causal, window, softcap, block_sizes,
         interpret,
     )

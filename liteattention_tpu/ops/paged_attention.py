@@ -47,6 +47,7 @@ def _paged_kernel(
     v_pages,  # ANY [Hk, num_pages, page_size, D]
     # outputs
     o_ref,  # VMEM (1, 1, group, D)
+    lse_ref,  # VMEM (1, 1, group, MIN_LANES) fp32
     # scratch
     step_smem,  # SMEM (1,) int32
     m_scr,
@@ -56,6 +57,8 @@ def _paged_kernel(
     scale: float,
     page_size: int,
     group: int,
+    seqlen_q: int,
+    causal: bool,
 ):
     b = pl.program_id(0)
     hk = pl.program_id(1)
@@ -66,6 +69,13 @@ def _paged_kernel(
     l_scr[...] = jnp.zeros_like(l_scr)
     acc_scr[...] = jnp.zeros_like(acc_scr)
     step_smem[0] = 0
+    # f32 inputs must force full-precision MXU passes (the default
+    # silently rounds through bf16 -- found by the on-chip parity smoke).
+    precision = (
+        jax.lax.Precision.HIGHEST
+        if q_ref.dtype == jnp.float32
+        else jax.lax.Precision.DEFAULT
+    )
 
     q = q_ref[0, 0]  # (group, D)
 
@@ -76,13 +86,22 @@ def _paged_kernel(
             k_blk[0],
             dimension_numbers=(((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32,
+            precision=precision,
         )  # (group, page_size)
         s = s * (scale * LOG2E)
         col = (
             jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
             + j * page_size
         )
-        s = jnp.where(col < length, s, DEFAULT_MASK_VALUE)
+        if causal and seqlen_q > 1:
+            # Bottom-right causal append/prefill: the q rows are laid out
+            # (qi, group) interleaved, and q row qi sees cache positions
+            # < length - seqlen_q + qi + 1 (FA kvcache alignment).
+            qi_row = jax.lax.broadcasted_iota(jnp.int32, s.shape, 0) // group
+            bound = length - seqlen_q + qi_row + 1
+        else:
+            bound = length
+        s = jnp.where(col < bound, s, DEFAULT_MASK_VALUE)
         m_prev = m_scr[...]
         m_curr = jnp.max(s, axis=1, keepdims=True)
         m_next = jnp.maximum(m_prev, m_curr)
@@ -94,6 +113,7 @@ def _paged_kernel(
             p.astype(v_blk.dtype),
             v_blk[0],
             preferred_element_type=jnp.float32,
+            precision=precision,
         )
         step_smem[0] = j + 1
 
@@ -121,9 +141,20 @@ def _paged_kernel(
         jnp.logical_or(empty, l == 0.0), 0.0, 1.0 / jnp.maximum(l, 1e-37)
     )
     o_ref[0, 0] = (acc_scr[...] * l_inv).astype(o_ref.dtype)
+    # Natural-log LSE (m is in log2 units), -inf for empty rows --
+    # the reference returns softmax_lse from the paged path too
+    # (hopper/_internal/flash_attn_interface.py flash_attn_with_kvcache).
+    lse = jnp.where(
+        jnp.logical_or(empty, l == 0.0),
+        -jnp.inf,
+        m_col * 0.6931471805599453 + jnp.log(jnp.maximum(l, 1e-37)),
+    )
+    lse_ref[0, 0] = jnp.broadcast_to(lse, lse_ref.shape[-2:])
 
 
-@functools.partial(jax.jit, static_argnames=("scale", "interpret"))
+@functools.partial(
+    jax.jit, static_argnames=("scale", "causal", "return_lse", "interpret")
+)
 def paged_attention(
     q: jax.Array,
     k_pages: jax.Array,
@@ -131,31 +162,45 @@ def paged_attention(
     lengths: jax.Array,
     page_indices: jax.Array,
     scale: Optional[float] = None,
+    causal: bool = True,
+    return_lse: bool = False,
     interpret: Optional[bool] = None,
-) -> jax.Array:
-    """Decode attention over a paged KV cache.
+):
+    """Decode / append / prefill attention over a paged KV cache.
 
     Args:
-      q: ``[B, Hq, D]`` current-token queries.
+      q: ``[B, Hq, D]`` (single-token decode) or ``[B, Sq, Hq, D]``
+        (append/prefill -- the reference's paged prefill path,
+        flash_api.cpp:410-466; new tokens must already live in pages).
       k_pages / v_pages: ``[Hk, num_pages, page_size, D]`` page pools.
-      lengths: int32 ``[B]`` live tokens per sequence.
+      lengths: int32 ``[B]`` live tokens per sequence (INCLUDING any
+        just-appended q tokens).
       page_indices: int32 ``[B, pages_per_seq]`` page table (entries
         beyond ``ceil(len/page_size)`` are ignored).
+      causal: bottom-right-aligned causality of the q rows against the
+        cache (q row i sees positions < lengths - Sq + i + 1). At Sq == 1
+        causal and non-causal coincide.
 
-    Returns ``[B, Hq, D]``.
+    Returns ``out`` with the rank of ``q`` (plus ``lse`` fp32
+    ``[B, Hq, Sq]`` when ``return_lse``).
     """
     if interpret is None:
         interpret = _default_interpret()
-    b, hq, d = q.shape
+    decode_rank = q.ndim == 3
+    if decode_rank:
+        q = q[:, None]  # [B, 1, Hq, D]
+    b, sq, hq, d = q.shape
     hk, num_pages, page_size, _ = k_pages.shape
     assert hq % hk == 0
     group = hq // hk
+    rows = sq * group
+    assert rows <= 4096, "paged prefill q block too large; chunk the call"
     if scale is None:
         scale = 1.0 / (d**0.5)
     # Pad head_dim for lane-aligned page DMAs (see lite kernel).
     d_pad = (-d) % MIN_LANES
     if d_pad:
-        q = jnp.pad(q, ((0, 0), (0, 0), (0, d_pad)))
+        q = jnp.pad(q, ((0, 0), (0, 0), (0, 0), (0, d_pad)))
         k_pages = jnp.pad(
             k_pages, ((0, 0), (0, 0), (0, 0), (0, d_pad))
         )
@@ -163,42 +208,69 @@ def paged_attention(
             v_pages, ((0, 0), (0, 0), (0, 0), (0, d_pad))
         )
     d_p = d + d_pad
-    q4 = q.reshape(b, hk, group, d_p)
+    # Row layout (qi, group): row // group recovers the q position.
+    q4 = jnp.transpose(q, (0, 2, 1, 3)).reshape(b, hk, group, sq, d_p)
+    q4 = jnp.transpose(q4, (0, 1, 3, 2, 4)).reshape(b, hk, rows, d_p)
+    rows_p = -(-rows // 8) * 8
+    if rows_p != rows:
+        q4 = jnp.pad(q4, ((0, 0), (0, 0), (0, rows_p - rows), (0, 0)))
 
     kernel = functools.partial(
-        _paged_kernel, scale=scale, page_size=page_size, group=group
+        _paged_kernel,
+        scale=scale,
+        page_size=page_size,
+        group=group,
+        seqlen_q=sq,
+        causal=causal,
     )
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
         grid=(b, hk),
         in_specs=[
             pl.BlockSpec(
-                (1, 1, group, d_p), lambda bi, hi, lens, tbl: (bi, hi, 0, 0)
+                (1, 1, rows_p, d_p), lambda bi, hi, lens, tbl: (bi, hi, 0, 0)
             ),
             pl.BlockSpec(memory_space=pl.ANY),
             pl.BlockSpec(memory_space=pl.ANY),
         ],
-        out_specs=pl.BlockSpec(
-            (1, 1, group, d_p), lambda bi, hi, lens, tbl: (bi, hi, 0, 0)
-        ),
+        out_specs=[
+            pl.BlockSpec(
+                (1, 1, rows_p, d_p), lambda bi, hi, lens, tbl: (bi, hi, 0, 0)
+            ),
+            pl.BlockSpec(
+                (1, 1, rows_p, MIN_LANES),
+                lambda bi, hi, lens, tbl: (bi, hi, 0, 0),
+            ),
+        ],
         scratch_shapes=[
             pltpu.SMEM((1,), jnp.int32),
-            pltpu.VMEM((group, MIN_LANES), jnp.float32),
-            pltpu.VMEM((group, MIN_LANES), jnp.float32),
-            pltpu.VMEM((group, d_p), jnp.float32),
+            pltpu.VMEM((rows_p, MIN_LANES), jnp.float32),
+            pltpu.VMEM((rows_p, MIN_LANES), jnp.float32),
+            pltpu.VMEM((rows_p, d_p), jnp.float32),
         ],
     )
-    out = pl.pallas_call(
+    out, lse = pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((b, hk, group, d_p), q.dtype),
+        out_shape=[
+            jax.ShapeDtypeStruct((b, hk, rows_p, d_p), q.dtype),
+            jax.ShapeDtypeStruct((b, hk, rows_p, MIN_LANES), jnp.float32),
+        ],
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "arbitrary"),
         ),
         interpret=interpret,
     )(lengths.astype(jnp.int32), page_indices.astype(jnp.int32), q4,
       k_pages, v_pages)
-    return out.reshape(b, hq, d_p)[:, :, :d]
+    out = out[:, :, :rows, :d].reshape(b, hk, sq, group, d)
+    out = jnp.transpose(out, (0, 2, 1, 3, 4)).reshape(b, sq, hq, d)
+    if decode_rank:
+        out = out[:, 0]
+    if not return_lse:
+        return out
+    lse = lse[:, :, :rows, 0].reshape(b, hk, sq, group)
+    lse = jnp.transpose(lse, (0, 1, 3, 2)).reshape(b, hq, sq)
+    return out, lse
 
 
 __all__ = ["paged_attention"]
