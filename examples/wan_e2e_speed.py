@@ -2,22 +2,28 @@
 
 The north-star measurement shape (BASELINE.json config 4): Wan2.1-14B
 block geometry (dim 5120, 40 heads x 128, ffn 13824, umT5 text) at
-720p-scale token count (73 728), trimmed to a few blocks/steps so one
-chip finishes in minutes. Attention dominates a Wan block at this
-sequence length (~85% of FLOPs), so the attention sparsity translates
-nearly 1:1 into E2E step-time savings -- the reference's ablation shape
-(README.md:79-87).
+720p-scale token count (73 728 = 18 frames x 64 x 64 latents), trimmed
+to a few blocks/steps so one chip finishes in minutes.
 
-Random weights give near-uniform attention, so the demo drives the mask
-with explicit thresholds (including the skip-heavy end) rather than
-relying on learned structure; with real Wan weights the same script
-measures true calibrated sparsity.
+Attention-FLOP fraction at this geometry (per block, N tokens):
+self-attention core 4*5120*N^2 vs linear terms ~4.4e8*N (QKV/O + FFN)
+-> 77% of FLOPs at N=73 728, 63% at N=36 864. (The round-1 docs said
+"~85%" here and "~40%" in the README -- both wrong; this script now
+prints the computed fraction for its geometry.)
 
-Usage: python examples/wan_e2e_speed.py [--tokens 73728] [--layers 2]
-       [--steps 4]
+Random weights give near-uniform attention, so the sweep drives the
+mask with explicit thresholds (including debug thresholds > 0 for the
+skip-heavy end) rather than relying on learned structure; with real
+Wan weights (utils/pretrained.remap_state_dict_wan) the same script
+measures true calibrated sparsity. Emits E2E_ABLATION.json: the
+sparsity -> step-time curve (>= 5 points, the reference's ablation
+shape, README.md:79-87).
+
+Usage: python examples/wan_e2e_speed.py [--layers 2] [--steps 4]
 """
 
 import argparse
+import json
 import os
 import sys
 import time
@@ -85,7 +91,18 @@ def main():
             enable_skipping=True,
         )
     )
-    for thr in [-10.0, 0.1, 1.0]:
+    # Attention-FLOP fraction for this geometry.
+    n_tok = tokens
+    attn_core = 4.0 * cfg.dim * n_tok * n_tok
+    linear = (
+        6.0 * n_tok * cfg.dim * cfg.dim  # self QKV/O + cross Q/O
+        + 4.0 * n_tok * cfg.dim * cfg.ffn_dim  # FFN up+down
+    )
+    frac = attn_core / (attn_core + linear)
+    print(f"attention FLOP fraction at {n_tok} tokens: {frac:.1%}")
+
+    curve = []
+    for thr in [-10.0, -3.0, 0.1, 0.5, 1.0, 2.0]:
         thrs = jnp.full((args.steps,), thr, jnp.float32)
         sync(lite_fn(params, noise, text, thrs))  # compile + mask warmup
         t = time.perf_counter()
@@ -97,6 +114,25 @@ def main():
             f"lite thr={thr}: {lite_s * 1e3:.0f} ms/step, "
             f"sparsity={sp:.1%}, e2e speedup={dense_s / lite_s:.2f}x"
         )
+        curve.append(
+            dict(
+                threshold=thr,
+                final_sparsity=round(sp, 4),
+                ms_per_step=round(lite_s * 1e3, 1),
+                e2e_speedup=round(dense_s / lite_s, 3),
+            )
+        )
+    artifact = {
+        "tokens": tokens,
+        "layers": args.layers,
+        "steps": args.steps,
+        "dense_ms_per_step": round(dense_s * 1e3, 1),
+        "attention_flop_fraction": round(frac, 4),
+        "curve": curve,
+    }
+    with open("E2E_ABLATION.json", "w") as f:
+        json.dump(artifact, f, indent=1)
+    print("wrote E2E_ABLATION.json")
 
 
 if __name__ == "__main__":

@@ -67,8 +67,10 @@ class WanConfig:
     # the axis, Q is replicated, outputs merge via psum LSE combine.
     sp_axis: Optional[str] = None
 
-    def attn_block_sizes(self) -> BlockSizes:
-        return self.block_sizes or get_block_sizes(self.head_dim, 2)
+    def attn_block_sizes(self, kind: str = "lite") -> BlockSizes:
+        return self.block_sizes or get_block_sizes(
+            self.head_dim, 2, kind=kind
+        )
 
     @staticmethod
     def tiny() -> "WanConfig":
@@ -173,6 +175,24 @@ class CtxProj(nn.Module):
         return nn.Dense(self.dim, dtype=self.dtype, name="fc2")(x)
 
 
+class ImgProj(nn.Module):
+    """Wan-I2V CLIP-token projection (MLPProj: LayerNorm -> Linear ->
+    GELU -> Linear -> LayerNorm; Wan-Video/Wan2.1 wan/modules/model.py
+    MLPProj) -- key-for-key checkpoint parity for img_emb.proj.*."""
+
+    dim: int
+    dtype: Any = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, x):
+        x = x.astype(self.dtype)
+        x = nn.LayerNorm(dtype=self.dtype, name="norm_in")(x)
+        x = nn.Dense(x.shape[-1], dtype=self.dtype, name="fc1")(x)
+        x = nn.gelu(x, approximate=False)
+        x = nn.Dense(self.dim, dtype=self.dtype, name="fc2")(x)
+        return nn.LayerNorm(dtype=self.dtype, name="norm_out")(x)
+
+
 def _attn_bhsd(x, num_heads):
     b, n, _ = x.shape
     return x.reshape(b, n, num_heads, -1).transpose(0, 2, 1, 3)
@@ -200,27 +220,34 @@ class WanSelfAttention(nn.Module):
         k = dense(inner, name="k")(x)
         v = dense(inner, name="v")(x)
         b, n, _ = x.shape
+        if cfg.qk_norm:
+            # Wan2.1 normalizes q/k over the FULL model dim before the
+            # head split (WanRMSNorm(dim); Wan-Video/Wan2.1
+            # wan/modules/model.py WanSelfAttention) -- weight shape
+            # [dim], required for checkpoint parity.
+            q = RMSNorm(inner, cfg.eps, cfg.dtype, name="q_norm")(q)
+            k = RMSNorm(inner, cfg.eps, cfg.dtype, name="k_norm")(k)
         q = q.reshape(b, n, cfg.num_heads, cfg.head_dim)
         k = k.reshape(b, n, cfg.num_heads, cfg.head_dim)
-        if cfg.qk_norm:
-            q = RMSNorm(cfg.head_dim, cfg.eps, cfg.dtype, name="q_norm")(q)
-            k = RMSNorm(cfg.head_dim, cfg.eps, cfg.dtype, name="k_norm")(k)
         q = apply_rope(q, freqs)
         k = apply_rope(k, freqs)
         qh = q.transpose(0, 2, 1, 3)
         kh = k.transpose(0, 2, 1, 3)
         vh = _attn_bhsd(v, cfg.num_heads)
-        bs = cfg.attn_block_sizes()
         if cfg.sp_axis is not None and state is not None:
             oh, new_state = seq_parallel_attention_step(
-                state, qh, kh, vh, threshold, cfg.sp_axis, bs
+                state, qh, kh, vh, threshold, cfg.sp_axis,
+                cfg.attn_block_sizes("lite"),
             )
         elif state is None:
-            oh = flash_attention(qh, kh, vh, block_sizes=bs)
+            oh = flash_attention(
+                qh, kh, vh, block_sizes=cfg.attn_block_sizes("dense")
+            )
             new_state = None
         else:
             oh, new_state = lite_attention_step(
-                state, qh, kh, vh, threshold=threshold, block_sizes=bs
+                state, qh, kh, vh, threshold=threshold,
+                block_sizes=cfg.attn_block_sizes("lite"),
             )
         out = _attn_bnhd(oh)
         return dense(cfg.dim, name="o")(out), new_state
@@ -243,16 +270,17 @@ class WanCrossAttention(nn.Module):
         k = dense(inner, name="k")(ctx)
         v = dense(inner, name="v")(ctx)
         b, n, _ = x.shape
+        if cfg.qk_norm:
+            # Full-dim RMSNorm pre-head-split (see WanSelfAttention).
+            q = RMSNorm(inner, cfg.eps, cfg.dtype, name="q_norm")(q)
+            k = RMSNorm(inner, cfg.eps, cfg.dtype, name="k_norm")(k)
         q = q.reshape(b, n, cfg.num_heads, cfg.head_dim)
         k = k.reshape(b, ctx.shape[1], cfg.num_heads, cfg.head_dim)
-        if cfg.qk_norm:
-            q = RMSNorm(cfg.head_dim, cfg.eps, cfg.dtype, name="q_norm")(q)
-            k = RMSNorm(cfg.head_dim, cfg.eps, cfg.dtype, name="k_norm")(k)
         oh = flash_attention(
             q.transpose(0, 2, 1, 3),
             k.transpose(0, 2, 1, 3),
             _attn_bhsd(v, cfg.num_heads),
-            block_sizes=cfg.attn_block_sizes(),
+            block_sizes=cfg.attn_block_sizes("dense"),
         )
         return dense(cfg.dim, name="o")(_attn_bnhd(oh))
 
@@ -295,8 +323,18 @@ class WanBlock(nn.Module):
             threshold,
         )
         x = x + g1 * h_attn
+        # norm3 is AFFINE in Wan (cross_attn_norm=True ->
+        # nn.LayerNorm(dim, elementwise_affine=True)); norm1/norm2 are
+        # not (their scale/shift come from adaLN modulation).
         x = x + WanCrossAttention(cfg, name="cross_attn")(
-            ln(name="norm3")(x), ctx
+            nn.LayerNorm(
+                use_bias=True,
+                use_scale=True,
+                epsilon=cfg.eps,
+                dtype=cfg.dtype,
+                name="norm3",
+            )(x),
+            ctx,
         )
         h_ffn = _modulate(ln(name="norm2")(x), sh2, sc2)
         h_ffn = nn.Dense(cfg.ffn_dim, dtype=cfg.dtype, name="ffn_up")(h_ffn)
@@ -354,7 +392,7 @@ class WanModel(nn.Module):
         # prepended through a second instance of the same projection.
         ctx = CtxProj(cfg.dim, cfg.dtype, name="text_proj")(text)
         if image_ctx is not None:
-            img = CtxProj(cfg.dim, cfg.dtype, name="img_proj")(image_ctx)
+            img = ImgProj(cfg.dim, cfg.dtype, name="img_proj")(image_ctx)
             ctx = jnp.concatenate([img, ctx], axis=1)
 
         # Time embedding -> shared 6 x dim modulation.
@@ -384,12 +422,9 @@ class WanModel(nn.Module):
             (2, cfg.dim),
             jnp.float32,
         )
-        fm = (
-            nn.Dense(2 * cfg.dim, dtype=jnp.float32, name="final_mod")(
-                nn.silu(te)
-            ).reshape(b, 2, cfg.dim)
-            + fin_mod[None]
-        )
+        # Wan Head: shift/scale = modulation + e (the raw time embedding;
+        # no extra Linear -- checkpoint parity with head.modulation).
+        fm = fin_mod[None] + te[:, None, :]
         shift, scale = [
             m.astype(cfg.dtype)[:, None, :] for m in jnp.moveaxis(fm, 1, 0)
         ]

@@ -126,7 +126,105 @@ def state_dict_from_pretrained(model_name: str) -> Dict[str, np.ndarray]:
     return {k: _np(v) for k, v in model.state_dict().items()}
 
 
+def remap_state_dict_wan(
+    state_dict: Mapping[str, Any], cfg
+) -> Dict[str, Any]:
+    """Official Wan2.1/2.2 torch checkpoint -> flax params for
+    ``liteattention_tpu.models.wan.WanModel``.
+
+    Key layout follows Wan-Video/Wan2.1 ``wan/modules/model.py``
+    (WanModel): ``patch_embedding`` (Conv3d), ``text_embedding.{0,2}``,
+    ``time_embedding.{0,2}``, ``time_projection.1``,
+    ``blocks.N.{self_attn,cross_attn}.{q,k,v,o,norm_q,norm_k}``,
+    ``blocks.N.{norm3,ffn.0,ffn.2,modulation}``, ``head.{head,
+    modulation}``, and (I2V) ``img_emb.proj.{0,1,3,4}``. Torch Linear
+    weights are (out, in) and transpose into flax (in, out) kernels; the
+    patch-embedding Conv3d kernel (out, in, kt, kh, kw) is permuted to
+    match the model's patchify feature order (pt, ph, pw, c).
+
+    I2V checkpoints with decoupled image K/V (``cross_attn.k_img`` etc.)
+    are rejected: this port routes image tokens through the shared
+    cross-attention context instead (documented deviation).
+    """
+    sd = {k: _np(v) for k, v in state_dict.items()}
+    unsupported = [k for k in sd if "k_img" in k or "v_img" in k
+                   or "norm_k_img" in k]
+    if unsupported:
+        raise NotImplementedError(
+            "decoupled I2V image K/V is not supported; offending keys: "
+            f"{unsupported[:4]}..."
+        )
+
+    def lin(prefix):
+        out = {"kernel": np.ascontiguousarray(sd[prefix + ".weight"].T)}
+        if prefix + ".bias" in sd:
+            out["bias"] = sd[prefix + ".bias"]
+        return out
+
+    p: Dict[str, Any] = {}
+    # Patchify: Conv3d(out=dim, in=c, k=(pt,ph,pw)) == Dense over
+    # features ordered (pt, ph, pw, c) -- permute (2,3,4,1,0).
+    w = sd["patch_embedding.weight"]
+    dim, c_in, pt, ph, pw = w.shape
+    p["patch_embed"] = {
+        "kernel": np.ascontiguousarray(
+            w.transpose(2, 3, 4, 1, 0).reshape(pt * ph * pw * c_in, dim)
+        ),
+        "bias": sd["patch_embedding.bias"],
+    }
+    p["text_proj"] = {
+        "fc1": lin("text_embedding.0"),
+        "fc2": lin("text_embedding.2"),
+    }
+    p["time_mlp_1"] = lin("time_embedding.0")
+    p["time_mlp_2"] = lin("time_embedding.2")
+    p["time_mod"] = lin("time_projection.1")
+    if "img_emb.proj.0.weight" in sd:
+        p["img_proj"] = {
+            "norm_in": {
+                "scale": sd["img_emb.proj.0.weight"],
+                "bias": sd["img_emb.proj.0.bias"],
+            },
+            "fc1": lin("img_emb.proj.1"),
+            "fc2": lin("img_emb.proj.3"),
+            "norm_out": {
+                "scale": sd["img_emb.proj.4.weight"],
+                "bias": sd["img_emb.proj.4.bias"],
+            },
+        }
+
+    def attn(prefix):
+        out = {
+            "q": lin(prefix + ".q"),
+            "k": lin(prefix + ".k"),
+            "v": lin(prefix + ".v"),
+            "o": lin(prefix + ".o"),
+        }
+        if prefix + ".norm_q.weight" in sd:
+            out["q_norm"] = {"scale": sd[prefix + ".norm_q.weight"]}
+            out["k_norm"] = {"scale": sd[prefix + ".norm_k.weight"]}
+        return out
+
+    for i in range(cfg.num_layers):
+        pre = f"blocks.{i}."
+        p[f"block_{i}"] = {
+            "mod_bias": sd[pre + "modulation"].reshape(6, -1),
+            "self_attn": attn(pre + "self_attn"),
+            "cross_attn": attn(pre + "cross_attn"),
+            "norm3": {
+                "scale": sd[pre + "norm3.weight"],
+                "bias": sd[pre + "norm3.bias"],
+            },
+            "ffn_up": lin(pre + "ffn.0"),
+            "ffn_down": lin(pre + "ffn.2"),
+        }
+    p["proj_out"] = lin("head.head")
+    p["final_mod_bias"] = sd["head.modulation"].reshape(2, -1)
+    return {"params": p}
+
+
 __all__ = [
+    "remap_state_dict_wan",
     "remap_state_dict_hf_gpt2",
     "remap_state_dict_hf_llama",
     "state_dict_from_pretrained",
