@@ -1,0 +1,173 @@
+"""Compiled-TPU numeric parity smoke (VERDICT round-1 item 6).
+
+The CPU suite runs the Pallas *interpreter*; a Mosaic lowering bug
+(layout, DMA, semaphore) would pass it and ship. This script runs the
+dense, lite (fine + coarse), paged, and backward kernels COMPILED on the
+real chip against the fp32 oracle on small shapes and asserts numerics.
+
+Run each round before BENCH:
+
+    PYTHONPATH=/root/repo:/root/.axon_site python tools/chip_parity_smoke.py
+
+Exits nonzero on any mismatch. Budget ~3-6 min (first compiles).
+"""
+
+import sys
+import time
+
+sys.path.insert(0, "/root/repo")
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def check(name, got, want, atol):
+    err = float(
+        jnp.max(jnp.abs(got.astype(jnp.float32) - want.astype(jnp.float32)))
+    )
+    status = "OK " if err <= atol else "FAIL"
+    print(f"{status} {name}: max err {err:.2e} (atol {atol:.0e})")
+    return err <= atol
+
+
+def main():
+    assert jax.default_backend() == "tpu", (
+        f"need the real chip, got {jax.default_backend()}"
+    )
+    from liteattention_tpu.ops.attention_ref import (
+        attention_ref,
+        skip_votes_ref_fine,
+        skip_votes_ref_gather,
+    )
+    from liteattention_tpu.ops.flash_fwd import (
+        flash_attention,
+        flash_attention_masked,
+    )
+    from liteattention_tpu.ops.lite_flash_fwd import lite_flash_attention
+    from liteattention_tpu.ops.mask import (
+        compact_mask_fine,
+        compact_mask_gather,
+    )
+    from liteattention_tpu.ops.paged_attention import paged_attention
+    from liteattention_tpu.ops.tile_sizes import BlockSizes
+
+    t0 = time.time()
+    ok = True
+    b, h, s, d = 1, 2, 1024, 128
+    ks = jax.random.split(jax.random.PRNGKey(0), 3)
+    q = jax.random.normal(ks[0], (b, h, s, d), jnp.float32)
+    k = jax.random.normal(ks[1], (b, h, s, d), jnp.float32)
+    v = jax.random.normal(ks[2], (b, h, s, d), jnp.float32)
+    bs = BlockSizes(512, 512)
+
+    # Dense (f32 + bf16) vs oracle.
+    ref, ref_lse = attention_ref(q, k, v)
+    out, lse = flash_attention(
+        q, k, v, block_sizes=bs, return_lse=True, interpret=False
+    )
+    ok &= check("dense f32 out", out, ref, 3e-5)
+    ok &= check("dense f32 lse", lse, ref_lse, 3e-5)
+    out16 = flash_attention(
+        *(x.astype(jnp.bfloat16) for x in (q, k, v)),
+        block_sizes=bs, interpret=False,
+    )
+    ok &= check("dense bf16 out", out16, ref, 2e-2)
+
+    # Causal + window + softcap channel.
+    refc, _ = attention_ref(q, k, v, causal=True)
+    outc = flash_attention(
+        q, k, v, causal=True, block_sizes=bs, interpret=False
+    )
+    # Causal rows with few valid keys amplify accumulation-order noise;
+    # 1e-4-level f32 deviation is expected (CPU tests use 2e-4 too).
+    ok &= check("dense causal", outc, refc, 3e-4)
+
+    # Lite fine path: output vs fine-masked oracle, votes vs vote oracle.
+    rng = np.random.RandomState(1)
+    qtf = s // 128
+    mask = rng.rand(b, h, qtf, qtf) < 0.6
+    mask[..., 0] = True
+    maskj = jnp.asarray(mask)
+    kv_idx, count, bits = compact_mask_fine(maskj, 4, 4)
+    outl, lsel, votes = lite_flash_attention(
+        q, k, v, kv_idx, count, jnp.float32(-3.0), kv_bits=bits,
+        block_sizes=bs, interpret=False,
+    )
+    refl, refl_lse = attention_ref(
+        q, k, v, tile_mask=maskj, block_q=128, block_k=128
+    )
+    ok &= check("lite fine out", outl, refl, 3e-5)
+    ok &= check("lite fine lse", lsel, refl_lse, 3e-5)
+    ref_votes = skip_votes_ref_fine(q, k, maskj, -3.0, 512, 512)
+    vote_mism = int((np.asarray(votes)[mask] != ref_votes[mask]).sum())
+    print(("OK " if vote_mism == 0 else "FAIL")
+          + f" lite fine votes: {vote_mism} mismatches at live tiles")
+    ok &= vote_mism == 0
+
+    # Lite GATHER path (the engine default): output + votes.
+    fidx, count, qbits = compact_mask_gather(maskj, 4)
+    outg, lseg, votesg = lite_flash_attention(
+        q, k, v, fidx, count, jnp.float32(-3.0), kv_bits=qbits,
+        block_sizes=bs, fine_schedule=True, interpret=False,
+    )
+    ok &= check("lite gather out", outg, refl, 3e-5)
+    ok &= check("lite gather lse", lseg, refl_lse, 3e-5)
+    ref_votes_g = skip_votes_ref_gather(q, k, maskj, -3.0, 512, 4)
+    gm = int((np.asarray(votesg)[mask] != ref_votes_g[mask]).sum())
+    print(("OK " if gm == 0 else "FAIL")
+          + f" lite gather votes: {gm} mismatches at live tiles")
+    ok &= gm == 0
+
+    # Paged decode vs oracle.
+    hk, pages, psz = 2, 16, 128
+    kp = jax.random.normal(ks[1], (hk, pages, psz, d), jnp.float32)
+    vp = jax.random.normal(ks[2], (hk, pages, psz, d), jnp.float32)
+    qd = jax.random.normal(ks[0], (2, hk, d), jnp.float32)
+    lens = jnp.asarray([700, 300], jnp.int32)
+    tbl = jnp.asarray(
+        np.random.RandomState(2).permutation(pages)[:16].reshape(2, 8),
+        jnp.int32,
+    )
+    outp = paged_attention(qd, kp, vp, lens, tbl, interpret=False)
+    for i in range(2):
+        n = int(lens[i])
+        kc = np.asarray(kp)[:, np.asarray(tbl)[i]].reshape(hk, -1, d)[:, :n]
+        vc = np.asarray(vp)[:, np.asarray(tbl)[i]].reshape(hk, -1, d)[:, :n]
+        refp, _ = attention_ref(
+            jnp.asarray(qd)[i][:, None][None],
+            jnp.asarray(kc)[None],
+            jnp.asarray(vc)[None],
+        )
+        ok &= check(
+            f"paged decode b{i}", outp[i][:, None][None], refp, 3e-5
+        )
+
+    # Backward vs autodiff-of-oracle.
+    def loss_kernel(q, k, v):
+        return jnp.sum(
+            flash_attention(q, k, v, causal=True, block_sizes=bs,
+                            interpret=False) ** 2
+        )
+
+    def loss_ref(q, k, v):
+        return jnp.sum(attention_ref(q, k, v, causal=True)[0] ** 2)
+
+    s2 = 512
+    gk = jax.grad(loss_kernel, argnums=(0, 1, 2))(
+        q[:, :, :s2], k[:, :, :s2], v[:, :, :s2]
+    )
+    gr = jax.grad(loss_ref, argnums=(0, 1, 2))(
+        q[:, :, :s2], k[:, :, :s2], v[:, :, :s2]
+    )
+    for name, a, bb in zip(("dq", "dk", "dv"), gk, gr):
+        ok &= check(f"bwd {name}", a, bb, 5e-4)
+
+    print(f"total {time.time()-t0:.0f}s")
+    if not ok:
+        sys.exit(1)
+    print("ALL PARITY CHECKS PASSED ON CHIP")
+
+
+if __name__ == "__main__":
+    main()
