@@ -73,6 +73,23 @@ def _default_interpret() -> bool:
     return jax.default_backend() == "cpu"
 
 
+def _pow2(n: int) -> int:
+    """Next power of two >= n.
+
+    Mosaic pads SMEM allocations to power-of-two sublane counts but DMA
+    descriptors keep the declared shape; a whole-buffer HBM->SMEM copy
+    into a non-power-of-two scratch (e.g. (6, 128) int32) compiles and
+    then HARD-FAULTS the chip at runtime (root-caused on v5e with a
+    6-row micro-repro; 2/4/8/16 rows are fine). All schedule scratch is
+    therefore allocated at power-of-two rows and the DMA lands in a
+    leading slice.
+    """
+    p = 1
+    while p < n:
+        p *= 2
+    return p
+
+
 def _patch_pipeline_for_interpret() -> None:
     """Let ``emit_pipeline`` trace on non-TPU backends.
 
@@ -142,9 +159,14 @@ def _lite_kernel(
 
     # Fetch this row's schedule [count, idx_0, ...] (+ sub-mask bitmaps
     # in the second row group when fine) into scalar memory. Rows are
-    # stored as full (R, 128) tiles so the HBM slice stays tile-aligned.
+    # stored as full (R, 128) tiles so the HBM slice stays tile-aligned;
+    # the scratch is power-of-two rows (see _pow2) so the copy targets a
+    # leading slice.
+    smem_rows = sched_hbm.shape[3]
     row_dma = pltpu.make_async_copy(
-        sched_hbm.at[b, h, qi], sched_smem, sched_sem
+        sched_hbm.at[b, h, qi],
+        sched_smem.at[pl.ds(0, smem_rows)],
+        sched_sem,
     )
     row_dma.start()
 
@@ -352,8 +374,8 @@ def _lite_gather_kernel(
     thr_ref,  # SMEM (1, 1) float32
     sched_hbm,  # HBM [B, H, Qt, 2R, 128] int32 (fidx rows + qbits rows)
     q_ref,  # VMEM (1, 1, block_q, D)
-    k_hbm,  # ANY  [B, Hk, Sk_pad, D]
-    v_hbm,  # ANY  [B, Hk, Sk_pad, D]
+    k_hbm,  # ANY  [B, Hk, Ktf, 128, D] (fine-tiled view)
+    v_hbm,  # ANY  [B, Hk, Ktf, 128, D]
     # outputs
     o_ref,  # VMEM (1, 1, block_q, D)
     lse_ref,  # VMEM (1, block_q, H)
@@ -363,8 +385,8 @@ def _lite_gather_kernel(
     sched_sem,
     kbuf,  # VMEM (2, gsize, 128, D) double-buffered gathered K tiles
     vbuf,  # VMEM (2, gsize, 128, D)
-    dma_sems,  # DMA sems (2, 2 * gsize)
-    votes_scr,  # VMEM (ktf8, MIN_LANES) int32; lane l < qsubs = qsub l
+    dma_sems,  # DMA sems (2, 2): [slot, k/v], shared across the group
+    votes_scr,  # VMEM (ktf8, MIN_LANES) int32 in SCHEDULE order
     m_scr,
     l_scr,
     acc_scr,
@@ -397,7 +419,9 @@ def _lite_gather_kernel(
     vq = block_q // qsubs
 
     row_dma = pltpu.make_async_copy(
-        sched_hbm.at[b, h, qi], sched_smem, sched_sem
+        sched_hbm.at[b, h, qi],
+        sched_smem.at[pl.ds(0, sched_hbm.shape[3])],
+        sched_sem,
     )
     row_dma.start()
 
@@ -430,26 +454,32 @@ def _lite_gather_kernel(
     rsub = jax.lax.broadcasted_iota(jnp.int32, (block_q, 1), 0) // vq
     lane = jax.lax.broadcasted_iota(jnp.int32, (1, MIN_LANES), 1)
 
+    # One leading-dim-indexed copy per gathered fine tile, all of a
+    # slot's K (resp. V) copies sharing one semaphore -- the exact
+    # pattern of the official paged-attention kernel
+    # (jax.experimental.pallas.ops.tpu.paged_attention
+    # MultiPageAsyncCopyDescriptor).
     def k_copy(step, g, slot):
         idx = sched_at(1 + step * gsize + g)
         return pltpu.make_async_copy(
-            k_hbm.at[b, hk, pl.ds(idx * VOTE_TILE, VOTE_TILE), :],
-            kbuf.at[slot, g],
-            dma_sems.at[slot, g],
+            k_hbm.at[b, hk, idx], kbuf.at[slot, g], dma_sems.at[slot, 0]
         )
 
     def v_copy(step, g, slot):
         idx = sched_at(1 + step * gsize + g)
         return pltpu.make_async_copy(
-            v_hbm.at[b, hk, pl.ds(idx * VOTE_TILE, VOTE_TILE), :],
-            vbuf.at[slot, g],
-            dma_sems.at[slot, gsize + g],
+            v_hbm.at[b, hk, idx], vbuf.at[slot, g], dma_sems.at[slot, 1]
         )
 
     def start_step(step, slot):
         for g in range(gsize):
             k_copy(step, g, slot).start()
             v_copy(step, g, slot).start()
+
+    def wait_step(step, slot):
+        for g in range(gsize):
+            k_copy(step, g, slot).wait()
+            v_copy(step, g, slot).wait()
 
     start_step(0, 0)
 
@@ -460,11 +490,12 @@ def _lite_gather_kernel(
         def _prefetch():
             start_step(j + 1, 1 - slot)
 
+        wait_step(j, slot)
         m_prev = m_scr[...]
         cols = []
         lm_list = []
+        vote_rows = []
         for g in range(gsize):
-            k_copy(j, g, slot).wait()
             pos = j * gsize + g
             fidx = sched_at(1 + pos)
             qb = qbits_at(1 + pos)
@@ -514,12 +545,22 @@ def _lite_gather_kernel(
                 )
                 row = jnp.where(lane == qs, vote, row)
 
-            @pl.when(valid_entry)
-            def _store_vote(row=row, fidx=fidx):
-                votes_scr[pl.ds(fidx, 1), :] = row
-
+            vote_rows.append(row)
             cols.append(s_g)
             lm_list.append(lm_g)
+
+        # One aligned (gsize, 128) store per step, in SCHEDULE order --
+        # dynamic single-sublane scatter stores at arbitrary offsets are
+        # both slow and the prime suspect for the >=32k-token Mosaic
+        # fault (the super-tile kernel's gsize-aligned stores are proven
+        # on-chip at 73k). Phantom entries (pos >= count) see fully
+        # masked scores and vote the neutral 1; the host maps schedule
+        # positions back to fine indices.
+        votes_scr[pl.ds(j * gsize, gsize), :] = (
+            jnp.concatenate(vote_rows, axis=0)
+            if gsize > 1
+            else vote_rows[0]
+        )
 
         local_max = lm_list[0]
         for lm in lm_list[1:]:
@@ -531,7 +572,6 @@ def _lite_gather_kernel(
         acc_scr[...] = acc_scr[...] * alpha
         l_curr = None
         for g in range(gsize):
-            v_copy(j, g, slot).wait()
             p = jnp.exp2(cols[g] - m_red)
             ps = jnp.sum(p, axis=1, keepdims=True)
             l_curr = ps if l_curr is None else l_curr + ps
@@ -603,10 +643,16 @@ def _lite_gather_call(
     sq_p = qp.shape[2]
     qt = sq_p // block_q
     ktf = kp.shape[2] // VOTE_TILE
+    # Fine-tiled K/V views: one leading-dim index per 128-row tile, so
+    # each gather DMA is a whole-subarray copy (layout-free reshape).
+    kp = kp.reshape(b, hk, ktf, VOTE_TILE, d_p)
+    vp = vp.reshape(b, hk, ktf, VOTE_TILE, d_p)
     assert fidx.shape == (b, h, qt, ktf), (fidx.shape, (b, h, qt, ktf))
     assert count.shape == (b, h, qt)
     assert qbits.shape == (b, h, qt, ktf)
-    ktf8 = max(8, -(-ktf // 8) * 8)
+    # Scratch rows hold votes in SCHEDULE order; the last step's aligned
+    # (gsize, 128) store may reach ceil(ktf / gsize) * gsize rows.
+    ktf8 = max(8, -(-ktf // 8) * 8, -(-ktf // gsize) * gsize)
 
     # Schedule: [count, fidx...] + [0, qbits...]; width covers the
     # worst-case over-read (up to gsize - 1 phantom entries past count).
@@ -672,11 +718,11 @@ def _lite_gather_call(
             jax.ShapeDtypeStruct((b, qt, qsubs, ktf8, h), jnp.int32),
         ],
         scratch_shapes=[
-            pltpu.SMEM((2 * sched_rows, MIN_LANES), jnp.int32),
+            pltpu.SMEM((_pow2(2 * sched_rows), MIN_LANES), jnp.int32),
             pltpu.SemaphoreType.DMA(()),
             pltpu.VMEM((2, gsize, VOTE_TILE, d_p), qp.dtype),
             pltpu.VMEM((2, gsize, VOTE_TILE, d_p), vp.dtype),
-            pltpu.SemaphoreType.DMA((2, 2 * gsize)),
+            pltpu.SemaphoreType.DMA((2, 2)),
             pltpu.VMEM((ktf8, MIN_LANES), jnp.int32),
             pltpu.VMEM((block_q, MIN_LANES), jnp.float32),
             pltpu.VMEM((block_q, MIN_LANES), jnp.float32),
@@ -689,8 +735,25 @@ def _lite_gather_call(
     )(thr, schedule, qp, kp, vp)
     out = out[:, :, :sq, :d]
     lse = jnp.transpose(lse[:, :sq, :], (0, 2, 1))
-    votes = jnp.transpose(votes[:, :, :, :ktf, :], (0, 4, 1, 2, 3))
-    votes = votes.reshape(b, h, qt * qsubs, ktf)
+    # Kernel votes are in SCHEDULE order: position p of row (b, h, qt)
+    # is the vote for fine k-tile fidx[b, h, qt, p] (p < count; phantom
+    # tail entries are neutral). Scatter back to fine indexing with a
+    # min-combiner: unvisited tiles default to 1 (skippable -- the
+    # monotone update keeps them skipped) and duplicate tail indices
+    # (compact_mask repeats the last survivor) cannot flip a 0 to 1.
+    sched_votes = jnp.transpose(votes[:, :, :, :ktf, :], (0, 4, 1, 2, 3))
+    pos = jnp.arange(ktf, dtype=jnp.int32)
+    valid = pos[None, None, None] < count[..., None]  # [B, H, Qt, Ktf]
+    sched_votes = jnp.where(valid[:, :, :, None, :], sched_votes, 1)
+    bi = jnp.arange(b)[:, None, None, None, None]
+    hi = jnp.arange(h)[None, :, None, None, None]
+    qti = jnp.arange(qt)[None, None, :, None, None]
+    qsi = jnp.arange(qsubs)[None, None, None, :, None]
+    fine_votes = jnp.ones((b, h, qt, qsubs, ktf), jnp.int32)
+    fine_votes = fine_votes.at[bi, hi, qti, qsi, fidx[:, :, :, None, :]].min(
+        sched_votes, mode="drop"
+    )
+    votes = fine_votes.reshape(b, h, qt * qsubs, ktf)
     return out, lse, votes
 
 
@@ -881,7 +944,7 @@ def lite_flash_attention(
             jax.ShapeDtypeStruct((b, qt, qsubs, ktf8, h), jnp.int32),
         ],
         scratch_shapes=[
-            pltpu.SMEM((smem_rows, MIN_LANES), jnp.int32),
+            pltpu.SMEM((_pow2(smem_rows), MIN_LANES), jnp.int32),
             pltpu.SemaphoreType.DMA(()),
             pltpu.SMEM((1,), jnp.int32),
             pltpu.VMEM((ktf8, MIN_LANES), jnp.int32),
