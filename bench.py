@@ -59,14 +59,20 @@ def _sync(out):
     np.asarray(jnp.sum(leaf.astype(jnp.float32)))
 
 
-def _timeit(fn, *args, iters=10, warmup=2):
+def _timeit(fn, *args, iters=6, warmup=2, chunk=4):
+    # Pipelined dispatch: ``chunk`` back-to-back calls per sync, so the
+    # axon tunnel's ~30 ms per-call latency floor is amortized out of
+    # per-call time instead of being billed as kernel cost.
     for _ in range(warmup):
         _sync(fn(*args))
     samples = []
     for _ in range(iters):
         t0 = time.perf_counter()
-        _sync(fn(*args))
-        samples.append(time.perf_counter() - t0)
+        out = None
+        for _ in range(chunk):
+            out = fn(*args)
+        _sync(out)
+        samples.append((time.perf_counter() - t0) / chunk)
     return float(np.median(samples))
 
 
@@ -75,7 +81,7 @@ def main():
     # count so the bench completes quickly (ratio is head-count
     # invariant).
     b, h, d = 1, 8, 128
-    lite_bs = BlockSizes(512, 512)
+    lite_bs = BlockSizes(512, 1024)
     s = 144 * 512  # ~73.7k tokens, Wan2.1-720p scale
     flops = 4.0 * b * h * s * s * d
 
@@ -124,8 +130,12 @@ def main():
     curve = []
     step = make_step(-10.0)
 
+    # NB: q/k/v must be ARGUMENTS, not closure captures -- jit bakes
+    # closed-over device arrays into the module as constants, and 3x
+    # 151 MB of bf16 constants overflows the remote compile request
+    # (HTTP 413 through the axon tunnel).
     @jax.jit
-    def evolve(do_mask, thr):
+    def evolve(do_mask, q, k, v, thr):
         fidx, count, qbits = compact_mask_gather(do_mask, qsubs)
         _, _, votes = lite_flash_attention(
             q, k, v, fidx, count, thr, kv_bits=qbits,
@@ -139,7 +149,7 @@ def main():
     for thr in [-6.0, -4.0, -3.5, -3.0, -2.5, -2.0]:
         mask = jnp.ones((b, h, ktf, ktf), bool)
         for _ in range(3):
-            mask = evolve(mask, jnp.float32(thr))
+            mask = evolve(mask, q, k, v, jnp.float32(thr))
         sparsity = 1.0 - float(jnp.mean(mask.astype(jnp.float32)))
         t_lite = _timeit(step, mask, q, k, v)
         curve.append(

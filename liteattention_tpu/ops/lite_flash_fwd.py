@@ -372,20 +372,18 @@ def _lite_kernel(
 def _lite_gather_kernel(
     # inputs
     thr_ref,  # SMEM (1, 1) float32
-    sched_hbm,  # HBM [B, H, Qt, 2R, 128] int32 (fidx rows + qbits rows)
+    sched_hbm,  # HBM [B, H, Qt, 3R, 128] int32 (fidx + qbits + runflag rows)
     q_ref,  # VMEM (1, 1, block_q, D)
-    k_hbm,  # ANY  [B, Hk, Ktf, 128, D] (fine-tiled view)
-    v_hbm,  # ANY  [B, Hk, Ktf, 128, D]
+    kv_hbm,  # ANY  [B, Hk, Skp, 2D] (flat, K|V interleaved on lanes)
     # outputs
     o_ref,  # VMEM (1, 1, block_q, D)
     lse_ref,  # VMEM (1, block_q, H)
     votes_ref,  # VMEM (1, 1, qsubs, ktf8, H) int32
     # scratch
-    sched_smem,  # SMEM (2R, 128) int32
+    sched_smem,  # SMEM (3R, 128) int32
     sched_sem,
-    kbuf,  # VMEM (2, gsize, 128, D) double-buffered gathered K tiles
-    vbuf,  # VMEM (2, gsize, 128, D)
-    dma_sems,  # DMA sems (2, 2): [slot, k/v], shared across the group
+    kvbuf,  # VMEM (NSLOT, gsize*128, 2D) ring of gathered K|V tiles
+    dma_sems,  # DMA sems (NSLOT,): one per ring slot
     votes_scr,  # VMEM (ktf8, MIN_LANES) int32 in SCHEDULE order
     m_scr,
     l_scr,
@@ -406,7 +404,28 @@ def _lite_gather_kernel(
     anywhere in the sequence via hand-rolled double-buffered DMAs and
     shares one online-softmax state update. Fine-granularity elimination
     (the reference's producer-walk granularity, mainloop:1173-1209) at
-    wide-tile VPU economics.
+    wide-tile VPU *and MXU* economics: the gathered tiles land
+    contiguously in one (gsize*128, D) buffer, so each step runs ONE
+    wide QK^T matmul and ONE wide PV matmul -- the same MXU shapes as
+    the dense kernel at (block_q, gsize*128) tiles. Only the
+    fine-granularity bookkeeping (sub-mask, per-128-column local maxes,
+    votes) runs on per-tile slices.
+
+    Scalar-core DMA-issue cost is the tail risk of a gather design, so
+    it is attacked three ways:
+
+    * **K|V interleave:** K and V ride ONE HBM array (lane-concatenated)
+      so each fetched tile costs a single DMA, not two.
+    * **Run-length DMA:** evolved video skip masks are strongly banded,
+      so a step's ``gsize`` scheduled tiles are usually CONSECUTIVE.
+      The host precomputes a per-step run flag; a run step issues ONE
+      contiguous (gsize*128, 2D) copy (dense-kernel DMA economics --
+      the TPU analog of the reference walking a do-RANGE,
+      mainloop:1177-1209); only genuinely scattered steps pay per-tile
+      gather copies. Both paths signal the same byte count on the slot
+      semaphore.
+    * **4-deep ring buffer:** 3 steps of DMA lookahead instead of
+      classic double buffering, hiding issue latency behind compute.
 
     (DMAs are hand-rolled rather than ``emit_pipeline``: 128-row pipeline
     blocks faulted Mosaic on v5e -- see CLAUDE.md wedge log.)
@@ -431,6 +450,11 @@ def _lite_gather_kernel(
     def qbits_at(i):
         return sched_smem[sched_rows + i // 128, i % 128]
 
+    def flags_at(step):
+        # bit 0: contiguous run; bit 1: fully-live step (see host).
+        i = 1 + step
+        return sched_smem[2 * sched_rows + i // 128, i % 128]
+
     votes_scr[...] = jnp.ones_like(votes_scr)
     m_scr[...] = jnp.full_like(m_scr, -jnp.inf)
     l_scr[...] = jnp.zeros_like(l_scr)
@@ -453,135 +477,237 @@ def _lite_gather_kernel(
     )
     rsub = jax.lax.broadcasted_iota(jnp.int32, (block_q, 1), 0) // vq
     lane = jax.lax.broadcasted_iota(jnp.int32, (1, MIN_LANES), 1)
+    # Per-fine-tile vote machinery (hoisted; loop-invariant).
+    # Votes ride ONE packed (1, 128) row per step: lane qs*gsize+g =
+    # vote of fine tile (qs, schedule position j*gsize+g). The per-tile
+    # "any score above threshold" reduction runs on the MXU against a
+    # block-diagonal one-hot (8 per-128-lane slice reductions each pay
+    # the full intra-vreg lane-reduce tree -- measured ~0.5 us/step at
+    # gsize=8; one (block_q, gsize*128) x (gsize*128, 128) matmul is
+    # ~6x cheaper).
+    assert qsubs * gsize <= MIN_LANES
+    tile_onehot = (
+        jax.lax.broadcasted_iota(
+            jnp.int32, (gsize * VOTE_TILE, MIN_LANES), 0
+        )
+        // VOTE_TILE
+        == jax.lax.broadcasted_iota(
+            jnp.int32, (gsize * VOTE_TILE, MIN_LANES), 1
+        )
+    ).astype(q.dtype)
+    g0lane = (lane % gsize) == 0 if gsize > 1 else lane >= 0
+    lane_in_g = lane < gsize
 
-    # One leading-dim-indexed copy per gathered fine tile, all of a
-    # slot's K (resp. V) copies sharing one semaphore -- the exact
-    # pattern of the official paged-attention kernel
+    # Scattered steps: one dynamic-offset copy per gathered fine tile,
+    # all of a slot's copies sharing the slot semaphore -- the pattern
+    # of the official paged-attention kernel
     # (jax.experimental.pallas.ops.tpu.paged_attention
-    # MultiPageAsyncCopyDescriptor).
-    def k_copy(step, g, slot):
+    # MultiPageAsyncCopyDescriptor), with K|V fetched as one tile. Run
+    # steps: one contiguous (gsize*128, 2D) copy, signalling the same
+    # byte count on the same semaphore.
+    def kv_copy(step, g, slot):
         idx = sched_at(1 + step * gsize + g)
         return pltpu.make_async_copy(
-            k_hbm.at[b, hk, idx], kbuf.at[slot, g], dma_sems.at[slot, 0]
+            kv_hbm.at[b, hk, pl.ds(idx * VOTE_TILE, VOTE_TILE)],
+            kvbuf.at[slot, pl.ds(g * VOTE_TILE, VOTE_TILE)],
+            dma_sems.at[slot],
         )
 
-    def v_copy(step, g, slot):
-        idx = sched_at(1 + step * gsize + g)
+    def kv_run_copy(step, slot):
+        idx0 = sched_at(1 + step * gsize)
         return pltpu.make_async_copy(
-            v_hbm.at[b, hk, idx], vbuf.at[slot, g], dma_sems.at[slot, 1]
+            kv_hbm.at[b, hk, pl.ds(idx0 * VOTE_TILE, gsize * VOTE_TILE)],
+            kvbuf.at[slot],
+            dma_sems.at[slot],
         )
 
     def start_step(step, slot):
-        for g in range(gsize):
-            k_copy(step, g, slot).start()
-            v_copy(step, g, slot).start()
+        @pl.when((flags_at(step) & 1) == 1)
+        def _run():
+            kv_run_copy(step, slot).start()
+
+        @pl.when((flags_at(step) & 1) == 0)
+        def _scatter():
+            for g in range(gsize):
+                kv_copy(step, g, slot).start()
 
     def wait_step(step, slot):
-        for g in range(gsize):
-            k_copy(step, g, slot).wait()
-            v_copy(step, g, slot).wait()
+        # Either path signalled exactly gsize * 128 * 2D elements on
+        # the slot semaphore; waiting with the run descriptor consumes
+        # that amount (DMA semaphores count bytes).
+        kv_run_copy(step, slot).wait()
 
-    start_step(0, 0)
+    nslot = kvbuf.shape[0]
+    for i in range(nslot - 1):
+        @pl.when(i < num_steps)
+        def _prime(i=i):
+            start_step(i, i % nslot)
 
     def body(j, _):
-        slot = jax.lax.rem(j, 2)
+        slot = jax.lax.rem(j, nslot)
 
-        @pl.when(j + 1 < num_steps)
+        @pl.when(j + nslot - 1 < num_steps)
         def _prefetch():
-            start_step(j + 1, 1 - slot)
+            start_step(j + nslot - 1, jax.lax.rem(j + nslot - 1, nslot))
 
         wait_step(j, slot)
-        m_prev = m_scr[...]
-        cols = []
-        lm_list = []
-        vote_rows = []
-        for g in range(gsize):
-            pos = j * gsize + g
-            fidx = sched_at(1 + pos)
-            qb = qbits_at(1 + pos)
-            valid_entry = pos < count
-            k_blk = kbuf[slot, g]
-            s_g = jax.lax.dot_general(
-                q,
-                k_blk,
-                dimension_numbers=(((1,), (1,)), ((), ())),
+        # ONE wide QK^T over the packed gathered tiles (dense-kernel MXU
+        # shape); fine-tile masking/votes then run on 128-column slices.
+        # The QK matmul is computed INSIDE each pl.when branch so no
+        # (block_q, gsize*128) tile crosses a region boundary (crossing
+        # forces a VMEM materialization that costs more than the
+        # duplicated matmul code).
+        d_pk = q_ref.shape[-1]
+
+        def qk_all():
+            return (
+                jax.lax.dot_general(
+                    q,
+                    kvbuf[slot][:, :d_pk],
+                    dimension_numbers=(((1,), (1,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                    precision=precision,
+                )
+                * (scale * LOG2E)
+            )
+
+        def emit(s_masked, local_max, vote_row, m_prev):
+            # Shared online-softmax update + packed vote-row store: ONE
+            # exp2 pass, ONE row-sum, ONE wide PV matmul per step.
+            # Phantom entries see fully masked scores and vote the
+            # neutral 1; the host maps schedule positions back to fine
+            # indices.
+            votes_scr[pl.ds(j, 1), :] = vote_row
+            m_next = jnp.maximum(m_prev, local_max)
+            m_red = m_next[:, :1]
+            alpha = jnp.exp2(m_prev[:, :1] - m_red)
+            m_scr[...] = m_next
+            p = jnp.exp2(s_masked - m_red)
+            l_curr = jnp.sum(p, axis=1, keepdims=True)
+            acc_scr[...] = acc_scr[...] * alpha + jax.lax.dot(
+                p.astype(kvbuf.dtype),
+                kvbuf[slot][:, d_pk:],
                 preferred_element_type=jnp.float32,
                 precision=precision,
-            ) * (scale * LOG2E)
-            live_col = jnp.logical_and(
-                (
-                    jax.lax.shift_right_logical(
-                        jnp.broadcast_to(qb, (block_q, 1)), rsub
-                    )
-                    & 1
-                )
-                == 1,
-                valid_entry,
             )
-            s_g = jnp.where(live_col, s_g, DEFAULT_MASK_VALUE)
-            if seqlen_k % VOTE_TILE != 0:
-                col = (
-                    jax.lax.broadcasted_iota(
-                        jnp.int32, (block_q, VOTE_TILE), 1
-                    )
-                    + fidx * VOTE_TILE
-                )
-                s_g = jnp.where(col < seqlen_k, s_g, DEFAULT_MASK_VALUE)
-            lm_g = jnp.max(s_g, axis=1, keepdims=True)
+            l_scr[...] = alpha * l_scr[...] + l_curr
+
+        def anchored(vote_row):
+            # Anchor: the globally-first surviving fine tile votes 0
+            # (softmax.h:153); per-row-group anchoring is completed by
+            # update_mask's first-live guard.
+            return jnp.where(
+                jnp.logical_and(j == 0, g0lane), jnp.int32(0), vote_row
+            )
+
+        def slice_g(s_all, g):
+            return (
+                s_all[:, g * VOTE_TILE : (g + 1) * VOTE_TILE]
+                if gsize > 1
+                else s_all
+            )
+
+        @pl.when((flags_at(j) & 2) == 2)
+        def _full():
+            # Fully-live step (the common case on evolved video masks):
+            # every entry valid, every q-row group live, no padded
+            # tile -- consume the raw score tile, no sub-masking.
+            s_all = qk_all()
+            m_prev = m_scr[...]
             # --- per-fine-tile vote (softmax.h:194 semantics) ---
-            do_qk = jnp.logical_and(
-                (lm_g - m_prev[:, :1]) > thr, row_valid
+            # do(row, tile) = any score in the tile above m_prev + thr;
+            # the per-tile reduction rides the MXU (see tile_onehot).
+            thr_row = jnp.where(
+                row_valid, m_prev[:, :1] + thr, jnp.float32(jnp.inf)
             )
-            row = jnp.zeros((1, MIN_LANES), jnp.int32)
-            for qs in range(qsubs):
-                any_do = jnp.any(do_qk[qs * vq : (qs + 1) * vq])
-                # Anchor: the globally-first surviving fine tile votes 0
-                # (softmax.h:153); per-row-group anchoring is completed
-                # by update_mask's first-live guard.
-                vote = jnp.where(
-                    jnp.logical_and(j == 0, g == 0),
-                    jnp.int32(0),
-                    jnp.logical_not(any_do).astype(jnp.int32),
-                )
-                row = jnp.where(lane == qs, vote, row)
-
-            vote_rows.append(row)
-            cols.append(s_g)
-            lm_list.append(lm_g)
-
-        # One aligned (gsize, 128) store per step, in SCHEDULE order --
-        # dynamic single-sublane scatter stores at arbitrary offsets are
-        # both slow and the prime suspect for the >=32k-token Mosaic
-        # fault (the super-tile kernel's gsize-aligned stores are proven
-        # on-chip at 73k). Phantom entries (pos >= count) see fully
-        # masked scores and vote the neutral 1; the host maps schedule
-        # positions back to fine indices.
-        votes_scr[pl.ds(j * gsize, gsize), :] = (
-            jnp.concatenate(vote_rows, axis=0)
-            if gsize > 1
-            else vote_rows[0]
-        )
-
-        local_max = lm_list[0]
-        for lm in lm_list[1:]:
-            local_max = jnp.maximum(local_max, lm)
-        m_next = jnp.maximum(m_prev, local_max)
-        m_red = m_next[:, :1]
-        alpha = jnp.exp2(m_prev[:, :1] - m_red)
-        m_scr[...] = m_next
-        acc_scr[...] = acc_scr[...] * alpha
-        l_curr = None
-        for g in range(gsize):
-            p = jnp.exp2(cols[g] - m_red)
-            ps = jnp.sum(p, axis=1, keepdims=True)
-            l_curr = ps if l_curr is None else l_curr + ps
-            acc_scr[...] += jax.lax.dot(
-                p.astype(vbuf.dtype),
-                vbuf[slot, g],
+            above = (s_all > thr_row).astype(tile_onehot.dtype)
+            cnt = jax.lax.dot(
+                above,
+                tile_onehot,
                 preferred_element_type=jnp.float32,
                 precision=precision,
+            )  # (block_q, 128): lane g < gsize = hits in tile g
+            vote_row = jnp.zeros((1, MIN_LANES), jnp.int32)
+            for qs in range(qsubs):
+                any_qs = (
+                    jnp.max(cnt[qs * vq : (qs + 1) * vq], axis=0,
+                            keepdims=True)
+                    > 0.5
+                )  # (1, 128), lane g
+                vote_qs = jnp.where(
+                    jnp.logical_and(lane_in_g, jnp.logical_not(any_qs)),
+                    jnp.int32(1),
+                    jnp.int32(0),
+                )
+                vote_row = vote_row | (
+                    pltpu.roll(vote_qs, qs * gsize, 1)
+                    if qs
+                    else vote_qs
+                )
+            emit(
+                s_all,
+                jnp.max(s_all, axis=1, keepdims=True),
+                anchored(vote_row),
+                m_prev,
             )
-        l_scr[...] = alpha * l_scr[...] + l_curr
+
+        @pl.when((flags_at(j) & 2) == 0)
+        def _masked():
+            s_all = qk_all()
+            m_prev = m_scr[...]
+            cols = []
+            vote_row = jnp.zeros((1, MIN_LANES), jnp.int32)
+            local_max = None
+            for g in range(gsize):
+                pos = j * gsize + g
+                fidx = sched_at(1 + pos)
+                qb = qbits_at(1 + pos)
+                valid_entry = pos < count
+                s_g = slice_g(s_all, g)
+                live_col = jnp.logical_and(
+                    (
+                        jax.lax.shift_right_logical(
+                            jnp.broadcast_to(qb, (block_q, 1)), rsub
+                        )
+                        & 1
+                    )
+                    == 1,
+                    valid_entry,
+                )
+                s_g = jnp.where(live_col, s_g, DEFAULT_MASK_VALUE)
+                if seqlen_k % VOTE_TILE != 0:
+                    col = (
+                        jax.lax.broadcasted_iota(
+                            jnp.int32, (block_q, VOTE_TILE), 1
+                        )
+                        + fidx * VOTE_TILE
+                    )
+                    s_g = jnp.where(
+                        col < seqlen_k, s_g, DEFAULT_MASK_VALUE
+                    )
+                cols.append(s_g)
+                lm_g = jnp.max(s_g, axis=1, keepdims=True)
+                local_max = (
+                    lm_g
+                    if local_max is None
+                    else jnp.maximum(local_max, lm_g)
+                )
+                do_qk = jnp.logical_and(
+                    (lm_g - m_prev[:, :1]) > thr, row_valid
+                )
+                for qs in range(qsubs):
+                    any_do = jnp.any(do_qk[qs * vq : (qs + 1) * vq])
+                    vote = jnp.logical_not(any_do).astype(jnp.int32)
+                    vote_row = jnp.where(
+                        lane == qs * gsize + g, vote, vote_row
+                    )
+            emit(
+                jnp.concatenate(cols, axis=1) if gsize > 1 else cols[0],
+                local_max,
+                anchored(vote_row),
+                m_prev,
+            )
+
         return 0
 
     jax.lax.fori_loop(0, num_steps, body, 0)
@@ -600,18 +726,9 @@ def _lite_gather_kernel(
     )
     head_col = jax.lax.broadcasted_iota(jnp.int32, (block_q, num_heads), 1)
     lse_ref[0] = jnp.where(head_col == h, lse, lse_ref[0])
-    ktf = votes_scr.shape[0]
-    vote_head = jax.lax.broadcasted_iota(jnp.int32, (ktf, num_heads), 1)
-    vote_lane = jax.lax.broadcasted_iota(jnp.int32, (ktf, MIN_LANES), 1)
-    for qs in range(qsubs):
-        col = jnp.sum(
-            jnp.where(vote_lane == qs, votes_scr[...], 0),
-            axis=1,
-            keepdims=True,
-        )
-        votes_ref[0, 0, qs] = jnp.where(
-            vote_head == h, col, votes_ref[0, 0, qs]
-        )
+    # Packed vote rows go out verbatim; this head owns its own block
+    # (votes_ref block index depends on h), so no cross-head scatter.
+    votes_ref[0, 0, 0] = votes_scr[...]
 
 
 def _pad_seq(x: jax.Array, block: int) -> jax.Array:
@@ -643,19 +760,18 @@ def _lite_gather_call(
     sq_p = qp.shape[2]
     qt = sq_p // block_q
     ktf = kp.shape[2] // VOTE_TILE
-    # Fine-tiled K/V views: one leading-dim index per 128-row tile, so
-    # each gather DMA is a whole-subarray copy (layout-free reshape).
-    kp = kp.reshape(b, hk, ktf, VOTE_TILE, d_p)
-    vp = vp.reshape(b, hk, ktf, VOTE_TILE, d_p)
+    # K and V ride ONE flat [B, Hk, Skp, 2D] array (lane-concatenated):
+    # each gathered fine tile is a single 128-row-aligned DMA covering
+    # both operands, and the flat (gsize*128, 2D) ring buffer feeds the
+    # fused matmuls with no in-kernel reshape.
+    kvp = jnp.concatenate([kp, vp], axis=-1)
     assert fidx.shape == (b, h, qt, ktf), (fidx.shape, (b, h, qt, ktf))
     assert count.shape == (b, h, qt)
     assert qbits.shape == (b, h, qt, ktf)
-    # Scratch rows hold votes in SCHEDULE order; the last step's aligned
-    # (gsize, 128) store may reach ceil(ktf / gsize) * gsize rows.
-    ktf8 = max(8, -(-ktf // 8) * 8, -(-ktf // gsize) * gsize)
 
-    # Schedule: [count, fidx...] + [0, qbits...]; width covers the
-    # worst-case over-read (up to gsize - 1 phantom entries past count).
+    # Schedule: [count, fidx...] + [0, qbits...] + [0, runflags...];
+    # width covers the worst-case over-read (up to gsize - 1 phantom
+    # entries past count).
     sched_rows = -(-(1 + ktf + gsize) // MIN_LANES)
     row_len = sched_rows * MIN_LANES
 
@@ -664,13 +780,53 @@ def _lite_gather_call(
             [
                 head[..., None].astype(jnp.int32),
                 body.astype(jnp.int32),
-                jnp.zeros((b, h, qt, row_len - 1 - ktf), jnp.int32),
+                jnp.zeros(
+                    (b, h, qt, row_len - 1 - body.shape[-1]), jnp.int32
+                ),
             ],
             axis=-1,
         ).reshape(b, h, qt, sched_rows, MIN_LANES)
 
+    # Per-STEP flags: step p covers schedule entries
+    # [p*gsize, (p+1)*gsize).
+    #   bit 0 (run):  the entries are consecutive fine indices -> one
+    #                 contiguous DMA per operand instead of gsize.
+    #   bit 1 (full): every entry is valid (no phantom tail), every
+    #                 q-row group is live, and no entry touches the
+    #                 padded tail tile -> the kernel skips sub-masking
+    #                 entirely and consumes the raw score tile.
+    steps = -(-ktf // gsize)
+    tail = ((0, 0),) * 3 + ((0, steps * gsize - ktf),)
+    fpad = jnp.pad(fidx, tail, mode="edge").reshape(
+        b, h, qt, steps, gsize
+    )
+    runflag = jnp.all(
+        fpad == fpad[..., :1] + jnp.arange(gsize, dtype=fidx.dtype),
+        axis=-1,
+    )
+    qbpad = jnp.pad(qbits, tail, mode="edge").reshape(
+        b, h, qt, steps, gsize
+    )
+    full_qb = (1 << qsubs) - 1
+    fullflag = jnp.logical_and(
+        jnp.all(qbpad == full_qb, axis=-1),
+        (jnp.arange(steps, dtype=jnp.int32) + 1) * gsize
+        <= count[..., None],
+    )
+    if sk % VOTE_TILE != 0:
+        fullflag = jnp.logical_and(
+            fullflag, jnp.all(fpad != ktf - 1, axis=-1)
+        )
+    flags = runflag.astype(jnp.int32) + 2 * fullflag.astype(jnp.int32)
+    # Vote rows are packed one per STEP (lane qs*gsize+g).
+    steps8 = max(8, -(-steps // 8) * 8)
+
     schedule = jnp.concatenate(
-        [section(count, fidx), section(jnp.zeros_like(count), qbits)],
+        [
+            section(count, fidx),
+            section(jnp.zeros_like(count), qbits),
+            section(jnp.zeros_like(count), flags),
+        ],
         axis=3,
     )
 
@@ -700,7 +856,6 @@ def _lite_gather_call(
                 (1, 1, block_q, d_p), lambda bi, qi, hi: (bi, hi, qi, 0)
             ),
             pl.BlockSpec(memory_space=pl.ANY),
-            pl.BlockSpec(memory_space=pl.ANY),
         ],
         out_specs=[
             pl.BlockSpec(
@@ -708,22 +863,23 @@ def _lite_gather_call(
             ),
             pl.BlockSpec((1, block_q, h), lambda bi, qi, hi: (bi, qi, 0)),
             pl.BlockSpec(
-                (1, 1, qsubs, ktf8, h),
-                lambda bi, qi, hi: (bi, qi, 0, 0, 0),
+                (1, 1, 1, steps8, MIN_LANES),
+                lambda bi, qi, hi: (bi, qi, hi, 0, 0),
             ),
         ],
         out_shape=[
             jax.ShapeDtypeStruct((b, h, sq_p, d_p), q.dtype),
             jax.ShapeDtypeStruct((b, sq_p, h), jnp.float32),
-            jax.ShapeDtypeStruct((b, qt, qsubs, ktf8, h), jnp.int32),
+            jax.ShapeDtypeStruct(
+                (b, qt, h, steps8, MIN_LANES), jnp.int32
+            ),
         ],
         scratch_shapes=[
-            pltpu.SMEM((_pow2(2 * sched_rows), MIN_LANES), jnp.int32),
+            pltpu.SMEM((_pow2(3 * sched_rows), MIN_LANES), jnp.int32),
             pltpu.SemaphoreType.DMA(()),
-            pltpu.VMEM((2, gsize, VOTE_TILE, d_p), qp.dtype),
-            pltpu.VMEM((2, gsize, VOTE_TILE, d_p), vp.dtype),
-            pltpu.SemaphoreType.DMA((2, 2)),
-            pltpu.VMEM((ktf8, MIN_LANES), jnp.int32),
+            pltpu.VMEM((4, gsize * VOTE_TILE, 2 * d_p), kvp.dtype),
+            pltpu.SemaphoreType.DMA((4,)),
+            pltpu.VMEM((steps8, MIN_LANES), jnp.int32),
             pltpu.VMEM((block_q, MIN_LANES), jnp.float32),
             pltpu.VMEM((block_q, MIN_LANES), jnp.float32),
             pltpu.VMEM((block_q, d_p), jnp.float32),
@@ -732,16 +888,23 @@ def _lite_gather_call(
             dimension_semantics=("parallel", "parallel", "arbitrary"),
         ),
         interpret=interpret,
-    )(thr, schedule, qp, kp, vp)
+    )(thr, schedule, qp, kvp)
     out = out[:, :, :sq, :d]
     lse = jnp.transpose(lse[:, :sq, :], (0, 2, 1))
-    # Kernel votes are in SCHEDULE order: position p of row (b, h, qt)
-    # is the vote for fine k-tile fidx[b, h, qt, p] (p < count; phantom
-    # tail entries are neutral). Scatter back to fine indexing with a
-    # min-combiner: unvisited tiles default to 1 (skippable -- the
-    # monotone update keeps them skipped) and duplicate tail indices
-    # (compact_mask repeats the last survivor) cannot flip a 0 to 1.
-    sched_votes = jnp.transpose(votes[:, :, :, :ktf, :], (0, 4, 1, 2, 3))
+    # Kernel votes are packed rows in SCHEDULE order: row j, lane
+    # qs*gsize+g of (b, qt, h) is the vote of fine k-tile
+    # fidx[b, h, qt, j*gsize+g] for q-row-group qs (p < count; phantom
+    # tail entries are neutral). Unpack, then scatter back to fine
+    # indexing with a min-combiner: unvisited tiles default to 1
+    # (skippable -- the monotone update keeps them skipped) and
+    # duplicate tail indices (compact_mask repeats the last survivor)
+    # cannot flip a 0 to 1.
+    raw = votes[:, :, :, :steps, : qsubs * gsize].reshape(
+        b, qt, h, steps, qsubs, gsize
+    )
+    sched_votes = jnp.transpose(raw, (0, 2, 1, 4, 3, 5)).reshape(
+        b, h, qt, qsubs, steps * gsize
+    )[..., :ktf]
     pos = jnp.arange(ktf, dtype=jnp.int32)
     valid = pos[None, None, None] < count[..., None]  # [B, H, Qt, Ktf]
     sched_votes = jnp.where(valid[:, :, :, None, :], sched_votes, 1)

@@ -68,18 +68,21 @@ def get_block_sizes(
 
     The DENSE default is (512, 1024): within 3% of the best measured
     point with half the VMEM footprint of (1024, 1024), and it beats the
-    tuned stock kernel. The LITE default stays (512, 512): the skip
-    SCHEDULING granularity equals block_k (a super-tile is eliminated
-    only when every covered fine tile is dead), and the measured
-    sparsity->runtime conversion at (512, 512) dominates the wider tiles
-    (1.07+ of ideal up to 57% clustered sparsity vs 0.67-0.92).
+    tuned stock kernel. The LITE (gather-schedule) default is also
+    (512, 1024): with the round-2 fused/run-DMA gather kernel, block_k
+    only sets how many fine tiles are gathered per pipeline step
+    (scheduling granularity stays 128), and the measured curve at
+    (512, 1024) dominates (512, 512) at every sparsity (e.g. q-clustered
+    73k tokens: 274 vs 298 ms at 0%, 203 vs 212 ms at 42%). For the
+    SUPER-TILE fallback path block_k is also the elimination
+    granularity; callers that use it should pass an override.
     """
     if override is not None:
         return BlockSizes(*override)
     if kind == "lite":
         if head_dim <= 128:
-            return BlockSizes(512, 512)
-        return BlockSizes(256, 512)
+            return BlockSizes(512, 1024)
+        return BlockSizes(256, 1024)
     if head_dim <= 128:
         return BlockSizes(512, 1024)
     return BlockSizes(256, 1024)
