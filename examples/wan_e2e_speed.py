@@ -49,7 +49,13 @@ def main():
     ap.add_argument("--frames", type=int, default=18)
     ap.add_argument("--height", type=int, default=128)
     ap.add_argument("--width", type=int, default=128)
+    ap.add_argument(
+        "--modes", default="thr,band",
+        help="comma list: thr (organic threshold sweep), band "
+        "(forced banded-mask ablation)",
+    )
     args = ap.parse_args()
+    modes = set(args.modes.split(","))
 
     cfg = WanConfig(num_layers=args.layers)
     model = WanModel(cfg)
@@ -102,7 +108,9 @@ def main():
     print(f"attention FLOP fraction at {n_tok} tokens: {frac:.1%}")
 
     curve = []
-    for thr in [-10.0, -3.0, 0.1, 0.5, 1.0, 2.0]:
+    for thr in (
+        [-10.0, -3.0, 0.1, 0.5, 1.0, 2.0] if "thr" in modes else []
+    ):
         thrs = jnp.full((args.steps,), thr, jnp.float32)
         sync(lite_fn(params, noise, text, thrs))  # compile + mask warmup
         t = time.perf_counter()
@@ -122,17 +130,85 @@ def main():
                 e2e_speedup=round(dense_s / lite_s, 3),
             )
         )
+    # --- Forced-sparsity ablation at the reference's 5 points ---
+    # Random-init weights have near-uniform attention, so the organic
+    # threshold sweep above jumps straight from 0% to ~80% sparsity and
+    # its masks are SCATTERED (the adversarial case for any tiled
+    # engine: with 512-row compute tiles the per-q-tile schedule union
+    # keeps 1-s^4 of tiles live). Real video attention converges to
+    # diagonally-banded masks (reference README.md:12-27); this section
+    # pins per-layer masks to that structure at the reference ablation's
+    # sparsity points (README.md:79-87) with a frozen threshold, giving
+    # the sparsity -> E2E-runtime curve at the true operating geometry.
+    from liteattention_tpu.models.wan import init_skip_states
+
+    states0 = init_skip_states(cfg, b, (f, hh, ww))
+    ktf = next(iter(states0.values())).do_mask.shape[-1]
+    qtf = next(iter(states0.values())).do_mask.shape[-2]
+    heads = cfg.num_heads
+
+    def banded_mask(s_target):
+        width = max(1, int(round((1.0 - s_target) * ktf)))
+        center = (np.arange(qtf) * (ktf - 1)) // max(qtf - 1, 1)
+        start = np.clip(center - width // 2, 0, ktf - width)
+        kpos = np.arange(ktf)[None, :]
+        keep = (kpos >= start[:, None]) & (kpos < start[:, None] + width)
+        keep[:, 0] = True
+        return jnp.asarray(
+            np.broadcast_to(keep, (b, heads, qtf, ktf)).copy()
+        )
+
+    frozen = jnp.full((args.steps,), -10.0, jnp.float32)
+    band_fn = jax.jit(
+        lambda p, n, t, st: denoise(
+            model, p, n, t, num_steps=args.steps, thresholds=frozen,
+            enable_skipping=True, initial_states=st,
+        )
+    )
+    banded_curve = []
+    for s_target in (
+        [0.0, 0.21, 0.42, 0.57, 0.77] if "band" in modes else []
+    ):
+        m = banded_mask(s_target)
+        st = {i: s0._replace(do_mask=m) for i, s0 in states0.items()}
+        sync(band_fn(params, noise, text, st))
+        t = time.perf_counter()
+        out_b, tel = band_fn(params, noise, text, st)
+        sync(out_b)
+        band_s = (time.perf_counter() - t) / args.steps
+        sp = float(tel["final_sparsity"])
+        print(
+            f"banded s={sp:.1%}: {band_s * 1e3:.0f} ms/step, "
+            f"e2e speedup={dense_s / band_s:.2f}x"
+        )
+        banded_curve.append(
+            dict(
+                sparsity=round(sp, 4),
+                ms_per_step=round(band_s * 1e3, 1),
+                e2e_speedup=round(dense_s / band_s, 3),
+            )
+        )
+
     artifact = {
         "tokens": tokens,
         "layers": args.layers,
         "steps": args.steps,
         "dense_ms_per_step": round(dense_s * 1e3, 1),
         "attention_flop_fraction": round(frac, 4),
-        "curve": curve,
+        "threshold_curve": curve,
+        "banded_curve": banded_curve,
     }
-    with open("E2E_ABLATION.json", "w") as f:
+    out_path = "E2E_ABLATION.json"
+    if os.path.exists(out_path) and (len(modes) < 2):
+        # Partial rerun: merge into the existing artifact.
+        with open(out_path) as fh:
+            prev = json.load(fh)
+        for key in ("threshold_curve", "banded_curve"):
+            if not artifact[key] and prev.get(key):
+                artifact[key] = prev[key]
+    with open(out_path, "w") as f:
         json.dump(artifact, f, indent=1)
-    print("wrote E2E_ABLATION.json")
+    print(f"wrote {out_path}")
 
 
 if __name__ == "__main__":

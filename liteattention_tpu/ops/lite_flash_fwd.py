@@ -571,56 +571,12 @@ def _lite_gather_kernel(
                 * (scale * LOG2E)
             )
 
-        def emit(s_masked, local_max, vote_row, m_prev):
-            # Shared online-softmax update + packed vote-row store: ONE
-            # exp2 pass, ONE row-sum, ONE wide PV matmul per step.
-            # Phantom entries see fully masked scores and vote the
-            # neutral 1; the host maps schedule positions back to fine
-            # indices.
-            votes_scr[pl.ds(j, 1), :] = vote_row
-            m_next = jnp.maximum(m_prev, local_max)
-            m_red = m_next[:, :1]
-            alpha = jnp.exp2(m_prev[:, :1] - m_red)
-            m_scr[...] = m_next
-            p = jnp.exp2(s_masked - m_red)
-            l_curr = jnp.sum(p, axis=1, keepdims=True)
-            acc_scr[...] = acc_scr[...] * alpha + jax.lax.dot(
-                p.astype(kvbuf.dtype),
-                kvbuf[slot][:, d_pk:],
-                preferred_element_type=jnp.float32,
-                precision=precision,
-            )
-            l_scr[...] = alpha * l_scr[...] + l_curr
-
-        def anchored(vote_row):
-            # Anchor: the globally-first surviving fine tile votes 0
-            # (softmax.h:153); per-row-group anchoring is completed by
-            # update_mask's first-live guard.
-            return jnp.where(
-                jnp.logical_and(j == 0, g0lane), jnp.int32(0), vote_row
-            )
-
-        def slice_g(s_all, g):
-            return (
-                s_all[:, g * VOTE_TILE : (g + 1) * VOTE_TILE]
-                if gsize > 1
-                else s_all
-            )
-
-        @pl.when((flags_at(j) & 2) == 2)
-        def _full():
-            # Fully-live step (the common case on evolved video masks):
-            # every entry valid, every q-row group live, no padded
-            # tile -- consume the raw score tile, no sub-masking.
-            s_all = qk_all()
-            m_prev = m_scr[...]
-            # --- per-fine-tile vote (softmax.h:194 semantics) ---
-            # do(row, tile) = any score in the tile above m_prev + thr;
-            # the per-tile reduction rides the MXU (see tile_onehot).
-            thr_row = jnp.where(
-                row_valid, m_prev[:, :1] + thr, jnp.float32(jnp.inf)
-            )
-            above = (s_all > thr_row).astype(tile_onehot.dtype)
+        def votes_from(above):
+            # Fold per-(row, fine-tile) "score above threshold" bits
+            # into the packed per-step vote row: the per-tile "any"
+            # reduction rides the MXU (tile_onehot) -- per-128-lane
+            # slice reductions each pay the full intra-vreg lane-reduce
+            # tree and cost ~6x more (measured).
             cnt = jax.lax.dot(
                 above,
                 tile_onehot,
@@ -644,20 +600,65 @@ def _lite_gather_kernel(
                     if qs
                     else vote_qs
                 )
-            emit(
-                s_all,
-                jnp.max(s_all, axis=1, keepdims=True),
-                anchored(vote_row),
-                m_prev,
+            # Anchor: the globally-first surviving fine tile votes 0
+            # (softmax.h:153); per-row-group anchoring is completed by
+            # update_mask's first-live guard.
+            vote_row = jnp.where(
+                jnp.logical_and(j == 0, g0lane), jnp.int32(0), vote_row
             )
+            votes_scr[pl.ds(j, 1), :] = vote_row
+
+        def emit(s_masked, m_prev):
+            # Shared online-softmax update: ONE wide max, ONE exp2
+            # pass, ONE row-sum, ONE wide PV matmul per step.
+            # --- per-fine-tile vote (softmax.h:194 semantics) ---
+            # do(row, tile) = any score in the tile above m_prev + thr,
+            # computed directly on the score tile so the vote chain
+            # overlaps the softmax-update chain (voting on
+            # p > 2^thr * alpha is mathematically identical but
+            # serializes behind exp2 -- measured ~0.3 us/step slower).
+            # Masked/phantom columns sit at DEFAULT_MASK_VALUE and can
+            # never exceed the threshold of a row that has m_prev
+            # > -inf; first-visit rows (m_prev = -inf) vote "do"
+            # everywhere, and dead tiles' votes are never read by the
+            # host decode.
+            thr_row = jnp.where(
+                row_valid, m_prev[:, :1] + thr, jnp.float32(jnp.inf)
+            )
+            votes_from((s_masked > thr_row).astype(tile_onehot.dtype))
+            local_max = jnp.max(s_masked, axis=1, keepdims=True)
+            m_next = jnp.maximum(m_prev, local_max)
+            m_red = m_next[:, :1]
+            alpha = jnp.exp2(m_prev[:, :1] - m_red)
+            m_scr[...] = m_next
+            p = jnp.exp2(s_masked - m_red)
+            l_curr = jnp.sum(p, axis=1, keepdims=True)
+            acc_scr[...] = acc_scr[...] * alpha + jax.lax.dot(
+                p.astype(kvbuf.dtype),
+                kvbuf[slot][:, d_pk:],
+                preferred_element_type=jnp.float32,
+                precision=precision,
+            )
+            l_scr[...] = alpha * l_scr[...] + l_curr
+
+        def slice_g(s_all, g):
+            return (
+                s_all[:, g * VOTE_TILE : (g + 1) * VOTE_TILE]
+                if gsize > 1
+                else s_all
+            )
+
+        @pl.when((flags_at(j) & 2) == 2)
+        def _full():
+            # Fully-live step (the common case on evolved video masks):
+            # every entry valid, every q-row group live, no padded
+            # tile -- consume the raw score tile, no sub-masking.
+            emit(qk_all(), m_scr[...])
 
         @pl.when((flags_at(j) & 2) == 0)
         def _masked():
             s_all = qk_all()
-            m_prev = m_scr[...]
             cols = []
-            vote_row = jnp.zeros((1, MIN_LANES), jnp.int32)
-            local_max = None
             for g in range(gsize):
                 pos = j * gsize + g
                 fidx = sched_at(1 + pos)
@@ -686,26 +687,9 @@ def _lite_gather_kernel(
                         col < seqlen_k, s_g, DEFAULT_MASK_VALUE
                     )
                 cols.append(s_g)
-                lm_g = jnp.max(s_g, axis=1, keepdims=True)
-                local_max = (
-                    lm_g
-                    if local_max is None
-                    else jnp.maximum(local_max, lm_g)
-                )
-                do_qk = jnp.logical_and(
-                    (lm_g - m_prev[:, :1]) > thr, row_valid
-                )
-                for qs in range(qsubs):
-                    any_do = jnp.any(do_qk[qs * vq : (qs + 1) * vq])
-                    vote = jnp.logical_not(any_do).astype(jnp.int32)
-                    vote_row = jnp.where(
-                        lane == qs * gsize + g, vote, vote_row
-                    )
             emit(
                 jnp.concatenate(cols, axis=1) if gsize > 1 else cols[0],
-                local_max,
-                anchored(vote_row),
-                m_prev,
+                m_scr[...],
             )
 
         return 0
@@ -893,12 +877,13 @@ def _lite_gather_call(
     lse = jnp.transpose(lse[:, :sq, :], (0, 2, 1))
     # Kernel votes are packed rows in SCHEDULE order: row j, lane
     # qs*gsize+g of (b, qt, h) is the vote of fine k-tile
-    # fidx[b, h, qt, j*gsize+g] for q-row-group qs (p < count; phantom
-    # tail entries are neutral). Unpack, then scatter back to fine
-    # indexing with a min-combiner: unvisited tiles default to 1
-    # (skippable -- the monotone update keeps them skipped) and
-    # duplicate tail indices (compact_mask repeats the last survivor)
-    # cannot flip a 0 to 1.
+    # fidx[b, h, qt, j*gsize+g] for q-row-group qs. The schedule lists
+    # survivors in INCREASING index order, so the schedule position of
+    # a live fine tile f is simply rank(f) = (# live tiles <= f) - 1:
+    # the inverse map is a cumsum + gather, not a scatter (XLA scatter
+    # is serial-slow on TPU -- tens of ms at Wan head counts). Dead
+    # tiles vote the neutral 1 (the monotone update keeps them
+    # skipped).
     raw = votes[:, :, :, :steps, : qsubs * gsize].reshape(
         b, qt, h, steps, qsubs, gsize
     )

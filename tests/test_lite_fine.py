@@ -247,7 +247,8 @@ def test_gather_output_matches_fine_oracle(bq, bk):
 
 
 @pytest.mark.parametrize("thr", [-10.0, -3.0, jnp.inf])
-def test_gather_votes_match_oracle(thr):
+@pytest.mark.parametrize("style", ["dense_random", "sparse_clustered"])
+def test_gather_votes_match_oracle(thr, style):
     from liteattention_tpu.ops.attention_ref import skip_votes_ref_gather
     from liteattention_tpu.ops.mask import compact_mask_gather
 
@@ -255,7 +256,21 @@ def test_gather_votes_match_oracle(thr):
     bq, bk = 512, 512
     q, k, v = _qkv(23, b, h, s, d, correlated=True)
     qtf = ktf = s // 128
-    mask = _random_fine_mask(24, b, h, qtf, ktf, keep_prob=0.7)
+    if style == "dense_random":
+        mask = _random_fine_mask(24, b, h, qtf, ktf, keep_prob=0.7)
+    else:
+        # Low keep at SCHEDULE granularity (constant over each compute
+        # q-tile): the surviving-index list is then a genuine
+        # permutation of a sparse subset, which catches any bug in the
+        # schedule-order -> fine-index vote mapping (a dense schedule
+        # makes fidx ~ the identity and hides such bugs).
+        rng = np.random.RandomState(25)
+        qsubs = bq // 128
+        keep = np.repeat(
+            rng.rand(b, h, qtf // qsubs, ktf) < 0.3, qsubs, axis=2
+        )
+        keep[..., 0] = True
+        mask = jnp.asarray(keep)
     fidx, count, qbits = compact_mask_gather(mask, bq // 128)
     _, _, votes = lite_flash_attention(
         q, k, v, fidx, count, jnp.float32(thr), kv_bits=qbits,
