@@ -58,6 +58,13 @@ class GPTConfig:
     dropout: float = 0.0
     eps: float = 1e-5
     dtype: Any = jnp.bfloat16
+    # Activation rematerialization: recompute each block's activations
+    # during backward instead of storing them (jax.checkpoint /
+    # nn.remat), trading ~33% more FLOPs for O(num_layers) less
+    # activation HBM -- the TPU-native analog of the reference training
+    # stack's activation checkpointing. Ignored on inference paths
+    # (inference_params) where there is no backward pass.
+    remat: bool = False
 
     @staticmethod
     def llama(dim=512, num_layers=4, num_heads=8, vocab=32000):
@@ -143,7 +150,11 @@ class GPTModel(nn.Module):
                 mlp = lambda: Mlp(
                     cfg.ffn_dim or 4 * cfg.dim, dtype=cfg.dtype, name="mlp"
                 )
-            x, residual = Block(
+            block_cls = Block
+            if cfg.remat and inference_params is None:
+                # deterministic (arg 3) is a Python bool -> static.
+                block_cls = nn.remat(Block, static_argnums=(3,))
+            x, residual = block_cls(
                 dim=cfg.dim,
                 mixer=mixer,
                 mlp=mlp,
@@ -159,7 +170,7 @@ class GPTModel(nn.Module):
             )(
                 x,
                 residual,
-                deterministic=deterministic,
+                deterministic,
                 inference_params=inference_params,
             )
 

@@ -61,6 +61,9 @@ class WanConfig:
     eps: float = 1e-6
     dtype: Any = jnp.bfloat16
     block_sizes: Optional[BlockSizes] = None
+    # Recompute block activations in backward (jax.checkpoint); see
+    # GPTConfig.remat. Training-only knob.
+    remat: bool = False
     # Sequence-parallel self-attention over an ICI mesh axis (config 5):
     # when set, the model must run inside shard_map-compatible jit with
     # that mesh active; KV and the per-layer skip masks are sharded on
@@ -407,9 +410,16 @@ class WanModel(nn.Module):
         freqs = rope_3d_freqs((gf, gh, gw), cfg.head_dim)
 
         new_states: Dict[int, Any] = {}
+        block_cls = WanBlock
+        if cfg.remat:
+            # Activation remat for training runs (jax.checkpoint): at
+            # 73k tokens a single block's activations are ~GBs; the
+            # denoising/inference path never differentiates, so leave
+            # remat off there (default).
+            block_cls = nn.remat(WanBlock)
         for i in range(cfg.num_layers):
             st = skip_states.get(i) if skip_states is not None else None
-            x, st_new = WanBlock(cfg, name=f"block_{i}")(
+            x, st_new = block_cls(cfg, name=f"block_{i}")(
                 x, ctx, t_mod, freqs, st, threshold
             )
             if st_new is not None:

@@ -132,3 +132,29 @@ def test_family_config_adapters_forward():
         logits = model.apply(params, ids)
         assert logits.shape == (1, 32, 64)
         assert np.isfinite(np.asarray(logits)).all(), cfg
+
+
+def test_remat_matches_no_remat():
+    # Activation rematerialization must be a pure memory/FLOP trade:
+    # identical forward logits and gradients (same params, same graph
+    # up to recompute).
+    import dataclasses
+
+    cfg = GPTConfig.tiny()
+    cfg_r = dataclasses.replace(cfg, remat=True)
+    model, params, ids = _model_and_params(cfg)
+    model_r = GPTLMHeadModel(cfg_r)
+
+    def loss(m, p):
+        lg = m.apply(p, ids)
+        return cross_entropy_loss(lg[:, :-1], ids[:, 1:])
+
+    l0, g0 = jax.value_and_grad(lambda p: loss(model, p))(params)
+    l1, g1 = jax.value_and_grad(lambda p: loss(model_r, p))(params)
+    np.testing.assert_allclose(float(l0), float(l1), rtol=1e-6)
+    for a, b in zip(
+        jax.tree_util.tree_leaves(g0), jax.tree_util.tree_leaves(g1)
+    ):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=2e-3, atol=2e-5
+        )

@@ -112,3 +112,27 @@ def test_i2v_image_context():
         )
     )(params, latents, text, jnp.zeros_like(text), img_ctx, cond)
     assert np.isfinite(np.asarray(video, np.float32)).all()
+
+
+def test_remat_matches_no_remat():
+    import dataclasses
+
+    cfg, model, latents, t, text = _setup()
+    params = jax.jit(model.init)(jax.random.PRNGKey(2), latents, t, text)
+    model_r = WanModel(dataclasses.replace(cfg, remat=True))
+
+    def loss(m, p):
+        out, _ = m.apply(p, latents, t, text)
+        return jnp.mean(out.astype(jnp.float32) ** 2)
+
+    l0, g0 = jax.value_and_grad(lambda p: loss(model, p))(params)
+    l1, g1 = jax.value_and_grad(lambda p: loss(model_r, p))(params)
+    np.testing.assert_allclose(float(l0), float(l1), rtol=1e-6)
+    # Remat recomputes the bf16 forward under different XLA fusion
+    # decisions, so gradients agree only to bf16 rounding.
+    for a, b in zip(
+        jax.tree_util.tree_leaves(g0), jax.tree_util.tree_leaves(g1)
+    ):
+        a, b = np.asarray(a, np.float32), np.asarray(b, np.float32)
+        scale = max(np.abs(a).max(), 1e-6)
+        np.testing.assert_allclose(a / scale, b / scale, atol=2e-2)
