@@ -436,7 +436,7 @@ def flash_attention_bwd(
     hk = k.shape[1]
     group = h // hk
     sk = k.shape[2]
-    bs = block_sizes or get_block_sizes(d, q.dtype.itemsize)
+    bs = block_sizes or get_block_sizes(d, q.dtype.itemsize, kind="bwd")
     block_q = min(bs.block_q, max(128, -(-sq // 128) * 128))
     block_k = min(bs.block_k, max(128, -(-sk // 128) * 128))
 

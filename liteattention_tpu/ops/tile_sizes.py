@@ -56,26 +56,30 @@ def get_block_sizes(
     Measured on-chip (v5e, 73.7k tokens, h=8, d=128, bf16; round-2
     ``tools/perf_sweep.py``, same-process ratios):
 
-      dense tile        ms      MFU
-      (256,  512)     368.6    0.31
-      (512,  512)     340.0    0.33
-      (768,  512)     278.5    0.41
-      (512,  768)     245.7    0.46
-      (1024, 512)     268.2    0.42
-      (512, 1024)     193.1    0.59
-      (1024,1024)     188.5    0.60
-      stock pallas flash_attention: default 0.09, tuned-1024 0.57.
+      dense tile        ms      MFU   (pipelined-dispatch timing)
+      (256,  512)     ~340     0.35
+      (512,  512)     ~310     0.38
+      (512, 1024)     170.1    0.664
+      (512, 1536)     166.4    0.679
+      (640, 1024)     164.2    0.688   <- default
+      (768, 1024)     166.9    0.677
+      (512, 2048)     169.0    0.669
+      (1024,1024)     ~169     0.67
+      stock pallas flash_attention: default ~0.09, tuned-1024 ~0.57.
 
-    The DENSE default is (512, 1024): within 3% of the best measured
-    point with half the VMEM footprint of (1024, 1024), and it beats the
-    tuned stock kernel. The LITE (gather-schedule) default is also
-    (512, 1024): with the round-2 fused/run-DMA gather kernel, block_k
-    only sets how many fine tiles are gathered per pipeline step
-    (scheduling granularity stays 128), and the measured curve at
-    (512, 1024) dominates (512, 512) at every sparsity (e.g. q-clustered
-    73k tokens: 274 vs 298 ms at 0%, 203 vs 212 ms at 42%). For the
+    The DENSE default is (640, 1024): the best measured point. The LITE
+    (gather-schedule) default is (512, 1024): with the fused/run-DMA
+    gather kernel, block_k only sets how many fine tiles are gathered
+    per pipeline step (scheduling granularity stays 128), and block_q
+    also sets the per-q-tile schedule-union granularity (qsubs =
+    block_q/128 fine q-rows share one schedule), so the smaller q-tile
+    wins on real masks even though (640, ...) is faster dense. For the
     SUPER-TILE fallback path block_k is also the elimination
     granularity; callers that use it should pass an override.
+
+    The BWD default is (512, 1024): measured 0.602 MFU over the 10 N^2 d
+    backward FLOPs at 32k tokens vs 0.566 at (640, 1024) / 0.602 at
+    (768, 1024) / 0.584 at (512, 1536) (``perf_sweep.py --mode bwd``).
     """
     if override is not None:
         return BlockSizes(*override)
@@ -83,8 +87,12 @@ def get_block_sizes(
         if head_dim <= 128:
             return BlockSizes(512, 1024)
         return BlockSizes(256, 1024)
+    if kind == "bwd":
+        if head_dim <= 128:
+            return BlockSizes(512, 1024)
+        return BlockSizes(256, 1024)
     if head_dim <= 128:
-        return BlockSizes(512, 1024)
+        return BlockSizes(640, 1024)
     return BlockSizes(256, 1024)
 
 

@@ -351,6 +351,45 @@ def main():
                     )
                 results[f"gather_{bq}x{bk}_{style}"] = curve
 
+    if args.mode in ("bwd",):
+        # Backward-kernel (dQ + dKV) tile sweep: the training hot path.
+        # FLOPs = 2.5x fwd (dQ: 2 matmuls recompute + 1; dKV: 2); MFU
+        # here is over the 10*b*h*s^2*d backward total.
+        from liteattention_tpu.ops.flash_fwd import (
+            flash_attention as fwd,
+        )
+        from liteattention_tpu.ops.flash_bwd import flash_attention_bwd
+
+        out, lse = jax.jit(
+            lambda q, k, v: fwd(q, k, v, return_lse=True)
+        )(q, k, v)
+        do = jax.random.normal(
+            jax.random.PRNGKey(9), q.shape, jnp.float32
+        ).astype(q.dtype)
+        bwd_flops = 10.0 * b * h * s * s * d
+        for bq, bk in [(512, 1024), (640, 1024), (768, 1024),
+                       (512, 1536)]:
+            try:
+                fn = jax.jit(
+                    lambda q, k, v, o, lse, do, bs=BlockSizes(
+                        bq, bk
+                    ): flash_attention_bwd(
+                        q, k, v, o, lse, do, 1.0 / d**0.5, False,
+                        block_sizes=bs,
+                    )
+                )
+                t = timeit(fn, q, k, v, out, lse, do, iters=args.iters)
+                mfu = bwd_flops / t / V5E_PEAK_BF16
+                results[f"bwd_{bq}x{bk}"] = dict(
+                    ms=round(t * 1e3, 2), mfu=round(mfu, 4)
+                )
+                print(f"bwd ({bq},{bk}): {t*1e3:8.2f} ms  MFU {mfu:.3f}")
+            except Exception as e:
+                print(
+                    f"bwd ({bq},{bk}): FAILED "
+                    f"{type(e).__name__}: {str(e)[:120]}"
+                )
+
     if args.mode in ("lite", "all"):
         from liteattention_tpu.ops.lite_flash_fwd import (
             lite_flash_attention,
