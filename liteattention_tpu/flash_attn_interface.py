@@ -32,6 +32,7 @@ import jax.numpy as jnp
 from liteattention_tpu.ops.combine import combine_attention
 from liteattention_tpu.ops.flash_fwd import (
     flash_attention,
+    flash_attention_decode,
     flash_attention_masked,
 )
 from liteattention_tpu.ops.lite_flash_fwd import lite_flash_attention
@@ -478,6 +479,7 @@ def flash_attn_with_kvcache(
     sm_margin: int = 0,
     return_softmax_lse: bool = False,
     block_sizes: Optional[BlockSizes] = None,
+    kv_cache_layout: str = "bshd",
 ):
     """Decode/append attention against a fixed-capacity KV cache.
 
@@ -501,6 +503,15 @@ def flash_attn_with_kvcache(
     Not supported (documented descopes): fp8 (``qv``/descales), varlen-q
     batches (``cu_seqlens_q``/``cu_seqlens_k_new``), skip lists in the
     decode path. ``causal`` defaults to False like the reference.
+
+    TPU extension: ``kv_cache_layout="bhsd"`` keeps the caches as
+    ``[B, Hk, S_max, D]`` (head-major). Decode reads each head's cache
+    slice CONTIGUOUSLY -- the reference's ``[B, S, Hk, D]`` layout
+    interleaves heads every row, which on TPU costs either a multi-GB
+    relayout per step or strided 256-byte DMA bursts. Serving loops
+    (``utils/generation``) should allocate caches in this layout; the
+    new-token ``k``/``v`` arguments stay ``[B, S_new, Hk, D]``
+    (reference parity) in both modes.
 
     Causality is bottom-right aligned: new query i attends cache
     positions < cache_seqlens + appended - S_new + i + 1.
@@ -560,6 +571,10 @@ def flash_attn_with_kvcache(
     if page_table is not None:
         # Paged cache (reference page_table path, flash_api.cpp paged-KV
         # heuristics): caches are [num_pages, page_size, Hk, D] pools.
+        assert kv_cache_layout == "bshd", (
+            "page pools have their own layout; kv_cache_layout does "
+            "not apply"
+        )
         assert cache_batch_idx is None and cache_leftpad is None, (
             "cache_batch_idx/cache_leftpad with page_table are not "
             "supported (the page table already indirects)"
@@ -611,17 +626,31 @@ def flash_attn_with_kvcache(
         k_cache = jnp.take(k_cache, idx, axis=0)
         v_cache = jnp.take(v_cache, idx, axis=0)
 
-    b_c, s_max, hk, d = k_cache.shape
+    native = kv_cache_layout == "bhsd"
+    if native:
+        b_c, hk, s_max, d = k_cache.shape
+    else:
+        b_c, s_max, hk, d = k_cache.shape
     if k is not None:
-        def put(cache, new, off):
-            return jax.lax.dynamic_update_slice(
-                cache, new, (off, jnp.int32(0), jnp.int32(0))
-            )
-        k_cache = jax.vmap(put)(k_cache, k, cache_seqlens)
-        v_cache = jax.vmap(put)(v_cache, v, cache_seqlens)
+        if native:
+            kn, vn = _bshd_to_bhsd(k), _bshd_to_bhsd(v)
+
+            def put_n(cache, new, off):
+                return jax.lax.dynamic_update_slice(
+                    cache, new, (jnp.int32(0), off, jnp.int32(0))
+                )
+
+            k_cache = jax.vmap(put_n)(k_cache, kn, cache_seqlens)
+            v_cache = jax.vmap(put_n)(v_cache, vn, cache_seqlens)
+        else:
+            def put(cache, new, off):
+                return jax.lax.dynamic_update_slice(
+                    cache, new, (off, jnp.int32(0), jnp.int32(0))
+                )
+
+            k_cache = jax.vmap(put)(k_cache, k, cache_seqlens)
+            v_cache = jax.vmap(put)(v_cache, v, cache_seqlens)
     qh = _bshd_to_bhsd(q)
-    kh = _bshd_to_bhsd(k_cache)
-    vh = _bshd_to_bhsd(v_cache)
     bs = block_sizes or get_block_sizes(d, q.dtype.itemsize)
     # Valid cache region: [cache_leftpad, cache_seqlens + appended). The
     # kernel receives the TOTAL valid length and applies bottom-right
@@ -640,6 +669,8 @@ def flash_attn_with_kvcache(
         # Parallelism across splits comes from the extra grid rows XLA
         # sees; useful when batch*heads underfills the chip at decode.
         assert s_max % num_splits == 0
+        kh = k_cache if native else _bshd_to_bhsd(k_cache)
+        vh = v_cache if native else _bshd_to_bhsd(v_cache)
         chunk = s_max // num_splits
         outs, lses = [], []
         for i in range(num_splits):
@@ -665,11 +696,54 @@ def flash_attn_with_kvcache(
         out, lse = combine_attention(
             jnp.stack(outs), jnp.stack(lses), axis=0
         )
+    elif s_new == 1 and window is None and (native or d % 128 == 0):
+        # PackGQA single-token decode (the reference's pack_gqa trick,
+        # pack_gqa.h, TPU-style): fold the `group` query heads of each
+        # KV head into the q-ROW dimension, so the kernel grid collapses
+        # from (B, 1, H, Kt) tiny steps to (B, 1, Hk, Kt) full-bandwidth
+        # sweeps -- and read K/V in the CACHE layout directly
+        # (flash_attention_decode): the [B,Hk,S,D] relayout of the
+        # multi-GB cache ran at ~40 GB/s and dominated decode latency.
+        # Bottom-right causality for one new token is exactly
+        # `col < total`, so the packed rows (different HEADS, not
+        # positions) all share the plain kv_bound predicate.
+        b_, hq, _, dd_ = qh.shape
+        group = hq // hk
+        qp = qh.reshape(b_, hk, group, dd_)
+        if native:
+            # TPU-native cache layout [B, Hk, S, D]: head slices are
+            # CONTIGUOUS, so decode streams the cache at full-burst
+            # bandwidth with the regular 4D kernel path.
+            out_p, lse_p = flash_attention_masked(
+                qp,
+                k_cache,
+                v_cache,
+                kv_bound=total,
+                kv_low=kv_low,
+                scale=softmax_scale,
+                bound_causal=False,
+                softcap=softcap,
+                block_sizes=block_sizes or BlockSizes(128, 2048),
+                return_lse=True,
+            )
+        else:
+            out_p, lse_p = flash_attention_decode(
+                qp,
+                k_cache,
+                v_cache,
+                kv_bound=total,
+                kv_low=kv_low,
+                scale=softmax_scale,
+                softcap=softcap,
+                block_sizes=block_sizes,
+            )
+        out = out_p.reshape(b_, hq, 1, dd_)
+        lse = lse_p.reshape(b_, hq, 1)
     else:
         out, lse = flash_attention_masked(
             qh,
-            kh,
-            vh,
+            k_cache if native else _bshd_to_bhsd(k_cache),
+            v_cache if native else _bshd_to_bhsd(v_cache),
             kv_bound=total,
             kv_low=kv_low,
             scale=softmax_scale,

@@ -60,6 +60,8 @@ def _fwd_kernel(
     window: "Optional[Tuple[int, int]]" = None,
     softcap: float = 0.0,
     has_alibi: bool = False,
+    kv_3d: bool = False,  # K/V blocks are (1, block_k, d) views of the
+    # cache-layout [B, Sk, Hk*D] array (no host transpose)
 ):
     rest = list(rest)
     qseg_ref = rest.pop(0) if has_segments else None
@@ -102,7 +104,7 @@ def _fwd_kernel(
     @pl.when(should_run)
     def _step():
         q = q_ref[0, 0]
-        k = k_ref[0, 0]
+        k = k_ref[0] if kv_3d else k_ref[0, 0]
         raw = jax.lax.dot_general(
             q,
             k,
@@ -225,7 +227,7 @@ def _fwd_kernel(
         l_curr = jnp.sum(p, axis=1, keepdims=True)
         m_scr[...] = m_next
         l_scr[...] = alpha * l_prev + l_curr
-        v = v_ref[0, 0]
+        v = v_ref[0] if kv_3d else v_ref[0, 0]
         acc_scr[...] = acc_scr[...] * alpha + jax.lax.dot(
             p.astype(v.dtype),
             v,
@@ -281,6 +283,7 @@ def _flash_forward_impl(
     window: Optional[Tuple[int, int]] = None,
     softcap: float = 0.0,
     alibi_slopes: Optional[jax.Array] = None,
+    kv_bshd: bool = False,
 ):
     """Dense flash attention forward.
 
@@ -297,18 +300,37 @@ def _flash_forward_impl(
     Returns ``(out, lse)``.
     """
     b, h, sq, d = q.shape
-    hk = k.shape[1]
+    if kv_bshd:
+        # K/V stay in the KV-CACHE layout [B, Sk, Hk, D]: no 537-MB/call
+        # host transpose (measured 40 GB/s -- it dominated decode). The
+        # kernel slices head h's (block_k, d) tile out of a
+        # [B, Sk, Hk*D] lane-blocked view instead. Requires d % 128 == 0
+        # (lane-aligned head slices); callers fall back otherwise.
+        assert d % MIN_LANES == 0, "kv_bshd needs 128-aligned head_dim"
+        hk = k.shape[2]
+        sk = k.shape[1]
+    else:
+        hk = k.shape[1]
+        sk = k.shape[2]
     assert h % hk == 0, f"q heads {h} not divisible by kv heads {hk}"
     group = h // hk
-    sk = k.shape[2]
     bs = block_sizes or get_block_sizes(d, q.dtype.itemsize)
     block_q = min(bs.block_q, max(128, -(-sq // 128) * 128))
     block_k = min(bs.block_k, max(128, -(-sk // 128) * 128))
 
     qp = _pad_seq(q, block_q)
-    kp = _pad_seq(k, block_k)
-    vp = _pad_seq(v, block_k)
-    sq_p, sk_p = qp.shape[2], kp.shape[2]
+    if kv_bshd:
+        pad_k = (-sk) % block_k
+        if pad_k:
+            kpad = ((0, 0), (0, pad_k), (0, 0), (0, 0))
+            k, v = jnp.pad(k, kpad), jnp.pad(v, kpad)
+        kp = k.reshape(k.shape[0], k.shape[1], hk * d)
+        vp = v.reshape(v.shape[0], v.shape[1], hk * d)
+        sq_p, sk_p = qp.shape[2], kp.shape[1]
+    else:
+        kp = _pad_seq(k, block_k)
+        vp = _pad_seq(v, block_k)
+        sq_p, sk_p = qp.shape[2], kp.shape[2]
     qt, kt = sq_p // block_q, sk_p // block_k
 
     has_segments = q_segments is not None
@@ -379,7 +401,30 @@ def _flash_forward_impl(
         window=window,
         softcap=softcap,
         has_alibi=has_alibi,
+        kv_3d=kv_bshd,
     )
+    if kv_bshd:
+        kv_specs = [
+            pl.BlockSpec(
+                (1, block_k, d),
+                lambda bi, qi, hi, ki, g=group: (bi, ki, hi // g),
+            ),
+            pl.BlockSpec(
+                (1, block_k, d),
+                lambda bi, qi, hi, ki, g=group: (bi, ki, hi // g),
+            ),
+        ]
+    else:
+        kv_specs = [
+            pl.BlockSpec(
+                (1, 1, block_k, d),
+                lambda bi, qi, hi, ki, g=group: (bi, hi // g, ki, 0),
+            ),
+            pl.BlockSpec(
+                (1, 1, block_k, d),
+                lambda bi, qi, hi, ki, g=group: (bi, hi // g, ki, 0),
+            ),
+        ]
     out, lse = pl.pallas_call(
         kernel,
         grid=grid,
@@ -387,14 +432,7 @@ def _flash_forward_impl(
             pl.BlockSpec(
                 (1, 1, block_q, d), lambda bi, qi, hi, ki: (bi, hi, qi, 0)
             ),
-            pl.BlockSpec(
-                (1, 1, block_k, d),
-                lambda bi, qi, hi, ki, g=group: (bi, hi // g, ki, 0),
-            ),
-            pl.BlockSpec(
-                (1, 1, block_k, d),
-                lambda bi, qi, hi, ki, g=group: (bi, hi // g, ki, 0),
-            ),
+            *kv_specs,
             *extra_specs,
         ],
         out_specs=[
@@ -579,4 +617,62 @@ def flash_attention_masked(
     return out
 
 
-__all__ = ["flash_attention", "flash_attention_masked", "DEFAULT_MASK_VALUE"]
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "scale",
+        "softcap",
+        "block_sizes",
+        "interpret",
+    ),
+)
+def flash_attention_decode(
+    q: jax.Array,
+    k_cache: jax.Array,
+    v_cache: jax.Array,
+    kv_bound: Optional[jax.Array] = None,
+    kv_low: Optional[jax.Array] = None,
+    scale: Optional[float] = None,
+    softcap: float = 0.0,
+    block_sizes: Optional[BlockSizes] = None,
+    interpret: Optional[bool] = None,
+):
+    """Bandwidth-optimal single-token decode against a KV cache.
+
+    ``q`` is ``[B, H, Sq, D]`` with small Sq (packed GQA rows and/or a
+    few query tokens); ``k_cache``/``v_cache`` stay in the CACHE layout
+    ``[B, S_max, Hk, D]`` -- no transpose is materialized (the
+    [B,H,S,D] relayout of a multi-GB cache ran at ~40 GB/s and
+    dominated decode latency). ``kv_bound``/``kv_low`` bound the valid
+    cache region per batch (``cache_seqlens`` / ``cache_leftpad``).
+    Inference-only (not differentiable). Requires D % 128 == 0;
+    callers fall back to :func:`flash_attention_masked` otherwise.
+
+    Returns ``(out, lse)``.
+    """
+    if interpret is None:
+        interpret = _default_interpret()
+    if scale is None:
+        scale = 1.0 / (q.shape[-1] ** 0.5)
+    return _flash_forward_impl(
+        q,
+        k_cache,
+        v_cache,
+        scale,
+        False,
+        block_sizes or BlockSizes(128, 2048),
+        interpret,
+        kv_bound=kv_bound,
+        bound_causal=False,
+        kv_low=kv_low,
+        softcap=softcap,
+        kv_bshd=True,
+    )
+
+
+__all__ = [
+    "flash_attention",
+    "flash_attention_masked",
+    "flash_attention_decode",
+    "DEFAULT_MASK_VALUE",
+]

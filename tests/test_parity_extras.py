@@ -483,3 +483,51 @@ def test_baichuan_13b_style_alibi_forward():
     params = jax.jit(model.init)(jax.random.PRNGKey(1), ids)
     logits = model.apply(params, ids)
     assert np.isfinite(np.asarray(logits, np.float32)).all()
+
+
+def test_kvcache_native_layout_matches_reference_layout():
+    # TPU-native head-major cache layout must be numerically identical
+    # to the reference [B, S, Hk, D] layout, for decode and append.
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from liteattention_tpu.flash_attn_interface import (
+        flash_attn_with_kvcache,
+    )
+
+    b, s_max, h, hk, d = 2, 512, 8, 2, 64
+    ks = jax.random.split(jax.random.PRNGKey(3), 5)
+    q = jax.random.normal(ks[0], (b, 1, h, d), jnp.float32)
+    kc = jax.random.normal(ks[1], (b, s_max, hk, d), jnp.float32)
+    vc = jax.random.normal(ks[2], (b, s_max, hk, d), jnp.float32)
+    kn = jax.random.normal(ks[3], (b, 1, hk, d), jnp.float32)
+    vn = jax.random.normal(ks[4], (b, 1, hk, d), jnp.float32)
+    seqlens = jnp.array([300, 137], jnp.int32)
+
+    out_ref, lse_ref, (kc2, vc2) = flash_attn_with_kvcache(
+        q, kc, vc, k=kn, v=vn, cache_seqlens=seqlens, causal=True,
+        return_softmax_lse=True,
+    )
+    kc_n = jnp.transpose(kc, (0, 2, 1, 3))
+    vc_n = jnp.transpose(vc, (0, 2, 1, 3))
+    out_n, lse_n, (kc2_n, vc2_n) = flash_attn_with_kvcache(
+        q, kc_n, vc_n, k=kn, v=vn, cache_seqlens=seqlens, causal=True,
+        return_softmax_lse=True, kv_cache_layout="bhsd",
+    )
+    np.testing.assert_allclose(
+        np.asarray(out_n), np.asarray(out_ref), atol=2e-5
+    )
+    np.testing.assert_allclose(
+        np.asarray(lse_n), np.asarray(lse_ref), atol=2e-5
+    )
+    np.testing.assert_allclose(
+        np.asarray(jnp.transpose(kc2_n, (0, 2, 1, 3))),
+        np.asarray(kc2),
+        atol=0,
+    )
+    np.testing.assert_allclose(
+        np.asarray(jnp.transpose(vc2_n, (0, 2, 1, 3))),
+        np.asarray(vc2),
+        atol=0,
+    )
