@@ -193,21 +193,28 @@ class MHA(nn.Module):
         causal = self.causal
         if inference_params is not None and not self.cross_attn:
             # Decode path: append to the cache, attend over the prefix.
+            # The cache lives in the TPU-native HEAD-MAJOR layout
+            # [B, Hk, S_max, D]: appends relayout only the new (tiny)
+            # tokens, and the kernel streams each head's cache slice
+            # contiguously -- the reference layout [B, S, Hk, D] would
+            # cost a full-cache transpose per step.
             layer = "/".join(self.scope.path) or "root"
             cache = inference_params.key_value_memory_dict
             if layer not in cache:
                 b = x.shape[0]
                 cache[layer] = (
                     jnp.zeros(
-                        (b, inference_params.max_seqlen, hk, d), k.dtype
+                        (b, hk, inference_params.max_seqlen, d), k.dtype
                     ),
                     jnp.zeros(
-                        (b, inference_params.max_seqlen, hk, d), v.dtype
+                        (b, hk, inference_params.max_seqlen, d), v.dtype
                     ),
                 )
             kc, vc = cache[layer]
-            kc = jax.lax.dynamic_update_slice(kc, k, (0, offset, 0, 0))
-            vc = jax.lax.dynamic_update_slice(vc, v, (0, offset, 0, 0))
+            kn = k.transpose(0, 2, 1, 3)
+            vn = v.transpose(0, 2, 1, 3)
+            kc = jax.lax.dynamic_update_slice(kc, kn, (0, 0, offset, 0))
+            vc = jax.lax.dynamic_update_slice(vc, vn, (0, 0, offset, 0))
             cache[layer] = (kc, vc)
             # Attend over the FULL fixed-capacity cache with a per-batch
             # bound: shapes are identical at every decode step, so the
@@ -217,22 +224,41 @@ class MHA(nn.Module):
             # covers both prefill (offset 0) and appended tokens.
             # kv_bound = TOTAL valid key length (the kernel subtracts the
             # static q length for bottom-right causal alignment).
-            bound = jnp.full(
-                (kc.shape[0],), offset + k.shape[1], jnp.int32
-            )
-            out = flash_attention_masked(
-                q.transpose(0, 2, 1, 3),
-                kc.transpose(0, 2, 1, 3),
-                vc.transpose(0, 2, 1, 3),
-                alibi_slopes=(
-                    alibi_slopes(h) if self.use_alibi else None
-                ),
-                kv_bound=bound,
-                scale=self.softmax_scale,
-                bound_causal=self.causal,
-                block_sizes=self.block_sizes
-                or get_block_sizes(d, q.dtype.itemsize),
-            ).transpose(0, 2, 1, 3)
+            s_new = k.shape[1]
+            bound = jnp.full((kc.shape[0],), offset + s_new, jnp.int32)
+            qh = q.transpose(0, 2, 1, 3)
+            if s_new == 1 and not self.use_alibi:
+                # PackGQA single-token decode (see
+                # flash_attn_interface.flash_attn_with_kvcache): the
+                # group query heads ride the q-row dimension; one new
+                # token's bottom-right causality is plain col < bound.
+                b_ = qh.shape[0]
+                group = h // hk
+                qp = qh.reshape(b_, hk, group, d)
+                oh = flash_attention_masked(
+                    qp,
+                    kc,
+                    vc,
+                    kv_bound=bound,
+                    scale=self.softmax_scale,
+                    bound_causal=False,
+                    block_sizes=self.block_sizes or BlockSizes(128, 2048),
+                ).reshape(b_, h, 1, d)
+            else:
+                oh = flash_attention_masked(
+                    qh,
+                    kc,
+                    vc,
+                    alibi_slopes=(
+                        alibi_slopes(h) if self.use_alibi else None
+                    ),
+                    kv_bound=bound,
+                    scale=self.softmax_scale,
+                    bound_causal=self.causal,
+                    block_sizes=self.block_sizes
+                    or get_block_sizes(d, q.dtype.itemsize),
+                )
+            out = oh.transpose(0, 2, 1, 3)
             out = out.reshape(out.shape[0], out.shape[1], h * d)
             return dense(self.embed_dim, "out_proj", self.out_proj_bias)(
                 out
