@@ -7,6 +7,7 @@ from liteattention_tpu.ops.combine import (
 )
 from liteattention_tpu.ops.flash_fwd import (
     flash_attention,
+    flash_attention_decode,
     flash_attention_masked,
 )
 from liteattention_tpu.ops.flash_bwd import flash_attention_bwd
@@ -27,6 +28,7 @@ from liteattention_tpu.ops.tile_sizes import BlockSizes, get_block_sizes
 __all__ = [
     "attention_ref",
     "flash_attention_masked",
+    "flash_attention_decode",
     "flash_attention_bwd",
     "paged_attention",
     "skip_votes_ref",
