@@ -105,6 +105,8 @@ def lite_attention_step(
     enable_skipping: bool = True,
     block_sizes: Optional[BlockSizes] = None,
     return_lse: bool = False,
+    emit_votes: bool = True,
+    schedule: Optional[Tuple[jax.Array, jax.Array, jax.Array]] = None,
 ):
     """One denoising-step attention call with skip-mask evolution.
 
@@ -127,6 +129,15 @@ def lite_attention_step(
       enable_skipping: when False, runs the dense kernel and returns the
         state unchanged (the reference's documented disable path,
         README.md:158-159).
+      emit_votes: when False, the kernel's vote chain is compiled out
+        (~a full extra MXU pass per step saved) and the mask is carried
+        over unchanged. The reference votes every step
+        (hopper/lite_attention.py:244-291); on TPU the vote reduction
+        is a third full-width matmul, so the engine amortizes it over
+        ``vote_stride`` denoising steps (temporal coherence keeps
+        adjacent-step masks nearly identical -- the same property the
+        skip optimization itself exploits). Stride 1 restores exact
+        reference semantics.
 
     Returns:
       ``(out, new_state)`` or ``(out, lse, new_state)``.
@@ -143,10 +154,18 @@ def lite_attention_step(
     else:
         # GATHER schedule (round-2 default): surviving FINE k-tiles are
         # listed directly; runtime scales with fine sparsity itself.
+        # ``schedule`` short-circuits the compaction: between vote steps
+        # the mask is frozen, so the compacted schedule from the last
+        # vote step can be reused verbatim (the wrapper caches it;
+        # compaction is ~10 ms at 73k tokens and would otherwise be paid
+        # every step).
         bq, bk = effective_blocks(bs, q.shape[2], k.shape[2])
-        fidx, count, qbits = compact_mask_gather(
-            state.do_mask, bq // VOTE_TILE
-        )
+        if schedule is not None:
+            fidx, count, qbits = schedule
+        else:
+            fidx, count, qbits = compact_mask_gather(
+                state.do_mask, bq // VOTE_TILE
+            )
         out, lse, votes = lite_flash_attention(
             q,
             k,
@@ -158,11 +177,15 @@ def lite_attention_step(
             scale=scale,
             block_sizes=bs,
             fine_schedule=True,
+            emit_votes=emit_votes,
         )
-        votes = votes[
-            :, :, : state.do_mask.shape[2], : state.do_mask.shape[3]
-        ]
-        new_state = update_mask(state, votes, must_do=must_do)
+        if emit_votes:
+            votes = votes[
+                :, :, : state.do_mask.shape[2], : state.do_mask.shape[3]
+            ]
+            new_state = update_mask(state, votes, must_do=must_do)
+        else:
+            new_state = state
     if return_lse:
         return out, lse, new_state
     return out, new_state
@@ -198,6 +221,12 @@ class LiteAttention:
       max_batch_size: accepted for API parity. The TPU engine sizes the
         mask to the actual batch, so it is only validated against.
       block_sizes: optional kernel tile override.
+      vote_stride: emit skip votes (and evolve the mask) every N-th
+        call instead of every call. The vote chain costs ~a full extra
+        MXU pass per kernel step on TPU; with temporally-coherent masks
+        a stride of 2-4 keeps mask evolution near-identical while
+        amortizing that cost (round-3 deviation from the reference's
+        every-step voting; stride 1 = exact reference semantics).
     """
 
     def __init__(
@@ -206,14 +235,19 @@ class LiteAttention:
         threshold: float = -10.0,
         max_batch_size: int = 4,
         block_sizes: Optional[BlockSizes] = None,
+        vote_stride: int = 1,
     ):
         self._state: Optional[SkipMaskState] = None
         self._last_key = None
         self._last_percentage = 0.0
         self._read_mask = None
+        self._call_count = 0
+        self._sched_cache = None
         self.enable_skipping = enable_skipping
         self.max_batch_size = max_batch_size
         self.block_sizes = block_sizes
+        assert vote_stride >= 1
+        self.vote_stride = vote_stride
         self.set_threshold(threshold)
 
     # -- reference-parity helpers -------------------------------------
@@ -245,6 +279,8 @@ class LiteAttention:
         self._last_key = None
         self._last_percentage = 0.0
         self._read_mask = None
+        self._call_count = 0
+        self._sched_cache = None
 
     def enable_skip_optimization(self, enable: bool = True):
         """Toggle skipping (reference lite_attention.py:315-320). Unlike
@@ -327,6 +363,7 @@ class LiteAttention:
                 block_sizes=bs,
             )
             self._last_key = key_sig
+            self._sched_cache = None
 
         must_do = None
         if must_do_list is not None and self.enable_skipping:
@@ -335,8 +372,23 @@ class LiteAttention:
             )
 
         state = self._state
+        schedule = None
         if self.enable_skipping:
             self._read_mask = state.do_mask
+            # Compacted-schedule cache: the mask only changes on vote
+            # steps, so between them the gather schedule is reused
+            # verbatim instead of re-running compact_mask_gather.
+            if self._sched_cache is None:
+                bq, _ = effective_blocks(bs, q.shape[2], k.shape[2])
+                self._sched_cache = compact_mask_gather(
+                    state.do_mask, bq // VOTE_TILE
+                )
+            schedule = self._sched_cache
+        # Vote on the first call after (re)init and then every
+        # vote_stride-th call; in between the mask is reused as-is and
+        # the cheaper no-vote kernel runs.
+        emit = self._call_count % self.vote_stride == 0
+        self._call_count += 1
         result = lite_attention_step(
             state,
             q,
@@ -348,10 +400,15 @@ class LiteAttention:
             enable_skipping=self.enable_skipping,
             block_sizes=bs,
             return_lse=True,
+            emit_votes=emit,
+            schedule=schedule,
         )
         out, lse, new_state = result
         if self.enable_skipping:
             self._state = new_state
+            if emit:
+                # the mask may have shrunk; recompact on next call
+                self._sched_cache = None
             self._last_percentage = float(sparsity(self._read_mask))
             if os.getenv("LITE_ATTENTION_VERBOSE", "FALSE") != "FALSE":
                 print(
@@ -383,11 +440,13 @@ class SeqParallelLiteAttention:
         threshold: float = -10.0,
         max_batch_size: int = 4,
         block_sizes: Optional[BlockSizes] = None,
+        vote_stride: int = 1,
     ):
         self.num_nodes = num_nodes
         self.lite_attention = [
             LiteAttention(
-                enable_skipping, threshold, max_batch_size, block_sizes
+                enable_skipping, threshold, max_batch_size, block_sizes,
+                vote_stride=vote_stride,
             )
             for _ in range(num_nodes)
         ]

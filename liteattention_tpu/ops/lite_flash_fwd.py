@@ -375,20 +375,20 @@ def _lite_gather_kernel(
     sched_hbm,  # HBM [B, H, Qt, 3R, 128] int32 (fidx + qbits + runflag rows)
     q_ref,  # VMEM (1, 1, block_q, D)
     kv_hbm,  # ANY  [B, Hk, Skp, 2D] (flat, K|V interleaved on lanes)
-    # outputs
-    o_ref,  # VMEM (1, 1, block_q, D)
-    lse_ref,  # VMEM (1, block_q, H)
-    votes_ref,  # VMEM (1, 1, qsubs, ktf8, H) int32
-    # scratch
-    sched_smem,  # SMEM (3R, 128) int32
-    sched_sem,
-    kvbuf,  # VMEM (NSLOT, gsize*128, 2D) ring of gathered K|V tiles
-    dma_sems,  # DMA sems (NSLOT,): one per ring slot
-    votes_scr,  # VMEM (ktf8, MIN_LANES) int32 in SCHEDULE order
-    m_scr,
-    l_scr,
-    acc_scr,
-    *,
+    # outputs (votes_ref only when emit_votes)
+    # o_ref,  # VMEM (1, 1, block_q, D)
+    # lse_ref,  # VMEM (1, block_q, H)
+    # votes_ref,  # VMEM (1, 1, 1, steps8, 128) int32 packed per-step rows
+    # scratch (votes_scr only when emit_votes)
+    # sched_smem,  # SMEM (pow2(3R), 128) int32
+    # sched_sem,
+    # kvbuf,  # VMEM (NSLOT, gsize*128, 2D) ring of gathered K|V tiles
+    # dma_sems,  # DMA sems (NSLOT,): one per ring slot
+    # votes_scr,  # VMEM (steps8, MIN_LANES) int32: packed per-step vote
+    #             # rows, row j lane qs*gsize+g = vote of schedule entry
+    #             # j*gsize+g for q-row-group qs
+    # m_scr, l_scr, acc_scr
+    *refs,
     scale: float,
     group: int,
     num_heads: int,
@@ -398,6 +398,7 @@ def _lite_gather_kernel(
     qsubs: int,
     gsize: int,
     sched_rows: int,
+    emit_votes: bool,
 ):
     """GATHER-schedule sparse forward: the schedule lists surviving FINE
     (128-wide) k-tiles; each step gathers ``gsize`` of them from
@@ -429,7 +430,23 @@ def _lite_gather_kernel(
 
     (DMAs are hand-rolled rather than ``emit_pipeline``: 128-row pipeline
     blocks faulted Mosaic on v5e -- see CLAUDE.md wedge log.)
+
+    ``emit_votes=False`` (round 3) drops the entire per-step vote chain
+    (threshold compare + MXU one-hot reduction + packed-row store) from
+    the compiled kernel: the vote matmul alone is a third full-width MXU
+    pass per step (same M*K*N as QK^T), i.e. ~+50% MXU work -- the bulk
+    of the round-2 flat tax. The engine re-votes every ``vote_stride``
+    denoising steps instead of every step (temporal coherence makes the
+    mask near-stationary between adjacent timesteps; deviation from the
+    reference's every-step voting, hopper/lite_attention.py:244-291, is
+    documented in PARITY.md).
     """
+    if emit_votes:
+        (o_ref, lse_ref, votes_ref, sched_smem, sched_sem, kvbuf,
+         dma_sems, votes_scr, m_scr, l_scr, acc_scr) = refs
+    else:
+        (o_ref, lse_ref, sched_smem, sched_sem, kvbuf,
+         dma_sems, m_scr, l_scr, acc_scr) = refs
     b = pl.program_id(0)
     qi = pl.program_id(1)
     h = pl.program_id(2)
@@ -455,7 +472,8 @@ def _lite_gather_kernel(
         i = 1 + step
         return sched_smem[2 * sched_rows + i // 128, i % 128]
 
-    votes_scr[...] = jnp.ones_like(votes_scr)
+    if emit_votes:
+        votes_scr[...] = jnp.ones_like(votes_scr)
     m_scr[...] = jnp.full_like(m_scr, -jnp.inf)
     l_scr[...] = jnp.zeros_like(l_scr)
     acc_scr[...] = jnp.zeros_like(acc_scr)
@@ -477,26 +495,14 @@ def _lite_gather_kernel(
     )
     rsub = jax.lax.broadcasted_iota(jnp.int32, (block_q, 1), 0) // vq
     lane = jax.lax.broadcasted_iota(jnp.int32, (1, MIN_LANES), 1)
-    # Per-fine-tile vote machinery (hoisted; loop-invariant).
-    # Votes ride ONE packed (1, 128) row per step: lane qs*gsize+g =
-    # vote of fine tile (qs, schedule position j*gsize+g). The per-tile
-    # "any score above threshold" reduction runs on the MXU against a
-    # block-diagonal one-hot (8 per-128-lane slice reductions each pay
-    # the full intra-vreg lane-reduce tree -- measured ~0.5 us/step at
-    # gsize=8; one (block_q, gsize*128) x (gsize*128, 128) matmul is
-    # ~6x cheaper).
-    assert qsubs * gsize <= MIN_LANES
-    tile_onehot = (
-        jax.lax.broadcasted_iota(
-            jnp.int32, (gsize * VOTE_TILE, MIN_LANES), 0
-        )
-        // VOTE_TILE
-        == jax.lax.broadcasted_iota(
-            jnp.int32, (gsize * VOTE_TILE, MIN_LANES), 1
-        )
-    ).astype(q.dtype)
-    g0lane = (lane % gsize) == 0 if gsize > 1 else lane >= 0
-    lane_in_g = lane < gsize
+    if emit_votes:
+        # Per-fine-tile vote machinery (hoisted; loop-invariant).
+        # Votes ride ONE packed (1, 128) row per step: lane qs*gsize+g =
+        # vote of fine tile (qs, schedule position j*gsize+g); the
+        # per-tile "any" reduction is the two-stage max in votes_from.
+        assert qsubs * gsize <= MIN_LANES
+        g0lane = (lane % gsize) == 0 if gsize > 1 else lane >= 0
+        lane_in_g = lane < gsize
 
     # Scattered steps: one dynamic-offset copy per gathered fine tile,
     # all of a slot's copies sharing the slot semaphore -- the pattern
@@ -533,9 +539,20 @@ def _lite_gather_kernel(
 
     def wait_step(step, slot):
         # Either path signalled exactly gsize * 128 * 2D elements on
-        # the slot semaphore; waiting with the run descriptor consumes
-        # that amount (DMA semaphores count bytes).
-        kv_run_copy(step, slot).wait()
+        # the slot semaphore; waiting on a descriptor of the same byte
+        # count consumes that amount (DMA semaphores count bytes). The
+        # wait descriptor uses a FIXED in-bounds source slice [0, gW):
+        # a tail scatter step's idx0 can point at the last fine tile
+        # (phantom duplicate entries), where idx0*128 + gW would run
+        # past the end of kv_hbm -- .wait() never dereferences the
+        # address today, but an always-valid range removes that
+        # implicit contract (ADVICE r2).
+        gw = gsize * VOTE_TILE
+        pltpu.make_async_copy(
+            kv_hbm.at[b, hk, pl.ds(0, gw)],
+            kvbuf.at[slot],
+            dma_sems.at[slot],
+        ).wait()
 
     nslot = kvbuf.shape[0]
     for i in range(nslot - 1):
@@ -571,25 +588,31 @@ def _lite_gather_kernel(
                 * (scale * LOG2E)
             )
 
-        def votes_from(above):
-            # Fold per-(row, fine-tile) "score above threshold" bits
-            # into the packed per-step vote row: the per-tile "any"
-            # reduction rides the MXU (tile_onehot) -- per-128-lane
-            # slice reductions each pay the full intra-vreg lane-reduce
-            # tree and cost ~6x more (measured).
-            cnt = jax.lax.dot(
-                above,
-                tile_onehot,
-                preferred_element_type=jnp.float32,
-                precision=precision,
-            )  # (block_q, 128): lane g < gsize = hits in tile g
+        def votes_from(diff):
+            # Fold per-(row, col) headroom ``s - m_prev`` into the
+            # packed per-step vote row via a TWO-STAGE max (round 3):
+            # first reduce the 128-row q-groups (a sublane reduction --
+            # near-free on the VPU), THEN the 128-lane tile groups on
+            # the tiny (qsubs, gW) remnant. Reduction order matters:
+            # both the round-2 MXU one-hot matmul (a third full-width
+            # MXU pass per step) and a direct full-width lane-tree
+            # (~0.5 us/step) pay full price on the (block_q, gW) array;
+            # this costs ~one elementwise pass (measured: vote overhead
+            # 35 ms -> single-digit ms at 73k s=0).
+            rg = jnp.max(
+                diff.reshape(qsubs, vq, gsize * VOTE_TILE), axis=1
+            )  # (qsubs, gW)
+            rgm = jnp.max(
+                rg.reshape(qsubs, gsize, VOTE_TILE), axis=2
+            )  # (qsubs, gsize)
+            rgm = jnp.pad(
+                rgm,
+                ((0, 0), (0, MIN_LANES - gsize)),
+                constant_values=-jnp.inf,
+            )
             vote_row = jnp.zeros((1, MIN_LANES), jnp.int32)
             for qs in range(qsubs):
-                any_qs = (
-                    jnp.max(cnt[qs * vq : (qs + 1) * vq], axis=0,
-                            keepdims=True)
-                    > 0.5
-                )  # (1, 128), lane g
+                any_qs = rgm[qs : qs + 1] > thr  # (1, 128), lane g
                 vote_qs = jnp.where(
                     jnp.logical_and(lane_in_g, jnp.logical_not(any_qs)),
                     jnp.int32(1),
@@ -622,10 +645,14 @@ def _lite_gather_kernel(
             # > -inf; first-visit rows (m_prev = -inf) vote "do"
             # everywhere, and dead tiles' votes are never read by the
             # host decode.
-            thr_row = jnp.where(
-                row_valid, m_prev[:, :1] + thr, jnp.float32(jnp.inf)
-            )
-            votes_from((s_masked > thr_row).astype(tile_onehot.dtype))
+            if emit_votes:
+                votes_from(
+                    jnp.where(
+                        row_valid,
+                        s_masked - m_prev[:, :1],
+                        -jnp.inf,
+                    )
+                )
             local_max = jnp.max(s_masked, axis=1, keepdims=True)
             m_next = jnp.maximum(m_prev, local_max)
             m_red = m_next[:, :1]
@@ -710,9 +737,11 @@ def _lite_gather_kernel(
     )
     head_col = jax.lax.broadcasted_iota(jnp.int32, (block_q, num_heads), 1)
     lse_ref[0] = jnp.where(head_col == h, lse, lse_ref[0])
-    # Packed vote rows go out verbatim; this head owns its own block
-    # (votes_ref block index depends on h), so no cross-head scatter.
-    votes_ref[0, 0, 0] = votes_scr[...]
+    if emit_votes:
+        # Packed vote rows go out verbatim; this head owns its own
+        # block (votes_ref block index depends on h), so no cross-head
+        # scatter.
+        votes_ref[0, 0, 0] = votes_scr[...]
 
 
 def _pad_seq(x: jax.Array, block: int) -> jax.Array:
@@ -724,7 +753,7 @@ def _pad_seq(x: jax.Array, block: int) -> jax.Array:
 
 def _lite_gather_call(
     q, k, v, fidx, count, threshold, qbits,
-    *, scale, block_q, gsize, interpret,
+    *, scale, block_q, gsize, interpret, emit_votes=True,
 ):
     """Host side of the gather schedule (see _lite_gather_kernel)."""
     b, h, sq, d = q.shape
@@ -826,9 +855,42 @@ def _lite_gather_call(
         qsubs=qsubs,
         gsize=gsize,
         sched_rows=sched_rows,
+        emit_votes=emit_votes,
     )
     grid = (b, qt, h)
-    out, lse, votes = pl.pallas_call(
+    out_specs = [
+        pl.BlockSpec(
+            (1, 1, block_q, d_p), lambda bi, qi, hi: (bi, hi, qi, 0)
+        ),
+        pl.BlockSpec((1, block_q, h), lambda bi, qi, hi: (bi, qi, 0)),
+    ]
+    out_shape = [
+        jax.ShapeDtypeStruct((b, h, sq_p, d_p), q.dtype),
+        jax.ShapeDtypeStruct((b, sq_p, h), jnp.float32),
+    ]
+    scratch = [
+        pltpu.SMEM((_pow2(3 * sched_rows), MIN_LANES), jnp.int32),
+        pltpu.SemaphoreType.DMA(()),
+        pltpu.VMEM((4, gsize * VOTE_TILE, 2 * d_p), kvp.dtype),
+        pltpu.SemaphoreType.DMA((4,)),
+    ]
+    if emit_votes:
+        out_specs.append(
+            pl.BlockSpec(
+                (1, 1, 1, steps8, MIN_LANES),
+                lambda bi, qi, hi: (bi, qi, hi, 0, 0),
+            )
+        )
+        out_shape.append(
+            jax.ShapeDtypeStruct((b, qt, h, steps8, MIN_LANES), jnp.int32)
+        )
+        scratch.append(pltpu.VMEM((steps8, MIN_LANES), jnp.int32))
+    scratch += [
+        pltpu.VMEM((block_q, MIN_LANES), jnp.float32),
+        pltpu.VMEM((block_q, MIN_LANES), jnp.float32),
+        pltpu.VMEM((block_q, d_p), jnp.float32),
+    ]
+    results = pl.pallas_call(
         kernel,
         grid=grid,
         in_specs=[
@@ -841,49 +903,33 @@ def _lite_gather_call(
             ),
             pl.BlockSpec(memory_space=pl.ANY),
         ],
-        out_specs=[
-            pl.BlockSpec(
-                (1, 1, block_q, d_p), lambda bi, qi, hi: (bi, hi, qi, 0)
-            ),
-            pl.BlockSpec((1, block_q, h), lambda bi, qi, hi: (bi, qi, 0)),
-            pl.BlockSpec(
-                (1, 1, 1, steps8, MIN_LANES),
-                lambda bi, qi, hi: (bi, qi, hi, 0, 0),
-            ),
-        ],
-        out_shape=[
-            jax.ShapeDtypeStruct((b, h, sq_p, d_p), q.dtype),
-            jax.ShapeDtypeStruct((b, sq_p, h), jnp.float32),
-            jax.ShapeDtypeStruct(
-                (b, qt, h, steps8, MIN_LANES), jnp.int32
-            ),
-        ],
-        scratch_shapes=[
-            pltpu.SMEM((_pow2(3 * sched_rows), MIN_LANES), jnp.int32),
-            pltpu.SemaphoreType.DMA(()),
-            pltpu.VMEM((4, gsize * VOTE_TILE, 2 * d_p), kvp.dtype),
-            pltpu.SemaphoreType.DMA((4,)),
-            pltpu.VMEM((steps8, MIN_LANES), jnp.int32),
-            pltpu.VMEM((block_q, MIN_LANES), jnp.float32),
-            pltpu.VMEM((block_q, MIN_LANES), jnp.float32),
-            pltpu.VMEM((block_q, d_p), jnp.float32),
-        ],
+        out_specs=out_specs,
+        out_shape=out_shape,
+        scratch_shapes=scratch,
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "parallel", "arbitrary"),
         ),
         interpret=interpret,
     )(thr, schedule, qp, kvp)
+    out, lse = results[0], results[1]
     out = out[:, :, :sq, :d]
     lse = jnp.transpose(lse[:, :sq, :], (0, 2, 1))
+    if not emit_votes:
+        return out, lse, None
+    votes = results[2]
     # Kernel votes are packed rows in SCHEDULE order: row j, lane
     # qs*gsize+g of (b, qt, h) is the vote of fine k-tile
     # fidx[b, h, qt, j*gsize+g] for q-row-group qs. The schedule lists
-    # survivors in INCREASING index order, so the schedule position of
-    # a live fine tile f is simply rank(f) = (# live tiles <= f) - 1:
-    # the inverse map is a cumsum + gather, not a scatter (XLA scatter
-    # is serial-slow on TPU -- tens of ms at Wan head counts). Dead
-    # tiles vote the neutral 1 (the monotone update keeps them
-    # skipped).
+    # survivors in INCREASING index order, but phantom tail entries
+    # REPEAT the last live index, so several schedule positions can
+    # alias one fine tile: the decode is a scatter-MIN over fidx (any
+    # aliased position voting "do" wins), not the cumsum-rank gather a
+    # bijective schedule would allow. A cumsum-rank decode built on
+    # qbits was tried in round 2 and silently collapsed masks (qbits is
+    # SCHEDULE-aligned, not fine-indexed; caught by
+    # tests/test_lite_fine.py::test_gather_votes_match_oracle) -- do
+    # not "simplify" back to it. Dead tiles vote the neutral 1 (the
+    # monotone update keeps them skipped).
     raw = votes[:, :, :, :steps, : qsubs * gsize].reshape(
         b, qt, h, steps, qsubs, gsize
     )
@@ -907,7 +953,9 @@ def _lite_gather_call(
 
 @functools.partial(
     jax.jit,
-    static_argnames=("scale", "block_sizes", "fine_schedule", "interpret"),
+    static_argnames=(
+        "scale", "block_sizes", "fine_schedule", "interpret", "emit_votes"
+    ),
 )
 def lite_flash_attention(
     q: jax.Array,
@@ -921,7 +969,8 @@ def lite_flash_attention(
     block_sizes: Optional[BlockSizes] = None,
     fine_schedule: bool = False,
     interpret: Optional[bool] = None,
-) -> Tuple[jax.Array, jax.Array, jax.Array]:
+    emit_votes: bool = True,
+) -> Tuple[jax.Array, jax.Array, Optional[jax.Array]]:
     """Sparse flash attention over a compacted skip mask, emitting votes.
 
     Three schedule modes share this entry:
@@ -954,6 +1003,11 @@ def lite_flash_attention(
       kv_bits: optional int32 ``[B, H, Qt, Kt]`` fine-tile liveness
         bitmaps aligned with ``kv_idx``.
       scale: softmax scale (default 1/sqrt(D)).
+      emit_votes: gather path only. When False the entire vote chain
+        (threshold compare + MXU one-hot reduction + packed-row store +
+        host decode) is compiled out and ``votes`` returns None -- the
+        engine's ``vote_stride`` amortization (PARITY.md round-3
+        deviation note).
 
     Returns:
       out ``[B, H, Sq, D]``, lse fp32 ``[B, H, Sq]``,
@@ -983,7 +1037,7 @@ def lite_flash_attention(
         return _lite_gather_call(
             q, k, v, kv_idx, count, threshold, kv_bits,
             scale=scale, block_q=block_q, gsize=block_k // VOTE_TILE,
-            interpret=interpret,
+            interpret=interpret, emit_votes=emit_votes,
         )
     if kv_bits is None:
         qsubs = ksubs = 1

@@ -68,13 +68,18 @@ def get_block_sizes(
       stock pallas flash_attention: default ~0.09, tuned-1024 ~0.57.
 
     The DENSE default is (640, 1024): the best measured point. The LITE
-    (gather-schedule) default is (512, 1024): with the fused/run-DMA
-    gather kernel, block_k only sets how many fine tiles are gathered
-    per pipeline step (scheduling granularity stays 128), and block_q
-    also sets the per-q-tile schedule-union granularity (qsubs =
-    block_q/128 fine q-rows share one schedule), so the smaller q-tile
-    wins on real masks even though (640, ...) is faster dense. For the
-    SUPER-TILE fallback path block_k is also the elimination
+    (gather-schedule) default is ALSO (640, 1024) as of round 3: with
+    the vote chain reduced to a two-stage max (and compiled out entirely
+    on no-vote steps), the gather kernel's remaining cost tracks the
+    dense kernel's, and (640, 1024) wins at every measured point
+    (round-3 ``tools/flat_tax_profile2.py``: s=0 overhead 1.061x
+    votes-off / 1.130x on vs 1.106x / 1.170x at (512, 1024); banded 42%
+    1.495x/1.414x vs 1.439x/1.364x). block_k sets how many fine tiles
+    are gathered per pipeline step (scheduling granularity stays 128);
+    block_q sets the per-q-tile schedule-union granularity (qsubs =
+    block_q/128 fine q-rows share one schedule) -- at 42-77% banded
+    sparsity the wider union loses less than the bigger tile gains. For
+    the SUPER-TILE fallback path block_k is also the elimination
     granularity; callers that use it should pass an override.
 
     The BWD default is (512, 1024): measured 0.602 MFU over the 10 N^2 d
@@ -85,7 +90,7 @@ def get_block_sizes(
         return BlockSizes(*override)
     if kind == "lite":
         if head_dim <= 128:
-            return BlockSizes(512, 1024)
+            return BlockSizes(640, 1024)
         return BlockSizes(256, 1024)
     if kind == "bwd":
         if head_dim <= 128:

@@ -83,7 +83,11 @@ def test_fine_output_matches_fine_oracle(bq, bk):
     np.testing.assert_allclose(
         np.asarray(lse), np.asarray(ref_lse), atol=2e-4
     )
-    assert votes.shape == (b, h, qtf, ktf)
+    # q-row padding: votes pad to ceil(qtf/qsubs)*qsubs rows; the
+    # engine slices back to the mask shape (lite_attention_step).
+    qsubs = bq // 128
+    qt_pad = -(-qtf // qsubs) * qsubs
+    assert votes.shape == (b, h, qt_pad, ktf)
 
 
 @pytest.mark.parametrize("thr", [-10.0, -3.0, -1.0])
@@ -223,7 +227,9 @@ def test_fine_equals_coarse_at_128_blocks():
     )
 
 
-@pytest.mark.parametrize("bq,bk", [(512, 512), (256, 256), (512, 256)])
+@pytest.mark.parametrize(
+    "bq,bk", [(512, 512), (256, 256), (512, 256), (640, 1024)]
+)
 def test_gather_output_matches_fine_oracle(bq, bk):
     from liteattention_tpu.ops.mask import compact_mask_gather
 
@@ -243,7 +249,11 @@ def test_gather_output_matches_fine_oracle(bq, bk):
     np.testing.assert_allclose(
         np.asarray(lse), np.asarray(ref_lse), atol=2e-4
     )
-    assert votes.shape == (b, h, qtf, ktf)
+    # q-row padding: votes pad to ceil(qtf/qsubs)*qsubs rows; the
+    # engine slices back to the mask shape (lite_attention_step).
+    qsubs = bq // 128
+    qt_pad = -(-qtf // qsubs) * qsubs
+    assert votes.shape == (b, h, qt_pad, ktf)
 
 
 @pytest.mark.parametrize("thr", [-10.0, -3.0, jnp.inf])

@@ -1,0 +1,140 @@
+"""Round-3 flat-tax ablation: where do the gather kernel's extra 37% go?
+
+Measures, same-process back-to-back on the real chip (only ratios are
+meaningful -- CLAUDE.md):
+
+* dense kernel at its default (640, 1024) and at the lite tile (512, 1024)
+* the gather kernel at s=0 (identical work to dense) with the vote chain
+  compiled in vs compiled OUT (``emit_votes``), across tile candidates
+* banded masks at the operating sparsities with the winning config
+
+Usage:  PYTHONPATH=/root/repo:/root/.axon_site python tools/flat_tax_profile.py
+"""
+
+import json
+import sys
+import time
+
+sys.path.insert(0, "/root/repo")
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+V5E_PEAK_BF16 = 197e12
+
+
+def sync(x):
+    np.asarray(jnp.sum(jax.tree_util.tree_leaves(x)[0].astype(jnp.float32)))
+
+
+def timeit(fn, *args, iters=6, warmup=2, chunk=4):
+    for _ in range(warmup):
+        sync(fn(*args))
+    samples = []
+    for _ in range(iters):
+        t0 = time.perf_counter()
+        out = None
+        for _ in range(chunk):
+            out = fn(*args)
+        sync(out)
+        samples.append((time.perf_counter() - t0) / chunk)
+    return float(np.median(samples))
+
+
+def main():
+    from liteattention_tpu.ops.flash_fwd import flash_attention
+    from liteattention_tpu.ops.lite_flash_fwd import lite_flash_attention
+    from liteattention_tpu.ops.mask import compact_mask_gather
+    from liteattention_tpu.ops.tile_sizes import BlockSizes
+
+    b, h, s, d = 1, 8, 73728, 128
+    print(f"backend={jax.default_backend()} shape=({b},{h},{s},{d})")
+    key = jax.random.PRNGKey(0)
+    kq, kk, kv = jax.random.split(key, 3)
+    q = jax.random.normal(kq, (b, h, s, d), jnp.float32).astype(jnp.bfloat16)
+    k = jax.random.normal(kk, (b, h, s, d), jnp.float32).astype(jnp.bfloat16)
+    v = jax.random.normal(kv, (b, h, s, d), jnp.float32).astype(jnp.bfloat16)
+    flops = 4.0 * b * h * s * s * d
+    results = {}
+
+    def report(name, t):
+        mfu = flops / t / V5E_PEAK_BF16
+        results[name] = dict(ms=round(t * 1e3, 2), mfu=round(mfu, 4))
+        print(f"{name:42s} {t*1e3:8.2f} ms  MFU {mfu:.3f}", flush=True)
+
+    for bq, bk in [(640, 1024), (512, 1024)]:
+        fn = jax.jit(
+            lambda q, k, v, bs=BlockSizes(bq, bk): flash_attention(
+                q, k, v, block_sizes=bs
+            )
+        )
+        report(f"dense_{bq}x{bk}", timeit(fn, q, k, v))
+    t_dense = results["dense_640x1024"]["ms"] / 1e3
+
+    ktf = s // 128
+
+    def gather_fn(bq, bk, ev):
+        qsubs = bq // 128
+
+        @jax.jit
+        def fn(do_mask, q, k, v):
+            fidx, count, qbits = compact_mask_gather(do_mask, qsubs)
+            out = lite_flash_attention(
+                q, k, v, fidx, count, jnp.float32(-10.0),
+                kv_bits=qbits, block_sizes=BlockSizes(bq, bk),
+                fine_schedule=True, emit_votes=ev,
+            )
+            return out[0]
+
+        return fn
+
+    full = jnp.ones((b, h, ktf, ktf), bool)
+    for bq, bk in [(512, 1024), (640, 1024), (512, 2048), (640, 2048)]:
+        for ev in (True, False):
+            name = f"gather_{bq}x{bk}_votes{'ON' if ev else 'OFF'}"
+            try:
+                t = timeit(gather_fn(bq, bk, ev), full, q, k, v)
+                report(name, t)
+                results[name]["overhead_vs_dense"] = round(t / t_dense, 3)
+                print(f"   -> s=0 overhead vs best dense: {t/t_dense:.3f}x",
+                      flush=True)
+            except Exception as e:
+                print(f"{name}: FAILED {type(e).__name__}: {e}", flush=True)
+
+    # Banded masks at operating sparsities with the two vote settings at
+    # the (so far) default tile.
+    rng = np.random.RandomState(0)
+    qsubs = 4
+    qt = ktf // qsubs
+    for sp in (0.42, 0.57, 0.77):
+        width = max(1, int(round((1 - sp) * ktf)))
+        center = np.arange(qt) * qsubs + qsubs // 2
+        start = np.clip(center - width // 2, 0, ktf - width)[
+            None, None, :, None
+        ]
+        kpos = np.arange(ktf)[None, None, None, :]
+        keep = np.repeat(
+            (kpos >= start) & (kpos < start + width), qsubs, axis=2
+        ) | np.zeros((b, h, 1, 1), bool)
+        keep[..., 0] = True
+        do_mask = jnp.asarray(keep)
+        actual = 1.0 - float(jnp.mean(do_mask.astype(jnp.float32)))
+        for ev in (True, False):
+            name = f"gather_banded{int(100*sp)}_votes{'ON' if ev else 'OFF'}"
+            t = timeit(gather_fn(512, 1024, ev), do_mask, q, k, v)
+            sp_up = t_dense / t
+            results[name] = dict(
+                ms=round(t * 1e3, 2), sparsity=round(actual, 3),
+                speedup_vs_dense=round(sp_up, 3),
+            )
+            print(f"{name:42s} {t*1e3:8.2f} ms  {sp_up:.3f}x vs dense",
+                  flush=True)
+
+    with open("/tmp/flat_tax_profile.json", "w") as f:
+        json.dump(results, f, indent=1)
+    print(json.dumps(results))
+
+
+if __name__ == "__main__":
+    main()
