@@ -206,3 +206,42 @@ def test_kvcache_page_table_route():
             np.asarray(out[i, 0]), np.asarray(ref[0, :, 0]),
             atol=2e-5, rtol=1e-4, err_msg=f"batch {i}",
         )
+
+
+def test_kvcache_decode_d128_gqa_folded_path():
+    """ADVICE r2 (medium): the d%128==0, s_new=1, bshd-layout serving
+    config routes through flash_attention_decode (now the head-folded
+    kernel) -- regression-protect it with GQA + cache_seqlens +
+    cache_leftpad against the einsum oracle."""
+    b, s_max, h, hk, d = 2, 512, 8, 2, 128
+    key = jax.random.PRNGKey(17)
+    k1, k2, k3 = jax.random.split(key, 3)
+    k_cache = jax.random.normal(k1, (b, s_max, hk, d), jnp.float32)
+    v_cache = jax.random.normal(k2, (b, s_max, hk, d), jnp.float32)
+    q = jax.random.normal(k3, (b, 1, h, d), jnp.float32)
+    lens = jnp.asarray([433, 291], jnp.int32)
+    leftpad = jnp.asarray([37, 0], jnp.int32)
+    out, lse = flash_attn_with_kvcache(
+        q, k_cache, v_cache, cache_seqlens=lens, cache_leftpad=leftpad,
+        return_softmax_lse=True,
+    )
+    group = h // hk
+    for i in range(b):
+        lo, hi = int(leftpad[i]), int(lens[i])
+        kc = jnp.repeat(
+            jnp.transpose(k_cache[i, lo:hi], (1, 0, 2)), group, axis=0
+        )
+        vc = jnp.repeat(
+            jnp.transpose(v_cache[i, lo:hi], (1, 0, 2)), group, axis=0
+        )
+        ref, ref_lse = attention_ref(
+            jnp.transpose(q[i], (1, 0, 2))[None], kc[None], vc[None]
+        )
+        np.testing.assert_allclose(
+            np.asarray(out[i, 0]), np.asarray(ref[0, :, 0]),
+            atol=2e-5, rtol=1e-4, err_msg=f"batch {i}",
+        )
+        np.testing.assert_allclose(
+            np.asarray(lse[i, :, 0]), np.asarray(ref_lse[0, :, 0]),
+            atol=2e-5, rtol=1e-4, err_msg=f"lse batch {i}",
+        )
