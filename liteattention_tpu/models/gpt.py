@@ -12,12 +12,14 @@ The tensor-parallel form follows SURVEY.md section 2.4: instead of the
 reference's ``ColumnParallelLinear`` + custom NCCL wrappers, the model
 is written once and run inside ``shard_map`` with ``ParallelMHA`` /
 ``ParallelMLP`` (psum over the TP axis); see
-:func:`liteattention_tpu.models.gpt.gpt_tp_step` for the mesh recipe.
+:func:`liteattention_tpu.models.gpt.gpt_tp_apply` for the mesh-native
+TP forward (vocab-parallel embeddings + tied vocab-parallel LM head).
 """
 
 from __future__ import annotations
 
 import dataclasses
+import functools
 from typing import Any, Optional
 
 import flax.linen as nn
@@ -26,6 +28,7 @@ import jax.numpy as jnp
 
 from liteattention_tpu.losses.cross_entropy import cross_entropy_loss
 from liteattention_tpu.modules.block import Block
+from liteattention_tpu.ops.flash_fwd import flash_attention
 from liteattention_tpu.modules.mha import MHA, InferenceParams, ParallelMHA
 from liteattention_tpu.modules.mlp import GatedMlp, Mlp, ParallelMLP
 from liteattention_tpu.ops.norms import layer_norm, rms_norm
@@ -47,6 +50,14 @@ class GPTConfig:
     rotary_emb_base: float = 10000.0
     gated_mlp: bool = False  # LLaMA-style SwiGLU
     parallel_block: bool = False  # GPT-J/NeoX fused block
+    # NeoX keeps separate norms for the parallel attn/MLP branches
+    # (HF use_parallel_residual); Falcon-7B ties them.
+    parallel_block_tied_norm: bool = True
+    attn_bias: bool = True  # QKV/out-proj biases (False: Falcon/LLaMA)
+    mlp_bias: bool = True
+    # HF "gelu" is the exact erf form; GPT-2's gelu_new is the tanh
+    # approximation (flax default).
+    mlp_gelu_exact: bool = False
     use_rms_norm: bool = False
     use_alibi: bool = False  # baichuan-13B / BTLM position scheme
     # muP knobs (reference models/btlm.py:97-100): embedding/logit
@@ -132,6 +143,8 @@ class GPTModel(nn.Module):
                 num_heads=cfg.num_heads,
                 num_heads_kv=cfg.num_heads_kv,
                 causal=True,
+                qkv_proj_bias=cfg.attn_bias,
+                out_proj_bias=cfg.attn_bias,
                 rotary_emb_dim=cfg.rotary_emb_dim,
                 rotary_emb_base=cfg.rotary_emb_base,
                 use_alibi=cfg.use_alibi,
@@ -142,13 +155,23 @@ class GPTModel(nn.Module):
                 dtype=cfg.dtype,
                 name="mha",
             )
+            act = (
+                functools.partial(nn.gelu, approximate=False)
+                if cfg.mlp_gelu_exact
+                else nn.gelu
+            )
             if cfg.gated_mlp:
                 mlp = lambda: GatedMlp(
                     cfg.ffn_dim or 4 * cfg.dim, dtype=cfg.dtype, name="mlp"
                 )
             else:
                 mlp = lambda: Mlp(
-                    cfg.ffn_dim or 4 * cfg.dim, dtype=cfg.dtype, name="mlp"
+                    cfg.ffn_dim or 4 * cfg.dim,
+                    activation=act,
+                    bias1=cfg.mlp_bias,
+                    bias2=cfg.mlp_bias,
+                    dtype=cfg.dtype,
+                    name="mlp",
                 )
             block_cls = Block
             if cfg.remat and inference_params is None:
@@ -160,6 +183,7 @@ class GPTModel(nn.Module):
                 mlp=mlp,
                 prenorm=True,
                 parallel_block=cfg.parallel_block,
+                parallel_block_tied_norm=cfg.parallel_block_tied_norm,
                 resid_dropout1=cfg.dropout,
                 resid_dropout2=cfg.dropout,
                 use_rms_norm=cfg.use_rms_norm,
@@ -220,4 +244,207 @@ def gpt_loss_fn(model: GPTLMHeadModel, params, input_ids, labels):
     return cross_entropy_loss(logits[:, :-1], labels[:, 1:])
 
 
-__all__ = ["GPTConfig", "GPTModel", "GPTLMHeadModel", "gpt_loss_fn"]
+def gpt_tp_apply(
+    cfg: GPTConfig, params, input_ids: jax.Array, axis_name: str = "tp"
+):
+    """Megatron-TP forward of :class:`GPTLMHeadModel` for ``shard_map``.
+
+    Consumes the SINGLE-DEVICE (replicated) param tree and slices each
+    rank's shard with ``axis_index`` inside the region: vocab-parallel
+    word embedding + column-parallel position embedding with one fused
+    all-reduce (reference ``ParallelGPT2Embeddings``,
+    flash_attn/modules/embedding.py:160-216), head-sharded QKV +
+    row-parallel out projection (reference ``ParallelMHA``),
+    column/row-parallel MLP (reference ``ParallelMLP``), and the TIED
+    vocab-parallel LM head (reference models/gpt.py:477-495).
+
+    Returns the rank's LOCAL logits shard ``[B, S, V/tp]`` -- feed
+    :func:`liteattention_tpu.losses.cross_entropy.parallel_cross_entropy_loss`
+    or all-gather over ``axis_name`` for full logits. Deterministic
+    (inference/eval) path; rotary/ALiBi configs are not yet TP-routed.
+    """
+    from liteattention_tpu.ops.norms import dropout_add_norm
+    from liteattention_tpu.parallel.tensor_parallel import (
+        parallel_gpt2_embeddings,
+        vocab_parallel_logits,
+    )
+
+    assert cfg.rotary_emb_dim == 0, "TP path: learned positions only"
+    assert not cfg.use_alibi
+    p = params["params"]
+    t = p["transformer"]
+    tp = jax.lax.axis_size(axis_name)
+    rank = jax.lax.axis_index(axis_name)
+    dt = cfg.dtype or jnp.float32
+
+    def shard(w, axis):
+        n = w.shape[axis] // tp
+        return jax.lax.dynamic_slice_in_dim(w, rank * n, n, axis)
+
+    wte = t["wte"]["embedding"]
+    wte_loc = shard(wte, 0).astype(dt)
+    if cfg.embeddings_multiplier != 1.0:
+        wte_loc = wte_loc * cfg.embeddings_multiplier
+    wpe_loc = (
+        shard(t["wpe"]["embedding"], 1).astype(dt)
+        if cfg.max_position_embeddings
+        else None
+    )
+    x = parallel_gpt2_embeddings(
+        input_ids, wte_loc, wpe_loc, axis_name=axis_name
+    )
+
+    h, hk = cfg.num_heads, cfg.num_heads_kv or cfg.num_heads
+    d = cfg.dim // h
+    h_loc, hk_loc = h // tp, hk // tp
+    scale = 1.0 / d if cfg.scale_qk_dot_by_d else None
+
+    def dense_local(x, kernel, bias, col_shard_sizes=None, row_shard=False):
+        """Local matmul mirroring nn.Dense's dtype discipline. With
+        ``col_shard_sizes`` the OUTPUT cols are a concatenation of
+        per-section shards (e.g. packed q|k|v); ``row_shard`` slices the
+        input dim (bias is NOT added here -- add after the psum)."""
+        if col_shard_sizes is not None:
+            cols, off = [], 0
+            for full, loc in col_shard_sizes:
+                sec = jax.lax.dynamic_slice_in_dim(
+                    kernel, off + rank * loc, loc, 1
+                )
+                cols.append(sec)
+                off += full
+            kernel = jnp.concatenate(cols, axis=1)
+            if bias is not None:
+                bs, off = [], 0
+                for full, loc in col_shard_sizes:
+                    bs.append(
+                        jax.lax.dynamic_slice_in_dim(
+                            bias, off + rank * loc, loc, 0
+                        )
+                    )
+                    off += full
+                bias = jnp.concatenate(bs, axis=0)
+        if row_shard:
+            kernel = shard(kernel, 0)
+            bias = None
+        y = jnp.dot(x.astype(dt), kernel.astype(dt))
+        if bias is not None:
+            y = y + bias.astype(dt)
+        return y
+
+    residual = None
+    for i in range(cfg.num_layers):
+        blk = t[f"block_{i}"]
+        w1 = blk["norm1_scale"]
+        b1 = None if cfg.use_rms_norm else blk["norm1_bias"]
+        normed, residual = dropout_add_norm(
+            x, residual, w1, b1, 0.0, None, cfg.eps, prenorm=True,
+            residual_in_fp32=True, rms=cfg.use_rms_norm,
+            deterministic=True,
+        )
+        # -- attention (head-sharded) --
+        mha = blk["mha"]
+        qkv = dense_local(
+            normed,
+            mha["Wqkv"]["kernel"],
+            mha["Wqkv"].get("bias"),
+            col_shard_sizes=[
+                (h * d, h_loc * d),
+                (hk * d, hk_loc * d),
+                (hk * d, hk_loc * d),
+            ],
+        )
+        q = qkv[..., : h_loc * d]
+        kk = qkv[..., h_loc * d : (h_loc + hk_loc) * d]
+        vv = qkv[..., (h_loc + hk_loc) * d :]
+        b_, s_ = q.shape[0], q.shape[1]
+        oh = flash_attention(
+            q.reshape(b_, s_, h_loc, d).transpose(0, 2, 1, 3),
+            kk.reshape(b_, s_, hk_loc, d).transpose(0, 2, 1, 3),
+            vv.reshape(b_, s_, hk_loc, d).transpose(0, 2, 1, 3),
+            causal=True,
+            scale=scale,
+        )
+        attn_local = oh.transpose(0, 2, 1, 3).reshape(b_, s_, h_loc * d)
+        partial = dense_local(
+            attn_local, mha["out_proj"]["kernel"], None, row_shard=True
+        )
+        attn_out = jax.lax.psum(partial, axis_name)
+        ob = mha["out_proj"].get("bias")
+        if ob is not None:
+            attn_out = attn_out + ob.astype(dt)
+
+        # -- MLP (column/row-parallel) --
+        def run_mlp(src):
+            mlp = blk["mlp"]
+            ffn = cfg.ffn_dim or 4 * cfg.dim
+            if cfg.gated_mlp:
+                y = dense_local(
+                    src,
+                    mlp["fc1"]["kernel"],
+                    mlp["fc1"].get("bias"),
+                    col_shard_sizes=[
+                        (ffn, ffn // tp),
+                        (ffn, ffn // tp),
+                    ],
+                )
+                gate, up = jnp.split(y, 2, axis=-1)
+                y = nn.silu(gate) * up
+            else:
+                y = dense_local(
+                    src,
+                    mlp["fc1"]["kernel"],
+                    mlp["fc1"].get("bias"),
+                    col_shard_sizes=[(ffn, ffn // tp)],
+                )
+                y = nn.gelu(y)
+            part = dense_local(
+                y, mlp["fc2"]["kernel"], None, row_shard=True
+            )
+            out = jax.lax.psum(part, axis_name)
+            fb = mlp["fc2"].get("bias")
+            if fb is not None:
+                out = out + fb.astype(dt)
+            return out
+
+        if cfg.parallel_block:
+            x = attn_out + run_mlp(normed)
+        else:
+            w2 = blk["norm2_scale"]
+            b2 = None if cfg.use_rms_norm else blk["norm2_bias"]
+            normed2, residual = dropout_add_norm(
+                attn_out, residual, w2, b2, 0.0, None, cfg.eps,
+                prenorm=True, residual_in_fp32=True,
+                rms=cfg.use_rms_norm, deterministic=True,
+            )
+            x = run_mlp(normed2)
+
+    final = (x.astype(jnp.float32) + residual).astype(dt)
+    if cfg.use_rms_norm:
+        hidden = rms_norm(final, t["ln_f_scale"], eps=cfg.eps)
+    else:
+        hidden = layer_norm(
+            final, t["ln_f_scale"], t["ln_f_bias"], eps=cfg.eps
+        )
+    if cfg.tie_embeddings:
+        logits = vocab_parallel_logits(hidden, wte_loc)
+        if cfg.embeddings_multiplier != 1.0:
+            # wte_loc carries the embeddings multiplier; the tied head
+            # must use the raw weights.
+            logits = logits / cfg.embeddings_multiplier
+    else:
+        lm = p["lm_head"]["kernel"]
+        logits = dense_local(
+            hidden, lm, None, col_shard_sizes=[(lm.shape[1], lm.shape[1] // tp)]
+        )
+    if cfg.logits_multiplier != 1.0:
+        logits = logits * cfg.logits_multiplier
+    return logits.astype(jnp.float32)
+
+
+__all__ = [
+    "GPTConfig",
+    "GPTModel",
+    "GPTLMHeadModel",
+    "gpt_loss_fn",
+    "gpt_tp_apply",
+]
