@@ -53,6 +53,16 @@ class TrainConfig:
     checkpoint_every: int = 100
     max_checkpoints: int = 3
     shard_opt_state: bool = False  # ZeRO-1-style optimizer sharding
+    # ZeRO-2: ALSO shard the gradients over dp (reduce-scatter instead
+    # of all-reduce; the sharded optimizer update then touches only the
+    # local shard and the params all-gather once after the update --
+    # reference training/src/utils/ddp_zero2.py wrapping Apex's
+    # DistributedFusedAdam). Implies shard_opt_state.
+    shard_grads: bool = False
+    # EMA of params (reference training/src/callbacks/ema.py): decay 0
+    # disables. The EMA tree rides the train state (checkpointed and
+    # resumed with it).
+    ema_decay: float = 0.0
 
 
 def TrainState(**kwargs) -> Dict[str, Any]:
@@ -100,10 +110,21 @@ class Trainer:
                 ),
             )
 
+        self._grad_constraint = None
+
         def step(state, batch):
             params = state["params"]
             loss, grads = jax.value_and_grad(self._loss_fn)(params, batch)
             gnorm = optax.global_norm(grads)
+            if self._grad_constraint is not None:
+                # ZeRO-2: constrain the gradient tree to the dp-sharded
+                # layout. Under jit the data-parallel gradient reduction
+                # then lowers to a reduce-scatter (each device keeps its
+                # 1/dp shard), the sharded optimizer update runs on the
+                # shard, and the updated params all-gather once.
+                grads = jax.tree_util.tree_map(
+                    self._grad_constraint, grads
+                )
             updates, opt_state = self.tx.update(
                 grads, state["opt_state"], params
             )
@@ -113,13 +134,22 @@ class Trainer:
                 opt_state=opt_state,
                 step=state["step"] + 1,
             )
+            if "ema_params" in state:
+                # Reference callbacks/ema.py: decay * ema + (1-d) * p.
+                d = self.cfg.ema_decay
+                new_state["ema_params"] = jax.tree_util.tree_map(
+                    lambda e, p_: d * e + (1.0 - d) * p_,
+                    state["ema_params"],
+                    params,
+                )
             metrics = {"loss": loss, "grad_norm": gnorm}
             return new_state, metrics
 
+        shard_opt = config.shard_opt_state or config.shard_grads
         if mesh is not None:
             batch_sharding = NamedSharding(mesh, P(dp_axis))
             repl = NamedSharding(mesh, P())
-            if config.shard_opt_state:
+            if shard_opt:
                 # ZeRO-1: shard each optimizer-state leaf across the dp
                 # axis on its first dp-divisible dimension (params stay
                 # replicated; XLA inserts the gather/scatter around the
@@ -139,6 +169,12 @@ class Trainer:
                     return repl
 
                 self._opt_sharding_fn = leaf_sharding
+                if config.shard_grads:
+                    self._grad_constraint = (
+                        lambda g: jax.lax.with_sharding_constraint(
+                            g, leaf_sharding(g)
+                        )
+                    )
                 dummy_state = None  # resolved lazily in init_state
                 self._step_fn_raw = step
                 self._step = None  # built in _build_step with opt tree
@@ -169,6 +205,10 @@ class Trainer:
             "opt_state": opt_shard,
             "step": self._repl,
         }
+        if "ema_params" in state:
+            state_shard["ema_params"] = jax.tree_util.tree_map(
+                lambda _: self._repl, state["ema_params"]
+            )
         self._step = jax.jit(
             self._raw_step,
             in_shardings=(state_shard, self._batch_sharding),
@@ -184,6 +224,10 @@ class Trainer:
             opt_state=self.tx.init(params),
             step=jnp.zeros((), jnp.int32),
         )
+        if self.cfg.ema_decay > 0.0:
+            state["ema_params"] = jax.tree_util.tree_map(
+                lambda p: p.astype(jnp.float32), params
+            )
         if self._opt_sharding_fn is not None:
             shardings = self._build_sharded_step(state)
             state = jax.device_put(state, shardings)
@@ -220,8 +264,17 @@ class Trainer:
         num_steps: int,
         log_every: int = 10,
         tokens_per_batch: Optional[int] = None,
+        flops_per_batch: Optional[float] = None,
+        peak_flops: float = 197e12,
         log_fn: Callable[[Dict[str, Any]], None] = lambda m: None,
     ) -> TrainState:
+        """Train loop with the reference's monitoring set folded into the
+        log record (speed_monitor/norm_monitor,
+        training/src/callbacks/{speed_monitor,norm_monitor,flop_count}.py):
+        per-interval steps/s, tokens/s, and -- when ``flops_per_batch``
+        is given (fwd+bwd FLOPs of one batch) -- achieved FLOP/s and MFU
+        against ``peak_flops`` (default: v5e bf16 peak per chip times
+        one; scale for multi-chip meshes)."""
         t0 = time.perf_counter()
         for i in range(num_steps):
             batch = jnp.asarray(next(batches))
@@ -239,6 +292,9 @@ class Trainer:
                 }
                 if tokens_per_batch:
                     rec["tokens_per_s"] = tokens_per_batch * log_every / dt
+                if flops_per_batch:
+                    rec["flops_per_s"] = flops_per_batch * log_every / dt
+                    rec["mfu"] = rec["flops_per_s"] / peak_flops
                 log_fn(rec)
                 t0 = time.perf_counter()
         return state

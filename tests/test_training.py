@@ -157,3 +157,80 @@ def test_zero1_opt_state_sharding():
     )
     for a, b in zip(logs, logs_ref):
         np.testing.assert_allclose(a["loss"], b["loss"], atol=2e-3)
+
+
+def test_zero2_grad_sharding_matches_unsharded():
+    """ZeRO-2 (VERDICT r2 item 6): gradients reduce-scattered over dp +
+    sharded optimizer update must track the unsharded trajectory.
+    Bar: reference training/src/utils/ddp_zero2.py."""
+    if len(jax.devices()) < 4:
+        pytest.skip("needs 4 devices")
+    cfg, model, params, loss_fn, _ = _setup()
+    mesh = Mesh(np.array(jax.devices()[:4]), ("dp",))
+    tcfg = TrainConfig(
+        learning_rate=1e-3, warmup_steps=2, total_steps=50,
+        shard_grads=True,
+    )
+    trainer = Trainer(loss_fn, tcfg, mesh=mesh)
+    state = trainer.init_state(params)
+    # shard_grads implies opt-state sharding (ZeRO-2 superset of ZeRO-1)
+    mu_leaves = [
+        x for x in jax.tree_util.tree_leaves(state["opt_state"])
+        if hasattr(x, "sharding") and x.ndim >= 1 and x.shape[0] % 4 == 0
+    ]
+    assert any(not l.sharding.is_fully_replicated for l in mu_leaves)
+    logs = []
+    state = trainer.fit(
+        state, synthetic_lm_batches(cfg.vocab_size, 4, 32), 3,
+        log_every=1, log_fn=logs.append,
+    )
+    t_ref = Trainer(loss_fn, TrainConfig(
+        learning_rate=1e-3, warmup_steps=2, total_steps=50))
+    s_ref = t_ref.init_state(params)
+    logs_ref = []
+    s_ref = t_ref.fit(
+        s_ref, synthetic_lm_batches(cfg.vocab_size, 4, 32), 3,
+        log_every=1, log_fn=logs_ref.append,
+    )
+    for a, b in zip(logs, logs_ref):
+        np.testing.assert_allclose(a["loss"], b["loss"], atol=2e-3)
+    # params converge to the same point (reduce-scatter vs all-reduce
+    # reduction order diverges at float rounding, and Adam's normalized
+    # update amplifies it on near-zero grads -- loose tolerance)
+    pa = jax.tree_util.tree_leaves(state["params"])[0]
+    pb = jax.tree_util.tree_leaves(s_ref["params"])[0]
+    np.testing.assert_allclose(
+        np.asarray(pa), np.asarray(pb), atol=5e-3
+    )
+
+
+def test_ema_and_speed_monitor():
+    """EMA params + MFU/speed monitoring (VERDICT r2 item 9; reference
+    training/src/callbacks/{ema,speed_monitor}.py)."""
+    cfg, model, params, loss_fn, _ = _setup()
+    tcfg = TrainConfig(
+        learning_rate=1e-2, warmup_steps=2, total_steps=50,
+        ema_decay=0.9,
+    )
+    trainer = Trainer(loss_fn, tcfg)
+    state = trainer.init_state(params)
+    assert "ema_params" in state
+    import itertools
+    fixed = next(synthetic_lm_batches(cfg.vocab_size, 4, 32, seed=1))
+    logs = []
+    state = trainer.fit(
+        state, itertools.repeat(fixed), 5, log_every=5,
+        tokens_per_batch=128, flops_per_batch=1e9, log_fn=logs.append,
+    )
+    assert "mfu" in logs[-1] and logs[-1]["mfu"] > 0
+    assert "tokens_per_s" in logs[-1]
+    # EMA lags the raw params (decay 0.9, 5 steps) but is not equal
+    p = jax.tree_util.tree_leaves(state["params"])[0]
+    e = jax.tree_util.tree_leaves(state["ema_params"])[0]
+    assert not np.allclose(np.asarray(p), np.asarray(e))
+    # EMA is a convex combination converging toward params: distance to
+    # params is bounded by distance of the init to params
+    p0 = jax.tree_util.tree_leaves(params)[0]
+    assert float(jnp.max(jnp.abs(e - p))) <= float(
+        jnp.max(jnp.abs(p0 - p))
+    ) + 1e-6
