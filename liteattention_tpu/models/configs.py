@@ -56,6 +56,8 @@ def gpt_neox_config(dim=6144, num_layers=44, num_heads=64,
         vocab_size=vocab, max_position_embeddings=0, dim=dim,
         num_layers=num_layers, num_heads=num_heads,
         rotary_emb_dim=head_dim // 4, parallel_block=True,
+        parallel_block_tied_norm=False,  # HF use_parallel_residual
+        mlp_gelu_exact=True,
         tie_embeddings=False,
     )
 
@@ -68,6 +70,7 @@ def falcon_config(dim=4544, num_layers=32, num_heads=71,
         vocab_size=vocab, max_position_embeddings=0, dim=dim,
         num_layers=num_layers, num_heads=num_heads, num_heads_kv=1,
         rotary_emb_dim=dim // num_heads, parallel_block=True,
+        attn_bias=False, mlp_bias=False, mlp_gelu_exact=True,
         tie_embeddings=True,
     )
 

@@ -28,6 +28,11 @@ class Block(nn.Module):
     mlp: Optional[Callable[[], nn.Module]] = None
     prenorm: bool = True
     parallel_block: bool = False
+    # GPT-NeoX uses SEPARATE norms for the parallel attention and MLP
+    # branches (HF use_parallel_residual: attn(ln1(x)) + mlp(ln2(x)));
+    # Falcon-7B ties them (reference block.py ParallelBlock tied_norm /
+    # falcon.py parallel_block_tied_norm inference).
+    parallel_block_tied_norm: bool = True
     resid_dropout1: float = 0.0
     resid_dropout2: float = 0.0
     use_rms_norm: bool = False
@@ -80,6 +85,7 @@ class Block(nn.Module):
         # Pre-norm: the residual stream threads through in (optionally)
         # fp32, exactly the reference's fused prenorm path.
         w1, b1 = self._norm_params("norm1")
+        residual_in = residual
         normed, residual = dropout_add_norm(
             hidden_states,
             residual,
@@ -95,7 +101,20 @@ class Block(nn.Module):
         )
         attn_out = mixer(normed, deterministic=deterministic, **mixer_kwargs)
         if self.parallel_block:
-            mlp_out = mlp(normed)
+            if self.parallel_block_tied_norm:
+                mlp_in = normed
+            else:
+                # Untied norms: re-norm the SAME pre-attention residual
+                # stream with the second weight set (identical add path,
+                # so dropout_add_norm reproduces `residual` exactly).
+                w2, b2 = self._norm_params("norm2")
+                mlp_in, _ = dropout_add_norm(
+                    hidden_states, residual_in, w2, b2,
+                    self.resid_dropout1, rng1, self.eps, prenorm=True,
+                    residual_in_fp32=self.residual_in_fp32,
+                    rms=self.use_rms_norm, deterministic=deterministic,
+                )
+            mlp_out = mlp(mlp_in)
             return attn_out + mlp_out, residual
         w2, b2 = self._norm_params("norm2")
         normed2, residual = dropout_add_norm(

@@ -229,3 +229,109 @@ __all__ = [
     "remap_state_dict_hf_llama",
     "state_dict_from_pretrained",
 ]
+
+
+def remap_state_dict_hf_gpt_neox(
+    state_dict: Mapping[str, Any], cfg: GPTConfig
+) -> Dict[str, Any]:
+    """HF GPT-NeoX state dict -> flax params for ``GPTLMHeadModel``.
+
+    Parity target: ``remap_state_dict_hf_gpt_neox`` (reference
+    flash_attn/models/gpt_neox.py:13-98). NeoX stores Wqkv
+    head-INTERLEAVED as ((nheads, 3, headdim), hidden) -- it is
+    regrouped to the packed (q | k | v) layout -- and uses untied
+    parallel-block norms (``use_parallel_residual``:
+    ``attn(ln1(x)) + mlp(ln2(x)) + x``).
+    """
+    sd = {k: _np(v) for k, v in state_dict.items()}
+    h = cfg.num_heads
+    d = cfg.dim // h
+    p: Dict[str, Any] = {"transformer": {}}
+    t = p["transformer"]
+    t["wte"] = {"embedding": sd["gpt_neox.embed_in.weight"]}
+    for i in range(cfg.num_layers):
+        pre = f"gpt_neox.layers.{i}."
+        # (h, 3, d, in) -> (3, h, d, in) -> transpose to (in, 3*h*d)
+        w = sd[pre + "attention.query_key_value.weight"]
+        w = w.reshape(h, 3, d, -1).transpose(1, 0, 2, 3).reshape(
+            3 * h * d, -1
+        )
+        b = sd[pre + "attention.query_key_value.bias"]
+        b = b.reshape(h, 3, d).transpose(1, 0, 2).reshape(3 * h * d)
+        t[f"block_{i}"] = {
+            "norm1_scale": sd[pre + "input_layernorm.weight"],
+            "norm1_bias": sd[pre + "input_layernorm.bias"],
+            "norm2_scale": sd[pre + "post_attention_layernorm.weight"],
+            "norm2_bias": sd[pre + "post_attention_layernorm.bias"],
+            "mha": {
+                "Wqkv": {"kernel": w.T, "bias": b},
+                "out_proj": {
+                    "kernel": sd[pre + "attention.dense.weight"].T,
+                    "bias": sd[pre + "attention.dense.bias"],
+                },
+            },
+            "mlp": {
+                "fc1": {
+                    "kernel": sd[pre + "mlp.dense_h_to_4h.weight"].T,
+                    "bias": sd[pre + "mlp.dense_h_to_4h.bias"],
+                },
+                "fc2": {
+                    "kernel": sd[pre + "mlp.dense_4h_to_h.weight"].T,
+                    "bias": sd[pre + "mlp.dense_4h_to_h.bias"],
+                },
+            },
+        }
+    t["ln_f_scale"] = sd["gpt_neox.final_layer_norm.weight"]
+    t["ln_f_bias"] = sd["gpt_neox.final_layer_norm.bias"]
+    p["lm_head"] = {"kernel": sd["embed_out.weight"].T}
+    return {"params": p}
+
+
+def remap_state_dict_hf_falcon(
+    state_dict: Mapping[str, Any], cfg: GPTConfig
+) -> Dict[str, Any]:
+    """HF Falcon (7B-style: MQA, parallel block, tied norm, no linear
+    biases, tied embeddings) state dict -> flax params.
+
+    Parity target: ``remap_state_dict_hf_falcon`` (reference
+    flash_attn/models/falcon.py:13-105). Falcon stores Wqkv grouped as
+    ((n_kv_groups, q_per_group + 2, headdim), hidden); it is split into
+    the packed (q | k | v) layout.
+    """
+    sd = {k: _np(v) for k, v in state_dict.items()}
+    h = cfg.num_heads
+    hk = cfg.num_heads_kv or h
+    d = cfg.dim // h
+    ratio = h // hk + 2
+    p: Dict[str, Any] = {"transformer": {}}
+    t = p["transformer"]
+    t["wte"] = {"embedding": sd["transformer.word_embeddings.weight"]}
+    for i in range(cfg.num_layers):
+        pre = f"transformer.h.{i}."
+        w = sd[pre + "self_attention.query_key_value.weight"]
+        w = w.reshape(hk, ratio, d, -1)
+        wq = w[:, :-2].reshape(h * d, -1)
+        wk = w[:, -2].reshape(hk * d, -1)
+        wv = w[:, -1].reshape(hk * d, -1)
+        wqkv = np.concatenate([wq, wk, wv], axis=0)
+        t[f"block_{i}"] = {
+            "norm1_scale": sd[pre + "input_layernorm.weight"],
+            "norm1_bias": sd[pre + "input_layernorm.bias"],
+            "mha": {
+                "Wqkv": {"kernel": wqkv.T},
+                "out_proj": {
+                    "kernel": sd[pre + "self_attention.dense.weight"].T
+                },
+            },
+            "mlp": {
+                "fc1": {
+                    "kernel": sd[pre + "mlp.dense_h_to_4h.weight"].T
+                },
+                "fc2": {
+                    "kernel": sd[pre + "mlp.dense_4h_to_h.weight"].T
+                },
+            },
+        }
+    t["ln_f_scale"] = sd["transformer.ln_f.weight"]
+    t["ln_f_bias"] = sd["transformer.ln_f.bias"]
+    return {"params": p}
