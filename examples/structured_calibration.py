@@ -92,11 +92,11 @@ def small_config(size: int) -> WanConfig:
 
 def main():
     ap = argparse.ArgumentParser()
-    ap.add_argument("--train-steps", type=int, default=1200)
+    ap.add_argument("--train-steps", type=int, default=3000)
     ap.add_argument("--batch", type=int, default=8)
-    ap.add_argument("--frames", type=int, default=12)
+    ap.add_argument("--frames", type=int, default=16)
     ap.add_argument("--size", type=int, default=32)
-    ap.add_argument("--eval-steps", type=int, default=12)
+    ap.add_argument("--eval-steps", type=int, default=24)
     ap.add_argument("--rel-l2-budget", type=float, default=0.05)
     ap.add_argument("--out", default="CALIBRATION.json")
     ap.add_argument("--seed", type=int, default=0)
@@ -188,6 +188,7 @@ def main():
             f"thr {r['threshold']:6.1f}: sparsity "
             f"{float(r['mean_sparsity']):.3f} "
             f"rel_l2 {float(r['relative_l2']):.4f} "
+            f"flicker {float(r['temporal_flicker']):.4f} "
             f"psnr {float(r['psnr_db']):.1f}"
         )
 
@@ -218,6 +219,7 @@ def main():
                 "mean_sparsity": float(r["mean_sparsity"]),
                 "final_sparsity": float(r["final_sparsity"]),
                 "relative_l2": float(r["relative_l2"]),
+                "temporal_flicker": float(r["temporal_flicker"]),
                 "psnr_db": float(r["psnr_db"]),
             }
             for r in curve
@@ -226,6 +228,7 @@ def main():
             "threshold": float(sched["threshold"]),
             "mean_sparsity": float(sched["mean_sparsity"]),
             "relative_l2": float(sched["relative_l2"]),
+            "temporal_flicker": float(sched["temporal_flicker"]),
             "schedule": [float(x) for x in np.asarray(schedule)],
         },
         "budget_rel_l2": args.rel_l2_budget,

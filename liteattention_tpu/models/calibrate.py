@@ -106,7 +106,29 @@ def calibrate_schedule(
     n_ramp = max(int(num_steps * tighten_frac), 1)
     ramp = jnp.linspace(thr - 4.0, thr, n_ramp)
     hold = jnp.full((num_steps - n_ramp,), thr)
-    return jnp.concatenate([ramp, hold]), result
+    schedule = jnp.concatenate([ramp, hold])
+    # Re-evaluate the actual per-step schedule at the full step count:
+    # the reported sparsity/quality belong to the schedule that ships,
+    # not to the constant-threshold probe. (lo/hi/iters are bisection
+    # controls consumed above, not denoise kwargs.)
+    denoise_kwargs = {
+        k: v for k, v in kwargs.items() if k not in ("lo", "hi", "iters")
+    }
+    final = evaluate_sparsity_quality(
+        model, params, noise, text, num_steps=num_steps,
+        thresholds=schedule, **denoise_kwargs,
+    )
+    sched_result = {
+        "threshold": thr,
+        "relative_l2": float(final["relative_l2"]),
+        "mean_sparsity": float(final["mean_sparsity"]),
+        "final_sparsity": float(final["final_sparsity"]),
+        "temporal_flicker": float(final["temporal_flicker"]),
+        "psnr_db": float(final["psnr_db"]),
+    }
+    if "warning" in result:
+        sched_result["warning"] = result["warning"]
+    return schedule, sched_result
 
 
 __all__ = ["calibrate_constant_threshold", "calibrate_schedule"]
