@@ -36,7 +36,10 @@ from liteattention_tpu.ops.flash_fwd import (
     flash_attention_masked,
 )
 from liteattention_tpu.ops.lite_flash_fwd import lite_flash_attention
-from liteattention_tpu.ops.paged_attention import paged_attention
+from liteattention_tpu.ops.paged_attention import (
+    paged_attention,
+    paged_attention_folded,
+)
 from liteattention_tpu.ops.mask import (
     SkipMaskState,
     compact_mask,
@@ -600,18 +603,37 @@ def flash_attn_with_kvcache(
                 v.reshape(-1, hk, dd)
             )
         lengths = cache_seqlens + appended
-        kp = jnp.transpose(k_cache, (2, 0, 1, 3))  # [Hk, pages, psz, D]
-        vp = jnp.transpose(v_cache, (2, 0, 1, 3))
-        res = paged_attention(
-            q,
-            kp,
-            vp,
-            lengths,
-            page_table.astype(jnp.int32),
-            scale=softmax_scale,
-            causal=causal,
-            return_lse=return_softmax_lse,
-        )
+        hq_ = q.shape[2]
+        sq_ = q.shape[1]
+        if dd % 128 == 0 and (hq_ // hk) * sq_ <= 128:
+            # Head-folded paged decode (round 3): consumes the NATIVE
+            # [pages, psz, Hk, D] pool -- full-lane contiguous page
+            # streams, no pool transpose (the per-head walk below
+            # relayouts the whole multi-GB pool every call and then
+            # reads 64 KB per-head slabs; it sat at 12.6% of HBM peak).
+            res = paged_attention_folded(
+                q,
+                k_cache,
+                v_cache,
+                lengths,
+                page_table.astype(jnp.int32),
+                scale=softmax_scale,
+                causal=causal,
+                return_lse=return_softmax_lse,
+            )
+        else:
+            kp = jnp.transpose(k_cache, (2, 0, 1, 3))  # [Hk, pages, psz, D]
+            vp = jnp.transpose(v_cache, (2, 0, 1, 3))
+            res = paged_attention(
+                q,
+                kp,
+                vp,
+                lengths,
+                page_table.astype(jnp.int32),
+                scale=softmax_scale,
+                causal=causal,
+                return_lse=return_softmax_lse,
+            )
         out, lse = res if return_softmax_lse else (res, None)
         result = [out]
         if return_softmax_lse:

@@ -621,8 +621,9 @@ def _decode_folded_kernel(
     qbd_ref,  # VMEM (1, 1, 128, L) block-diagonal packed q
     k_ref,  # VMEM (1, chunk, L) full-lane cache stream
     v_ref,  # VMEM (1, chunk, L)
-    bound_ref,  # SMEM (1, 1) int32 per-batch valid key end
-    low_ref,  # SMEM (1, 1) int32 per-batch first valid key
+    bound_ref,  # VMEM (1, 1, chunk) int32 broadcast per-batch key end
+    # (the proven has_bound pattern of _flash_forward_impl)
+    low_ref,  # VMEM (1, 1, chunk) int32 per-batch first valid key
     o_ref,  # VMEM (1, 1, 128, L)
     lse_ref,  # VMEM (1, 1, 128, 128) f32 (lane 0 meaningful)
     m_scr,
@@ -676,7 +677,7 @@ def _decode_folded_kernel(
         jax.lax.broadcasted_iota(jnp.int32, (128, chunk), 1) + ci * chunk
     )
     valid = jnp.logical_and(
-        col < bound_ref[0, 0], col >= low_ref[0, 0]
+        col < bound_ref[0, 0, 0], col >= low_ref[0, 0, 0]
     )
     s = jnp.where(valid, s, DEFAULT_MASK_VALUE)
 
@@ -737,7 +738,10 @@ def _decode_folded(
     s, hk = k_cache.shape[1], k_cache.shape[2]
     group = h // hk
     rows_per_head = group * sq
-    slab = max(1, min(hk, 128 // rows_per_head))
+    # Slab cap: <=128 q rows AND <=1024 lanes (8 heads at d=128) -- the
+    # (*, 1024) block geometry is the same family as the proven
+    # dense/gather kernels; 4096-lane blocks stalled Mosaic.
+    slab = max(1, min(hk, 128 // rows_per_head, 1024 // d))
     while hk % slab:
         slab -= 1
     nslab = hk // slab
@@ -768,12 +772,14 @@ def _decode_folded(
         kv_bound.astype(jnp.int32)
         if kv_bound is not None
         else jnp.full((b,), s, jnp.int32)
-    ).reshape(b, 1)
+    )
     low = (
         kv_low.astype(jnp.int32)
         if kv_low is not None
         else jnp.zeros((b,), jnp.int32)
-    ).reshape(b, 1)
+    )
+    bound = jnp.broadcast_to(bound.reshape(b, 1, 1), (b, 1, chunk))
+    low = jnp.broadcast_to(low.reshape(b, 1, 1), (b, 1, chunk))
 
     kernel = functools.partial(
         _decode_folded_kernel,
@@ -797,14 +803,10 @@ def _decode_folded(
                 (1, chunk, lanes), lambda bi, ni, ci: (bi, ci, ni)
             ),
             pl.BlockSpec(
-                (1, 1),
-                lambda bi, ni, ci: (bi, 0),
-                memory_space=pltpu.SMEM,
+                (1, 1, chunk), lambda bi, ni, ci: (bi, 0, 0)
             ),
             pl.BlockSpec(
-                (1, 1),
-                lambda bi, ni, ci: (bi, 0),
-                memory_space=pltpu.SMEM,
+                (1, 1, chunk), lambda bi, ni, ci: (bi, 0, 0)
             ),
         ],
         out_specs=[
@@ -830,12 +832,19 @@ def _decode_folded(
         interpret=interpret,
     )(qbd, kf, vf, bound, low)
 
-    # Row r = j*rows_per_head + t keeps only its own lane block j.
-    jj = jnp.arange(slab)
-    o = out_bd[:, :, :rows].reshape(
-        b, nslab, slab, rows_per_head, slab, d
-    )[:, :, jj, :, jj, :]  # (slab, b, nslab, rows_per_head, d)
-    o = jnp.moveaxis(o, 0, 2).reshape(b, h, sq, d)
+    # Row r = j*rows_per_head + t keeps only its own lane block j. The
+    # diagonal extraction is an einsum against the identity (a fused
+    # multiply-reduce): XLA lowers advanced-indexing diagonals to a
+    # GATHER, which is serial-slow on TPU and cost ~0.85 ms/call flat
+    # (measured -- it dominated the entire decode step).
+    o = jnp.einsum(
+        "bnjtkd,jk->bnjtd",
+        out_bd[:, :, :rows]
+        .reshape(b, nslab, slab, rows_per_head, slab, d)
+        .astype(jnp.float32),
+        jnp.eye(slab, dtype=jnp.float32),
+    ).astype(out_bd.dtype)
+    o = o.reshape(b, h, sq, d)
     lse = lse_bd[:, :, :rows, 0].reshape(b, h, sq)
     return o, lse
 
@@ -892,8 +901,9 @@ def flash_attention_decode(
     group = h // hk
     if folded and group * sq <= 128:
         chunk = (block_sizes or BlockSizes(128, 1024)).block_k
-        # Keep the (chunk, slab*d) stream block within VMEM budget.
-        slab = max(1, min(hk, 128 // (group * sq)))
+        # Keep the (chunk, slab*d) stream block within VMEM budget
+        # (slab cap mirrors _decode_folded).
+        slab = max(1, min(hk, 128 // (group * sq), 1024 // d))
         while hk % slab:
             slab -= 1
         chunk = max(256, min(chunk, (1 << 21) // (slab * d * 2)))

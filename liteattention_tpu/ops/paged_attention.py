@@ -273,4 +273,248 @@ def paged_attention(
     return out, lse
 
 
-__all__ = ["paged_attention"]
+def _paged_folded_kernel(
+    # scalar prefetch
+    lengths_ref,  # SMEM [B] int32
+    page_tbl_ref,  # SMEM [B, P] int32 (used by the index maps)
+    # inputs
+    qbd_ref,  # VMEM (1, 1, 128, L) block-diagonal packed q
+    k_ref,  # VMEM (1, page_size, L): one page, ALL slab heads' lanes
+    v_ref,
+    # outputs
+    o_ref,  # VMEM (1, 1, 128, L)
+    lse_ref,  # VMEM (1, 1, 128, MIN_LANES) fp32
+    # scratch
+    m_scr,
+    l_scr,
+    acc_scr,
+    *,
+    scale: float,
+    page_size: int,
+    pages_per_seq: int,
+    rows_per_head: int,
+    seqlen_q: int,
+    causal: bool,
+):
+    """Head-folded paged decode step (see flash_fwd._decode_folded_kernel
+    for the block-diagonal trick; reference paged_kv.h + pack_gqa.h).
+
+    Pages are streamed in the NATIVE pool layout [num_pages, page_size,
+    Hk*D]: one page is one full-lane contiguous block (512 KB at
+    hk=8/d=128 vs the 64 KB per-head slabs of the per-head walk), and
+    one wide matmul pair covers every head in the slab."""
+    b = pl.program_id(0)
+    j = pl.program_id(2)
+    length = lengths_ref[b]
+
+    @pl.when(j == 0)
+    def _init():
+        m_scr[...] = jnp.full_like(m_scr, -jnp.inf)
+        l_scr[...] = jnp.zeros_like(l_scr)
+        acc_scr[...] = jnp.zeros_like(acc_scr)
+
+    precision = (
+        jax.lax.Precision.HIGHEST
+        if qbd_ref.dtype == jnp.float32
+        else jax.lax.Precision.DEFAULT
+    )
+
+    @pl.when(j * page_size < length)
+    def _step():
+        q = qbd_ref[0, 0]
+        s = jax.lax.dot_general(
+            q,
+            k_ref[0],
+            dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+            precision=precision,
+        ) * (scale * LOG2E)
+        col = (
+            jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
+            + j * page_size
+        )
+        if causal and seqlen_q > 1:
+            # Row r of the block-diag layout is (head j_slab, t) with
+            # t = g*seqlen_q + qi; bottom-right causality bounds row r
+            # at length - seqlen_q + qi + 1.
+            qi_row = (
+                jax.lax.broadcasted_iota(jnp.int32, s.shape, 0)
+                % rows_per_head
+            ) % seqlen_q
+            bound = length - seqlen_q + qi_row + 1
+        else:
+            bound = length
+        s = jnp.where(col < bound, s, DEFAULT_MASK_VALUE)
+        m_prev = m_scr[...]
+        m_curr = jnp.max(s, axis=1, keepdims=True)
+        m_next = jnp.maximum(m_prev, m_curr)
+        alpha = jnp.exp2(m_prev[:, :1] - m_next[:, :1])
+        p = jnp.exp2(s - m_next[:, :1])
+        m_scr[...] = m_next
+        l_scr[...] = alpha * l_scr[...] + jnp.sum(p, axis=1, keepdims=True)
+        acc_scr[...] = acc_scr[...] * alpha + jax.lax.dot(
+            p.astype(v_ref.dtype),
+            v_ref[0],
+            preferred_element_type=jnp.float32,
+            precision=precision,
+        )
+
+    @pl.when(j == pages_per_seq - 1)
+    def _store():
+        l = l_scr[:, :1]
+        m_col = m_scr[:, :1]
+        empty = m_col <= DEFAULT_MASK_VALUE * 0.5
+        l_inv = jnp.where(
+            jnp.logical_or(empty, l == 0.0),
+            0.0,
+            1.0 / jnp.maximum(l, 1e-37),
+        )
+        o_ref[0, 0] = (acc_scr[...] * l_inv).astype(o_ref.dtype)
+        lse = jnp.where(
+            jnp.logical_or(empty, l == 0.0),
+            -jnp.inf,
+            m_col * 0.6931471805599453
+            + jnp.log(jnp.maximum(l, 1e-37)),
+        )
+        lse_ref[0, 0] = jnp.broadcast_to(lse, lse_ref.shape[-2:])
+
+
+@functools.partial(
+    jax.jit, static_argnames=("scale", "causal", "return_lse", "interpret")
+)
+def paged_attention_folded(
+    q: jax.Array,
+    k_pages: jax.Array,
+    v_pages: jax.Array,
+    lengths: jax.Array,
+    page_indices: jax.Array,
+    scale: Optional[float] = None,
+    causal: bool = True,
+    return_lse: bool = False,
+    interpret: Optional[bool] = None,
+):
+    """Head-folded paged decode over the NATIVE page-pool layout.
+
+    Args mirror :func:`paged_attention` except the pools stay in the
+    vLLM/HF layout ``[num_pages, page_size, Hk, D]`` -- no host
+    transpose of the multi-GB pool. Requires ``D % 128 == 0`` and
+    ``Hq/Hk * Sq <= 128`` q rows per KV head (single/few-token decode);
+    callers fall back to :func:`paged_attention` otherwise.
+    """
+    if interpret is None:
+        interpret = _default_interpret()
+    decode_rank = q.ndim == 3
+    if decode_rank:
+        q = q[:, None]
+    b, sq, hq, d = q.shape
+    num_pages, page_size, hk, _ = k_pages.shape
+    assert hq % hk == 0 and d % MIN_LANES == 0
+    group = hq // hk
+    rows_per_head = group * sq
+    assert rows_per_head <= 128
+    if scale is None:
+        scale = 1.0 / (d**0.5)
+    # Slab cap: <=128 q rows AND <=1024 lanes (the proven block-geometry
+    # family; see flash_fwd._decode_folded).
+    slab = max(1, min(hk, 128 // rows_per_head, 1024 // d))
+    while hk % slab:
+        slab -= 1
+    nslab = hk // slab
+    lanes = slab * d
+    rows = slab * rows_per_head
+
+    # Block-diagonal Q: q [B, Hq, Sq, D] with Hq-major (hk, group)
+    # ordering; row j*rows_per_head + g*sq + qi owns lane block j.
+    qh = jnp.transpose(q, (0, 2, 1, 3))  # [B, Hq, Sq, D]
+    eye = jnp.eye(slab, dtype=q.dtype)
+    qbd = jnp.einsum(
+        "bnjtd,jk->bnjtkd",
+        qh.reshape(b, nslab, slab, rows_per_head, d),
+        eye,
+    ).reshape(b, nslab, rows, lanes)
+    qbd = jnp.pad(qbd, ((0, 0), (0, 0), (0, 128 - rows), (0, 0)))
+
+    kf = k_pages.reshape(num_pages, page_size, hk * d)
+    vf = v_pages.reshape(num_pages, page_size, hk * d)
+    pages_per_seq = page_indices.shape[1]
+
+    def kv_map(bi, ni, j, lens, tbl):
+        # Clamp dead-tail table entries (documented as ignored) so the
+        # prefetched block index stays in the pool.
+        return (
+            jnp.minimum(tbl[bi, j], num_pages - 1),
+            0,
+            ni,
+        )
+
+    kernel = functools.partial(
+        _paged_folded_kernel,
+        scale=scale,
+        page_size=page_size,
+        pages_per_seq=pages_per_seq,
+        rows_per_head=rows_per_head,
+        seqlen_q=sq,
+        causal=causal,
+    )
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(b, nslab, pages_per_seq),
+        in_specs=[
+            pl.BlockSpec(
+                (1, 1, 128, lanes),
+                lambda bi, ni, j, lens, tbl: (bi, ni, 0, 0),
+            ),
+            pl.BlockSpec((1, page_size, lanes), kv_map),
+            pl.BlockSpec((1, page_size, lanes), kv_map),
+        ],
+        out_specs=[
+            pl.BlockSpec(
+                (1, 1, 128, lanes),
+                lambda bi, ni, j, lens, tbl: (bi, ni, 0, 0),
+            ),
+            pl.BlockSpec(
+                (1, 1, 128, MIN_LANES),
+                lambda bi, ni, j, lens, tbl: (bi, ni, 0, 0),
+            ),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((128, MIN_LANES), jnp.float32),
+            pltpu.VMEM((128, MIN_LANES), jnp.float32),
+            pltpu.VMEM((128, lanes), jnp.float32),
+        ],
+    )
+    out_bd, lse_bd = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=[
+            jax.ShapeDtypeStruct((b, nslab, 128, lanes), q.dtype),
+            jax.ShapeDtypeStruct((b, nslab, 128, MIN_LANES), jnp.float32),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "arbitrary"),
+        ),
+        interpret=interpret,
+    )(lengths.astype(jnp.int32), page_indices.astype(jnp.int32), qbd,
+      kf, vf)
+
+    # Diagonal extraction via einsum-with-identity (advanced-indexing
+    # diagonals lower to a serial-slow TPU gather; see
+    # flash_fwd._decode_folded).
+    o = jnp.einsum(
+        "bnjtkd,jk->bnjtd",
+        out_bd[:, :, :rows]
+        .reshape(b, nslab, slab, rows_per_head, slab, d)
+        .astype(jnp.float32),
+        jnp.eye(slab, dtype=jnp.float32),
+    ).astype(out_bd.dtype)
+    o = o.reshape(b, hq, sq, d)
+    out = jnp.transpose(o, (0, 2, 1, 3))  # [B, Sq, Hq, D]
+    if decode_rank:
+        out = out[:, 0]
+    if not return_lse:
+        return out
+    lse = lse_bd[:, :, :rows, 0].reshape(b, hq, sq)
+    return out, lse
+
+
+__all__ = ["paged_attention", "paged_attention_folded"]

@@ -53,3 +53,40 @@ def test_paged_decode_matches_gathered(group):
             rtol=1e-4,
             err_msg=f"batch {i}",
         )
+
+
+@pytest.mark.parametrize(
+    "b,hq,hk,sq", [(2, 8, 2, 1), (1, 32, 32, 1), (2, 4, 4, 2)]
+)
+def test_paged_folded_matches_per_head(b, hq, hk, sq):
+    """Round-3 head-folded paged decode (native [np, ps, hk, d] pools,
+    no pool transpose) must match the per-head kernel bitwise-close,
+    including causal sq>1 and dead-tail page-table entries."""
+    from liteattention_tpu.ops.paged_attention import (
+        paged_attention_folded,
+    )
+
+    d, ps, pps = 128, 64, 6
+    rng = np.random.RandomState(11)
+    npg = b * pps + 3
+    q = jnp.asarray(rng.randn(b, sq, hq, d), jnp.float32)
+    kp = jnp.asarray(rng.randn(npg, ps, hk, d), jnp.float32)
+    vp = jnp.asarray(rng.randn(npg, ps, hk, d), jnp.float32)
+    tbl = jnp.asarray(
+        rng.permutation(npg)[: b * pps].reshape(b, pps), jnp.int32
+    )
+    lens = jnp.asarray(rng.randint(ps, ps * pps, size=(b,)), jnp.int32)
+    kpT = jnp.transpose(kp, (2, 0, 1, 3))
+    vpT = jnp.transpose(vp, (2, 0, 1, 3))
+    o1, l1 = paged_attention(
+        q, kpT, vpT, lens, tbl, causal=True, return_lse=True
+    )
+    o2, l2 = paged_attention_folded(
+        q, kp, vp, lens, tbl, causal=True, return_lse=True
+    )
+    np.testing.assert_allclose(
+        np.asarray(o1), np.asarray(o2), atol=3e-5, rtol=1e-5
+    )
+    np.testing.assert_allclose(
+        np.asarray(l1), np.asarray(l2), atol=3e-5, rtol=1e-5
+    )
