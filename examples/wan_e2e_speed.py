@@ -49,6 +49,7 @@ def main():
     ap.add_argument("--frames", type=int, default=18)
     ap.add_argument("--height", type=int, default=128)
     ap.add_argument("--width", type=int, default=128)
+    ap.add_argument("--vote-stride", type=int, default=4)
     ap.add_argument(
         "--modes", default="thr,band",
         help="comma list: thr (organic threshold sweep), band "
@@ -94,7 +95,7 @@ def main():
     lite_fn = jax.jit(
         lambda p, n, t, thr: denoise(
             model, p, n, t, num_steps=args.steps, thresholds=thr,
-            enable_skipping=True,
+            enable_skipping=True, vote_stride=args.vote_stride,
         )
     )
     # Attention-FLOP fraction for this geometry.
@@ -163,6 +164,7 @@ def main():
         lambda p, n, t, st: denoise(
             model, p, n, t, num_steps=args.steps, thresholds=frozen,
             enable_skipping=True, initial_states=st,
+            vote_stride=args.vote_stride,
         )
     )
     banded_curve = []
@@ -194,6 +196,7 @@ def main():
         "layers": args.layers,
         "steps": args.steps,
         "dense_ms_per_step": round(dense_s * 1e3, 1),
+        "vote_stride": args.vote_stride,
         "attention_flop_fraction": round(frac, 4),
         "threshold_curve": curve,
         "banded_curve": banded_curve,

@@ -65,6 +65,7 @@ def denoise(
     initial_states_uncond: Optional[Dict[int, Any]] = None,
     image_ctx: Optional[jax.Array] = None,
     latent_cond: Optional[jax.Array] = None,
+    vote_stride: int = 1,
 ) -> Tuple[jax.Array, Dict[str, Any]]:
     """Run the full denoising trajectory with LiteAttention state carry.
 
@@ -75,6 +76,12 @@ def denoise(
       thresholds: per-step skip thresholds (default linear schedule).
       enable_skipping: False = dense baseline run (same code path with no
         skip state, for speed/quality A-B comparisons).
+      vote_stride: emit skip votes (and evolve the masks) only every
+        N-th denoising step; intermediate steps run the cheaper no-vote
+        kernel on the frozen masks (round-3 amortization; stride 1 =
+        the reference's every-step voting). The scan runs over
+        stride-cycles, so num_steps % vote_stride trailing steps are
+        unrolled as a partial cycle.
 
     Returns:
       (denoised latents, telemetry dict with per-step sparsity).
@@ -118,18 +125,20 @@ def denoise(
 
     cond_kwargs = dict(image_ctx=image_ctx, latent_cond=latent_cond)
 
-    def step(carry, inp):
+    def step(carry, inp, emit_votes=True):
         x, st_c, st_u = carry
         t, sig, sig_nxt, thr = inp
         tt = jnp.full((b,), t, jnp.float32)
         v_c, st_c = model.apply(
-            params, x, tt, text, st_c, thr, **cond_kwargs
+            params, x, tt, text, st_c, thr, emit_votes=emit_votes,
+            **cond_kwargs
         )
         if use_cfg:
             # CFG keeps the image conditioning in BOTH branches (the
             # negative branch drops only the text prompt).
             v_u, st_u = model.apply(
-                params, x, tt, null_text, st_u, thr, **cond_kwargs
+                params, x, tt, null_text, st_u, thr,
+                emit_votes=emit_votes, **cond_kwargs
             )
             v = v_u + guidance_scale * (v_c - v_u)
         else:
@@ -141,11 +150,53 @@ def denoise(
         ).astype(x.dtype)
         return (x, st_c, st_u), sparsity_of(st_c)
 
-    (x, st_c, st_u), sparsity_trace = jax.lax.scan(
-        step,
-        (noise, states_c, states_u),
-        (ts, sigmas, sigma_next, thresholds),
-    )
+    n = ts.shape[0]
+    stride = max(1, vote_stride) if enable_skipping else 1
+    if stride == 1 or n < stride:
+        (x, st_c, st_u), sparsity_trace = jax.lax.scan(
+            step,
+            (noise, states_c, states_u),
+            (ts, sigmas, sigma_next, thresholds),
+        )
+    else:
+        # Stride cycles: one voting step then stride-1 no-vote steps
+        # (static unroll inside the cycle body -- emit_votes selects
+        # different compiled kernels, so it cannot be a scanned value).
+        ncyc = n // stride
+        main = ncyc * stride
+
+        def cycle(carry, inp):
+            traces = []
+            for j in range(stride):
+                sub = tuple(a[j] for a in inp)
+                carry, sp = step(carry, sub, emit_votes=(j == 0))
+                traces.append(sp)
+            return carry, jnp.stack(traces)
+
+        def split(a):
+            return a[:main].reshape(ncyc, stride)
+
+        (x, st_c, st_u), tr = jax.lax.scan(
+            cycle,
+            (noise, states_c, states_u),
+            tuple(split(a) for a in (ts, sigmas, sigma_next, thresholds)),
+        )
+        sparsity_trace = tr.reshape(main)
+        # Trailing partial cycle (unrolled; first tail step votes).
+        carry = (x, st_c, st_u)
+        tails = []
+        for j in range(main, n):
+            carry, sp = step(
+                carry,
+                (ts[j], sigmas[j], sigma_next[j], thresholds[j]),
+                emit_votes=(j == main),
+            )
+            tails.append(sp)
+        x, st_c, st_u = carry
+        if tails:
+            sparsity_trace = jnp.concatenate(
+                [sparsity_trace, jnp.stack(tails)]
+            )
     telemetry = {
         "sparsity_per_step": sparsity_trace,
         "final_sparsity": sparsity_trace[-1],

@@ -213,7 +213,9 @@ class WanSelfAttention(nn.Module):
     cfg: WanConfig
 
     @nn.compact
-    def __call__(self, x, freqs, state=None, threshold=-10.0):
+    def __call__(
+        self, x, freqs, state=None, threshold=-10.0, emit_votes=True
+    ):
         cfg = self.cfg
         dense = functools.partial(
             nn.Dense, use_bias=True, dtype=cfg.dtype, param_dtype=jnp.float32
@@ -251,6 +253,7 @@ class WanSelfAttention(nn.Module):
             oh, new_state = lite_attention_step(
                 state, qh, kh, vh, threshold=threshold,
                 block_sizes=cfg.attn_block_sizes("lite"),
+                emit_votes=emit_votes,
             )
         out = _attn_bnhd(oh)
         return dense(cfg.dim, name="o")(out), new_state
@@ -298,7 +301,10 @@ class WanBlock(nn.Module):
     cfg: WanConfig
 
     @nn.compact
-    def __call__(self, x, ctx, t_mod, freqs, state=None, threshold=-10.0):
+    def __call__(
+        self, x, ctx, t_mod, freqs, state=None, threshold=-10.0,
+        emit_votes=True,
+    ):
         cfg = self.cfg
         # Per-block learned modulation bias added to the shared time
         # modulation: 6 x dim (Wan-style adaLN).
@@ -324,6 +330,7 @@ class WanBlock(nn.Module):
             freqs,
             state,
             threshold,
+            emit_votes,
         )
         x = x + g1 * h_attn
         # norm3 is AFFINE in Wan (cross_attn_norm=True ->
@@ -369,6 +376,7 @@ class WanModel(nn.Module):
         threshold=-10.0,
         image_ctx: Optional[jax.Array] = None,
         latent_cond: Optional[jax.Array] = None,
+        emit_votes: bool = True,
     ):
         cfg = self.cfg
         if latent_cond is not None:
@@ -420,7 +428,7 @@ class WanModel(nn.Module):
         for i in range(cfg.num_layers):
             st = skip_states.get(i) if skip_states is not None else None
             x, st_new = block_cls(cfg, name=f"block_{i}")(
-                x, ctx, t_mod, freqs, st, threshold
+                x, ctx, t_mod, freqs, st, threshold, emit_votes
             )
             if st_new is not None:
                 new_states[i] = st_new
