@@ -12,14 +12,17 @@ no-op (measured). Each configuration therefore runs STEPS decode
 iterations inside one jitted lax.fori_loop with a serial q dependence
 (out feeds the next step's q), and per-step time = call time / STEPS.
 
-Round-3 finding: EVEN INSIDE one jitted fori_loop, every pallas_call
-(tpu_custom_call) on this stack costs a flat ~0.9 ms -- a no-op
-(128, 128) copy kernel measures 0.93 ms/step in the identical loop
-(tools round-3 experiments; marginal cost of adding cache bytes to the
-real kernel is ~65-80% of HBM peak). The floor is launch/dispatch
-plumbing of this measurement stack, not kernel work, so the benchmark
-now measures it explicitly per run and reports BOTH raw and
-floor-corrected (kernel-attributable) bandwidth.
+Round-3 finding: EVEN INSIDE one jitted fori_loop, every loop
+ITERATION on this stack costs a flat ~0.8 ms -- an XLA-only multiply
+body measures 0.83 ms/iter, a no-op pallas body 0.77-0.93, and adding
+7 MORE pallas calls to the body adds only ~9 us each (round-3
+experiments). The floor is while-loop step plumbing of this
+measurement stack, not kernel work. The benchmark therefore measures
+MARGINALLY: each config is timed with k_lo and k_hi serialized decode
+calls per loop iteration, and the kernel-attributable per-step time is
+(t_hi - t_lo) / (k_hi - k_lo) -- exactly how a real serving step
+amortizes it (one loop step runs every layer's decode back-to-back).
+Raw per-iteration numbers are reported alongside.
 
     PYTHONPATH=/root/repo:/root/.axon_site python tools/decode_bench.py
 """
@@ -45,18 +48,17 @@ def sync(x):
 STEPS = 32
 
 
-def timeit_loop(step_fn, q0, *args, iters=8, warmup=2):
-    """Median per-step seconds of STEPS serialized decode steps in one
-    jitted fori_loop (one dispatch; hides the tunnel's ms-scale
-    dispatch floor)."""
+def _timed_loop(step_fn, q0, args, K, iters=6, warmup=2):
+    """Median seconds per loop ITERATION, with K serialized decode calls
+    per iteration (serial q dependence; the loop cannot collapse)."""
 
     @jax.jit
     def run(q, *a):
         def body(i, qq):
-            out = step_fn(qq, *a)
-            # Serial dependence: the next step's q depends on this
-            # step's output, so the loop cannot be collapsed.
-            return (qq + out * 1e-6).astype(qq.dtype)
+            for _ in range(K):
+                out = step_fn(qq, *a)
+                qq = (qq + out * 1e-6).astype(qq.dtype)
+            return qq
 
         return jax.lax.fori_loop(0, STEPS, body, q)
 
@@ -71,36 +73,17 @@ def timeit_loop(step_fn, q0, *args, iters=8, warmup=2):
     return float(np.median(samples))
 
 
-def measure_call_floor():
-    """Per-pallas_call flat overhead of this measurement stack: a no-op
-    (128, 128) copy kernel timed in the same serialized fori_loop the
-    decode configs use."""
-    from jax.experimental import pallas as pl
+K_LO, K_HI = 1, 5
 
-    def tiny_kernel(x_ref, o_ref):
-        o_ref[...] = x_ref[...] * 1.000001
 
-    def tiny(x):
-        return pl.pallas_call(
-            tiny_kernel,
-            out_shape=jax.ShapeDtypeStruct((128, 128), jnp.float32),
-        )(x)
-
-    x = jnp.ones((128, 128), jnp.float32)
-
-    @jax.jit
-    def run(x):
-        return jax.lax.fori_loop(0, STEPS, lambda i, xx: tiny(xx), x)
-
-    for _ in range(2):
-        sync(run(x))
-    ts = []
-    for _ in range(6):
-        t0 = time.perf_counter()
-        o = run(x)
-        sync(o)
-        ts.append((time.perf_counter() - t0) / STEPS)
-    return float(np.median(ts))
+def timeit_marginal(step_fn, q0, *args):
+    """(kernel-attributable per-call seconds, raw per-iteration seconds
+    at K_LO). Marginal over K strips the ~0.8 ms/iteration loop floor
+    of this measurement stack."""
+    t_lo = _timed_loop(step_fn, q0, args, K_LO)
+    t_hi = _timed_loop(step_fn, q0, args, K_HI)
+    kernel = max((t_hi - t_lo) / (K_HI - K_LO), 1e-7)
+    return kernel, t_lo
 
 
 def main():
@@ -130,26 +113,21 @@ def main():
     def cache_gb(hk_):
         return 2 * b * hk_ * s * d * 2 / 1e9
 
-    floor = measure_call_floor()
-    print(f"per-pallas_call floor (no-op kernel): {floor*1e3:.3f} ms")
-
-    def report(name, t, hk_):
-        bw = cache_gb(hk_) / t
-        t_k = max(t - floor, 1e-6)
-        bw_k = cache_gb(hk_) / t_k
+    def report(name, t_kernel, t_raw, hk_):
+        bw_raw = cache_gb(hk_) / t_raw
+        bw_k = cache_gb(hk_) / t_kernel
         results[name] = dict(
-            ms=round(t * 1e3, 3),
-            steps_per_s=round(1.0 / t, 1),
-            cache_read_gbps=round(bw, 1),
-            hbm_util=round(bw / V5E_HBM_GBPS, 3),
-            ms_minus_floor=round(t_k * 1e3, 3),
-            kernel_gbps=round(bw_k, 1),
-            kernel_hbm_util=round(bw_k / V5E_HBM_GBPS, 3),
+            ms=round(t_kernel * 1e3, 3),
+            steps_per_s=round(1.0 / t_kernel, 1),
+            cache_read_gbps=round(bw_k, 1),
+            hbm_util=round(bw_k / V5E_HBM_GBPS, 3),
+            raw_loop_ms=round(t_raw * 1e3, 3),
+            raw_loop_gbps=round(bw_raw, 1),
         )
-        print(f"{name:22s}: {t*1e3:7.3f} ms  {1.0/t:7.1f} steps/s  "
-              f"{bw:6.1f} GB/s ({bw/V5E_HBM_GBPS:.0%} raw) | "
-              f"kernel {t_k*1e3:6.3f} ms {bw_k:6.1f} GB/s "
-              f"({bw_k/V5E_HBM_GBPS:.0%})")
+        print(f"{name:22s}: kernel {t_kernel*1e3:7.3f} ms  "
+              f"{1.0/t_kernel:7.1f} steps/s  {bw_k:6.1f} GB/s "
+              f"({bw_k/V5E_HBM_GBPS:.0%} of HBM peak) | raw-loop "
+              f"{t_raw*1e3:6.3f} ms", flush=True)
 
     # MHA decode (hk == h), full cache valid.
     for label, nheads_kv, num_splits in [
@@ -167,8 +145,8 @@ def main():
                 q, kc, vc, cache_seqlens=sl, causal=True, num_splits=ns
             )
 
-        t = timeit_loop(step, q, kc, vc, seqlens)
-        report(label, t, nheads_kv)
+        tk, traw = timeit_marginal(step, q, kc, vc, seqlens)
+        report(label, tk, traw, nheads_kv)
 
         if num_splits == 1:
             # TPU-native head-major cache layout: contiguous per-head
@@ -182,8 +160,8 @@ def main():
                     kv_cache_layout="bhsd",
                 )
 
-            t = timeit_loop(step_n, q, kcn, vcn, seqlens)
-            report(label + "_native", t, nheads_kv)
+            tk, traw = timeit_marginal(step_n, q, kcn, vcn, seqlens)
+            report(label + "_native", tk, traw, nheads_kv)
 
     # Paged decode (page table indirection).
     pages_per_seq = s // args.page_size
@@ -203,15 +181,15 @@ def main():
             q, kp, vp, cache_seqlens=sl, page_table=tbl, causal=True
         )
 
-    t = timeit_loop(step_paged, q, kp, vp, table, seqlens)
-    report("decode_paged", t, hk)
+    tk, traw = timeit_marginal(step_paged, q, kp, vp, table, seqlens)
+    report("decode_paged", tk, traw, hk)
 
     with open("DECODE_BENCH.json", "w") as f:
         json.dump(
             dict(
                 batch=b, heads=h, heads_kv=hk, head_dim=d, cache_len=s,
                 page_size=args.page_size,
-                per_call_floor_ms=round(floor * 1e3, 3),
+                methodology="marginal_over_k", k_lo=K_LO, k_hi=K_HI,
                 results=results,
             ),
             f,
