@@ -162,6 +162,54 @@ def denoise(
         # Stride cycles: one voting step then stride-1 no-vote steps
         # (static unroll inside the cycle body -- emit_votes selects
         # different compiled kernels, so it cannot be a scanned value).
+        # The compacted gather SCHEDULES ride the carry: the masks only
+        # change on vote steps, so compaction (argsort over the fine
+        # mask -- ~14 ms/step at 8 heads, ~5x that at Wan head counts)
+        # runs once per cycle instead of every step.
+        from liteattention_tpu.lite_attention import effective_blocks
+        from liteattention_tpu.ops.lite_flash_fwd import VOTE_TILE
+        from liteattention_tpu.ops.mask import compact_mask_gather
+
+        pt, ph, pw = cfg.patch_size
+        n_tok = (grid[0] // pt) * (grid[1] // ph) * (grid[2] // pw)
+        bs = cfg.attn_block_sizes("lite")
+        bq, _ = effective_blocks(bs, n_tok, n_tok)
+        qsubs = bq // VOTE_TILE
+
+        def compact_states(states):
+            if states is None:
+                return None
+            return {
+                i: compact_mask_gather(st.do_mask, qsubs)
+                for i, st in states.items()
+            }
+
+        def step_sched(carry, inp, emit_votes):
+            x, st_c, st_u, sc_c, sc_u = carry
+            t, sig, sig_nxt, thr = inp
+            tt = jnp.full((b,), t, jnp.float32)
+            v_c, st_c = model.apply(
+                params, x, tt, text, st_c, thr, emit_votes=emit_votes,
+                schedules=sc_c, **cond_kwargs
+            )
+            if use_cfg:
+                v_u, st_u = model.apply(
+                    params, x, tt, null_text, st_u, thr,
+                    emit_votes=emit_votes, schedules=sc_u, **cond_kwargs
+                )
+                v = v_u + guidance_scale * (v_c - v_u)
+            else:
+                v = v_c
+            x = (
+                x.astype(jnp.float32)
+                + (sig_nxt - sig) * v.astype(jnp.float32)
+            ).astype(x.dtype)
+            if emit_votes:
+                # masks changed: recompact once for the rest of the cycle
+                sc_c = compact_states(st_c)
+                sc_u = compact_states(st_u) if use_cfg else None
+            return (x, st_c, st_u, sc_c, sc_u), sparsity_of(st_c)
+
         ncyc = n // stride
         main = ncyc * stride
 
@@ -169,30 +217,35 @@ def denoise(
             traces = []
             for j in range(stride):
                 sub = tuple(a[j] for a in inp)
-                carry, sp = step(carry, sub, emit_votes=(j == 0))
+                carry, sp = step_sched(carry, sub, emit_votes=(j == 0))
                 traces.append(sp)
             return carry, jnp.stack(traces)
 
         def split(a):
             return a[:main].reshape(ncyc, stride)
 
-        (x, st_c, st_u), tr = jax.lax.scan(
+        carry0 = (
+            noise, states_c, states_u,
+            compact_states(states_c),
+            compact_states(states_u) if use_cfg else None,
+        )
+        (x, st_c, st_u, sc_c, sc_u), tr = jax.lax.scan(
             cycle,
-            (noise, states_c, states_u),
+            carry0,
             tuple(split(a) for a in (ts, sigmas, sigma_next, thresholds)),
         )
         sparsity_trace = tr.reshape(main)
         # Trailing partial cycle (unrolled; first tail step votes).
-        carry = (x, st_c, st_u)
+        carry = (x, st_c, st_u, sc_c, sc_u)
         tails = []
         for j in range(main, n):
-            carry, sp = step(
+            carry, sp = step_sched(
                 carry,
                 (ts[j], sigmas[j], sigma_next[j], thresholds[j]),
                 emit_votes=(j == main),
             )
             tails.append(sp)
-        x, st_c, st_u = carry
+        x, st_c, st_u = carry[:3]
         if tails:
             sparsity_trace = jnp.concatenate(
                 [sparsity_trace, jnp.stack(tails)]

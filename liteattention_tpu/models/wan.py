@@ -214,7 +214,8 @@ class WanSelfAttention(nn.Module):
 
     @nn.compact
     def __call__(
-        self, x, freqs, state=None, threshold=-10.0, emit_votes=True
+        self, x, freqs, state=None, threshold=-10.0, emit_votes=True,
+        schedule=None,
     ):
         cfg = self.cfg
         dense = functools.partial(
@@ -253,7 +254,7 @@ class WanSelfAttention(nn.Module):
             oh, new_state = lite_attention_step(
                 state, qh, kh, vh, threshold=threshold,
                 block_sizes=cfg.attn_block_sizes("lite"),
-                emit_votes=emit_votes,
+                emit_votes=emit_votes, schedule=schedule,
             )
         out = _attn_bnhd(oh)
         return dense(cfg.dim, name="o")(out), new_state
@@ -303,7 +304,7 @@ class WanBlock(nn.Module):
     @nn.compact
     def __call__(
         self, x, ctx, t_mod, freqs, state=None, threshold=-10.0,
-        emit_votes=True,
+        emit_votes=True, schedule=None,
     ):
         cfg = self.cfg
         # Per-block learned modulation bias added to the shared time
@@ -331,6 +332,7 @@ class WanBlock(nn.Module):
             state,
             threshold,
             emit_votes,
+            schedule,
         )
         x = x + g1 * h_attn
         # norm3 is AFFINE in Wan (cross_attn_norm=True ->
@@ -377,6 +379,7 @@ class WanModel(nn.Module):
         image_ctx: Optional[jax.Array] = None,
         latent_cond: Optional[jax.Array] = None,
         emit_votes: bool = True,
+        schedules: Optional[Dict[int, Any]] = None,
     ):
         cfg = self.cfg
         if latent_cond is not None:
@@ -427,8 +430,9 @@ class WanModel(nn.Module):
             block_cls = nn.remat(WanBlock)
         for i in range(cfg.num_layers):
             st = skip_states.get(i) if skip_states is not None else None
+            sched = schedules.get(i) if schedules is not None else None
             x, st_new = block_cls(cfg, name=f"block_{i}")(
-                x, ctx, t_mod, freqs, st, threshold, emit_votes
+                x, ctx, t_mod, freqs, st, threshold, emit_votes, sched
             )
             if st_new is not None:
                 new_states[i] = st_new
