@@ -243,7 +243,7 @@ class WanSelfAttention(nn.Module):
         if cfg.sp_axis is not None and state is not None:
             oh, new_state = seq_parallel_attention_step(
                 state, qh, kh, vh, threshold, cfg.sp_axis,
-                cfg.attn_block_sizes("lite"),
+                cfg.attn_block_sizes("lite"), emit_votes=emit_votes,
             )
         elif state is None:
             oh = flash_attention(

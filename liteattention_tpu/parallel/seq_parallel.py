@@ -160,6 +160,7 @@ def seq_parallel_attention_step(
     threshold,
     axis_name: str = "sp",
     block_sizes: Optional[BlockSizes] = None,
+    emit_votes: bool = True,
 ):
     """One KV-split sequence-parallel lite-attention step, for use inside
     a jitted model whose inputs are already sharded (e.g. WanModel with
@@ -168,7 +169,9 @@ def seq_parallel_attention_step(
     merged with the psum LSE combine.
 
     Returns (out, new_state) with out replicated and the mask shard left
-    on its chip.
+    on its chip. ``emit_votes=False`` runs the no-vote kernel on the
+    frozen shard masks (round-3 vote-stride amortization; each chip's
+    mask shard is carried through unchanged).
     """
     mesh = jax.sharding.get_abstract_mesh()
 
@@ -181,10 +184,12 @@ def seq_parallel_attention_step(
         )
         o_l, lse_l, votes = lite_flash_attention(
             q, k_sh, v_sh, fidx, count, thr, kv_bits=qbits,
-            block_sizes=bs, fine_schedule=True,
+            block_sizes=bs, fine_schedule=True, emit_votes=emit_votes,
         )
-        votes = votes[:, :, : do_mask.shape[2], : do_mask.shape[3]]
         out, _ = combine_attention_psum(o_l, lse_l, axis_name)
+        if not emit_votes:
+            return out, do_mask, step
+        votes = votes[:, :, : do_mask.shape[2], : do_mask.shape[3]]
         st = update_mask(SkipMaskState(do_mask, step), votes)
         return out, st.do_mask, st.step
 
