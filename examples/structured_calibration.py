@@ -100,6 +100,21 @@ def main():
     ap.add_argument("--rel-l2-budget", type=float, default=0.05)
     ap.add_argument("--out", default="CALIBRATION.json")
     ap.add_argument("--seed", type=int, default=0)
+    # Attention-structure regularization (VERDICT r2 item 3 sanctions
+    # "attention-entropy regularization if needed"): the tiny proxy's
+    # attention stays near-uniform under the task loss alone, which is
+    # the WORST case for the skip criterion; converged video models are
+    # strongly localized (reference README.md:12-27). The entropy term
+    # penalizes per-row attention entropy above a target support size;
+    # the tile term penalizes 128-key-tile maxes above the skip
+    # threshold in the kernel's log2 domain. Both act only on the
+    # training objective -- every quality number is still sparse-vs-
+    # dense of the SAME final weights.
+    ap.add_argument("--entropy-reg", type=float, default=0.0)
+    ap.add_argument("--entropy-target", type=float, default=5.55,
+                    help="target row entropy in nats (~ln(support))")
+    ap.add_argument("--tile-reg", type=float, default=0.0)
+    ap.add_argument("--probe-rows", type=int, default=64)
     args = ap.parse_args()
 
     cfg = small_config(args.size)
@@ -132,6 +147,27 @@ def main():
     )
     opt_state = opt.init(params)
 
+    use_probe = args.entropy_reg > 0 or args.tile_reg > 0
+    train_model = (
+        WanModel(
+            dataclasses.replace(cfg, attn_probe_rows=args.probe_rows)
+        )
+        if use_probe
+        else model
+    )
+
+    def _collect(tree, name):
+        """Flatten every sowed leaf named ``name`` out of a nested
+        intermediates dict (one entry per self-attention layer)."""
+        out = []
+        if isinstance(tree, dict):
+            for k, v in tree.items():
+                if k == name:
+                    out.extend(jax.tree_util.tree_leaves(v))
+                else:
+                    out.extend(_collect(v, name))
+        return out
+
     @jax.jit
     def train_step(params, opt_state, x0, key):
         kn, kt = jax.random.split(key)
@@ -144,13 +180,40 @@ def main():
         tt = sig[:, 0, 0, 0, 0] * 1000.0
 
         def loss_fn(p):
-            v, _ = model.apply(p, xt, tt, text[: x0.shape[0]])
-            return jnp.mean((v.astype(jnp.float32) - v_target) ** 2)
+            if use_probe:
+                (v, _), inter = train_model.apply(
+                    p, xt, tt, text[: x0.shape[0]],
+                    mutable=["intermediates"],
+                )
+            else:
+                v, _ = model.apply(p, xt, tt, text[: x0.shape[0]])
+                inter = {}
+            main = jnp.mean((v.astype(jnp.float32) - v_target) ** 2)
+            ent = jnp.float32(0.0)
+            reg = jnp.float32(0.0)
+            ents = _collect(inter, "attn_entropy")
+            if ents:
+                ent = jnp.mean(jnp.stack(ents))
+                if args.entropy_reg > 0:
+                    reg += args.entropy_reg * jnp.mean(
+                        jnp.stack(
+                            [
+                                jnp.maximum(e - args.entropy_target, 0.0)
+                                for e in ents
+                            ]
+                        )
+                    )
+            tiles = _collect(inter, "attn_tile_excess")
+            if tiles and args.tile_reg > 0:
+                reg += args.tile_reg * jnp.mean(jnp.stack(tiles))
+            return main + reg, (main, ent)
 
-        loss, grads = jax.value_and_grad(loss_fn)(params)
+        (loss, (main, ent)), grads = jax.value_and_grad(
+            loss_fn, has_aux=True
+        )(params)
         updates, opt_state = opt.update(grads, opt_state, params)
         params = optax.apply_updates(params, updates)
-        return params, opt_state, loss
+        return params, opt_state, main, ent
 
     key = jax.random.PRNGKey(args.seed)
     t0 = time.time()
@@ -162,12 +225,14 @@ def main():
                             cfg.in_channels)
             ).astype(jnp.bfloat16)
         key, sub = jax.random.split(key)
-        params, opt_state, loss = train_step(params, opt_state, x0, sub)
+        params, opt_state, loss, ent = train_step(
+            params, opt_state, x0, sub
+        )
         if step % 100 == 0 or step == args.train_steps - 1:
             lv = float(loss)
             loss0 = loss0 or lv
             print(
-                f"step {step} loss {lv:.4f} "
+                f"step {step} loss {lv:.4f} entropy {float(ent):.3f} "
                 f"({time.time()-t0:.0f}s)"
             )
     print(f"train done: loss {loss0:.3f} -> {float(loss):.3f}")
@@ -199,7 +264,9 @@ def main():
     print(
         f"calibrated schedule (budget rel_l2<={args.rel_l2_budget}): "
         f"thr*={sched['threshold']:.2f} "
+        f"+delta={sched.get('loosen_delta', 0.0):.2f} "
         f"sparsity={sched['mean_sparsity']:.3f} "
+        f"final_sparsity={sched.get('final_sparsity', 0.0):.3f} "
         f"rel_l2={sched['relative_l2']:.4f}"
     )
 
@@ -209,6 +276,10 @@ def main():
             "frames": args.frames,
             "train_steps": args.train_steps,
             "final_train_loss": float(loss),
+            "entropy_reg": args.entropy_reg,
+            "entropy_target": args.entropy_target,
+            "tile_reg": args.tile_reg,
+            "final_attn_entropy": float(ent),
             "model": dataclasses.asdict(
                 dataclasses.replace(cfg, dtype=None, block_sizes=None)
             ),
@@ -226,6 +297,8 @@ def main():
         ],
         "calibrated": {
             "threshold": float(sched["threshold"]),
+            "loosen_delta": float(sched.get("loosen_delta", 0.0)),
+            "final_sparsity": float(sched.get("final_sparsity", 0.0)),
             "mean_sparsity": float(sched["mean_sparsity"]),
             "relative_l2": float(sched["relative_l2"]),
             "temporal_flicker": float(sched["temporal_flicker"]),

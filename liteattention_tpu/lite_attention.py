@@ -227,6 +227,16 @@ class LiteAttention:
         a stride of 2-4 keeps mask evolution near-identical while
         amortizing that cost (round-3 deviation from the reference's
         every-step voting; stride 1 = exact reference semantics).
+      vote_backoff_cap: adaptive vote cadence (0 = off). When set, the
+        stride between vote steps starts at ``vote_stride`` and DOUBLES
+        (up to the cap) each time a vote cycle leaves the mask
+        unchanged, resetting to ``vote_stride`` whenever a vote shrinks
+        it or the threshold changes. A stale mask is only conservative
+        (skipped tiles stay skipped, live tiles stay live -> output is
+        at least as close to dense as the voted mask's), so backoff
+        trades a slower sparsity ramp for amortizing the vote cost to
+        ~1/cap once the mask converges -- which it does within a few
+        steps at a fixed threshold because the update is a monotone AND.
     """
 
     def __init__(
@@ -236,6 +246,7 @@ class LiteAttention:
         max_batch_size: int = 4,
         block_sizes: Optional[BlockSizes] = None,
         vote_stride: int = 1,
+        vote_backoff_cap: int = 0,
     ):
         self._state: Optional[SkipMaskState] = None
         self._last_key = None
@@ -248,6 +259,11 @@ class LiteAttention:
         self.block_sizes = block_sizes
         assert vote_stride >= 1
         self.vote_stride = vote_stride
+        assert vote_backoff_cap == 0 or vote_backoff_cap >= vote_stride
+        self.vote_backoff_cap = int(vote_backoff_cap)
+        self._cur_stride = vote_stride
+        self._since_vote = 0
+        self._last_vote_live = None
         self.set_threshold(threshold)
 
     # -- reference-parity helpers -------------------------------------
@@ -271,6 +287,13 @@ class LiteAttention:
             raise ValueError(
                 "threshold must be negative when debug mode is not enabled"
             )
+        if getattr(self, "threshold", None) != float(threshold):
+            # A new threshold can shrink the mask further: drop the
+            # adaptive backoff to the base cadence so votes pick the
+            # change up promptly (per-timestep calibration calls this
+            # between denoising steps, README.md:148-153).
+            self._cur_stride = self.vote_stride
+            self._last_vote_live = None
         self.threshold = float(threshold)
 
     def reset_skip_state(self):
@@ -281,6 +304,9 @@ class LiteAttention:
         self._read_mask = None
         self._call_count = 0
         self._sched_cache = None
+        self._cur_stride = self.vote_stride
+        self._since_vote = 0
+        self._last_vote_live = None
 
     def enable_skip_optimization(self, enable: bool = True):
         """Toggle skipping (reference lite_attention.py:315-320). Unlike
@@ -386,9 +412,16 @@ class LiteAttention:
             schedule = self._sched_cache
         # Vote on the first call after (re)init and then every
         # vote_stride-th call; in between the mask is reused as-is and
-        # the cheaper no-vote kernel runs.
-        emit = self._call_count % self.vote_stride == 0
+        # the cheaper no-vote kernel runs. With vote_backoff_cap the
+        # cadence adapts: see the constructor docstring.
+        if self.vote_backoff_cap > 0:
+            emit = self._call_count == 0 or (
+                self._since_vote >= self._cur_stride
+            )
+        else:
+            emit = self._call_count % self.vote_stride == 0
         self._call_count += 1
+        self._since_vote += 1
         result = lite_attention_step(
             state,
             q,
@@ -409,6 +442,16 @@ class LiteAttention:
             if emit:
                 # the mask may have shrunk; recompact on next call
                 self._sched_cache = None
+                self._since_vote = 0
+                if self.vote_backoff_cap > 0:
+                    live = float(sparsity(new_state.do_mask))
+                    if live == self._last_vote_live:
+                        self._cur_stride = min(
+                            self._cur_stride * 2, self.vote_backoff_cap
+                        )
+                    else:
+                        self._cur_stride = self.vote_stride
+                    self._last_vote_live = live
             self._last_percentage = float(sparsity(self._read_mask))
             if os.getenv("LITE_ATTENTION_VERBOSE", "FALSE") != "FALSE":
                 print(

@@ -90,36 +90,86 @@ def calibrate_schedule(
     num_steps: int,
     target_rel_l2: float = 0.05,
     tighten_frac: float = 0.3,
+    loosen_frac: float = 0.5,
+    loosen_hi: float = 6.0,
+    loosen_iters: int = 4,
+    probe_steps: Optional[int] = None,
     **kwargs,
 ) -> Tuple[jax.Array, Dict[str, Any]]:
-    """Per-step schedule from the calibrated constant threshold.
+    """Per-step schedule: constant calibration + late-step loosening.
 
-    The first ``tighten_frac`` of steps ramp from (threshold − 4) up to
-    the calibrated value (masks form conservatively while the signal is
-    pure noise); the remainder hold it.
+    Three phases, matching the shape of the reference's published
+    per-timestep threshold tables (reference README.md:93-98,148-153 —
+    later denoising steps tolerate far looser thresholds because the
+    signal has converged and attention structure is stable):
+
+    1. the first ``tighten_frac`` of steps ramp from (threshold − 4) up
+       to the calibrated constant value (masks form conservatively while
+       the signal is pure noise);
+    2. a hold at the calibrated constant;
+    3. the last ``loosen_frac`` of steps ramp up by an extra ``delta``,
+       where ``delta`` ∈ [0, loosen_hi] is bisected to the largest value
+       keeping the FULL-schedule trajectory deviation under budget.
+       Looser thresholds only remove more tiles (mask update is a
+       monotone AND), so deviation is monotone in ``delta`` and
+       bisection is sound.
     """
+    # Bisect the constant threshold at the FULL step count (not a short
+    # probe): trajectory deviation accumulates with steps, so a
+    # short-probe solution can land over budget when the shipped
+    # schedule runs longer. The shipped ramp starts tighter than the
+    # constant, so an in-budget constant implies an in-budget schedule.
     result = calibrate_constant_threshold(
         model, params, noise, text, target_rel_l2=target_rel_l2,
-        num_steps=min(num_steps, 10), **kwargs,
+        num_steps=probe_steps or num_steps, **kwargs,
     )
     thr = result["threshold"]
-    n_ramp = max(int(num_steps * tighten_frac), 1)
-    ramp = jnp.linspace(thr - 4.0, thr, n_ramp)
-    hold = jnp.full((num_steps - n_ramp,), thr)
-    schedule = jnp.concatenate([ramp, hold])
-    # Re-evaluate the actual per-step schedule at the full step count:
-    # the reported sparsity/quality belong to the schedule that ships,
-    # not to the constant-threshold probe. (lo/hi/iters are bisection
-    # controls consumed above, not denoise kwargs.)
+    # (lo/hi/iters are bisection controls consumed above, not denoise
+    # kwargs.)
     denoise_kwargs = {
         k: v for k, v in kwargs.items() if k not in ("lo", "hi", "iters")
     }
-    final = evaluate_sparsity_quality(
-        model, params, noise, text, num_steps=num_steps,
-        thresholds=schedule, **denoise_kwargs,
-    )
+
+    n_ramp = max(int(num_steps * tighten_frac), 1)
+    n_loose = min(max(int(num_steps * loosen_frac), 1),
+                  num_steps - n_ramp)
+
+    def build(delta: float) -> jax.Array:
+        n_hold = num_steps - n_ramp - n_loose
+        ramp = jnp.linspace(thr - 4.0, thr, n_ramp)
+        hold = jnp.full((n_hold,), thr)
+        loose = jnp.linspace(thr, thr + delta, n_loose + 1)[1:]
+        return jnp.concatenate([ramp, hold, loose])
+
+    def evaluate(delta: float) -> Dict[str, Any]:
+        # The reported sparsity/quality belong to the schedule that
+        # ships, not to the constant-threshold probe.
+        return evaluate_sparsity_quality(
+            model, params, noise, text, num_steps=num_steps,
+            thresholds=build(delta), **denoise_kwargs,
+        )
+
+    final0 = evaluate(0.0)
+    best = (0.0, final0)
+    if float(final0["relative_l2"]) <= target_rel_l2 and n_loose > 0:
+        e_hi = evaluate(loosen_hi)
+        if float(e_hi["relative_l2"]) <= target_rel_l2:
+            best = (loosen_hi, e_hi)
+        else:
+            lo_d, hi_d = 0.0, loosen_hi
+            for _ in range(loosen_iters):
+                mid = 0.5 * (lo_d + hi_d)
+                e = evaluate(mid)
+                if float(e["relative_l2"]) <= target_rel_l2:
+                    best = (mid, e)
+                    lo_d = mid
+                else:
+                    hi_d = mid
+    delta, final = best
+    schedule = build(delta)
     sched_result = {
         "threshold": thr,
+        "loosen_delta": float(delta),
         "relative_l2": float(final["relative_l2"]),
         "mean_sparsity": float(final["mean_sparsity"]),
         "final_sparsity": float(final["final_sparsity"]),

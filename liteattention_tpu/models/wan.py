@@ -64,6 +64,15 @@ class WanConfig:
     # Recompute block activations in backward (jax.checkpoint); see
     # GPTConfig.remat. Training-only knob.
     remat: bool = False
+    # Attention-structure probe (training-only): when > 0, each
+    # self-attention layer computes exact softmax statistics on this many
+    # strided query rows and sows scalar summaries ("attn_entropy",
+    # "attn_tile_excess") into the "intermediates" collection. Used by
+    # the calibration harness to regularize attention toward the peaked,
+    # tile-sparse structure converged video models exhibit (reference
+    # README.md:12-27 motivates skipping with exactly that structure).
+    # Adds no parameters; off (0) for inference and all parity paths.
+    attn_probe_rows: int = 0
     # Sequence-parallel self-attention over an ICI mesh axis (config 5):
     # when set, the model must run inside shard_map-compatible jit with
     # that mesh active; KV and the per-layer skip masks are sharded on
@@ -240,6 +249,40 @@ class WanSelfAttention(nn.Module):
         qh = q.transpose(0, 2, 1, 3)
         kh = k.transpose(0, 2, 1, 3)
         vh = _attn_bhsd(v, cfg.num_heads)
+        if cfg.attn_probe_rows > 0 and state is None:
+            # Exact softmax statistics on a strided row sample (training
+            # probe; see WanConfig.attn_probe_rows). Scores use the same
+            # scale as the kernel; tile stats live in the kernel's log2
+            # domain so `attn_tile_excess` is directly comparable to the
+            # skip threshold (CLAUDE.md log2-space convention;
+            # VOTE_TILE=128 fine granularity).
+            r = min(cfg.attn_probe_rows, n)
+            stride = max(n // r, 1)
+            qp = qh[:, :, :: stride, :][:, :, :r, :].astype(jnp.float32)
+            s = jnp.einsum(
+                "bhrd,bhnd->bhrn", qp, kh.astype(jnp.float32),
+                precision=jax.lax.Precision.HIGHEST,
+            ) * (1.0 / float(cfg.head_dim) ** 0.5)
+            lse = jax.nn.logsumexp(s, axis=-1)
+            p = jax.nn.softmax(s, axis=-1)
+            entropy = lse - jnp.sum(p * s, axis=-1)
+            self.sow(
+                "intermediates", "attn_entropy", jnp.mean(entropy)
+            )
+            log2e = 1.4426950408889634
+            s2 = s * log2e
+            nt = s2.shape[-1] // 128
+            if nt > 1:
+                tile_max = jnp.max(
+                    s2[..., : nt * 128].reshape(*s2.shape[:-1], nt, 128),
+                    axis=-1,
+                )
+                excess = tile_max - jnp.max(s2, axis=-1, keepdims=True)
+                self.sow(
+                    "intermediates",
+                    "attn_tile_excess",
+                    jnp.mean(jax.nn.softplus(excess + 3.0)),
+                )
         if cfg.sp_axis is not None and state is not None:
             oh, new_state = seq_parallel_attention_step(
                 state, qh, kh, vh, threshold, cfg.sp_axis,

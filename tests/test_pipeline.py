@@ -3,6 +3,7 @@
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from liteattention_tpu.models.pipeline import (
     denoise,
@@ -176,8 +177,22 @@ def test_threshold_calibration():
 
     sched, info = calibrate_schedule(
         model, params, noise, text, num_steps=6, target_rel_l2=1e9,
-        lo=-8.0, hi=0.5, iters=1,
+        lo=-8.0, hi=0.5, iters=1, loosen_iters=1,
     )
     assert sched.shape == (6,)
-    assert float(sched[-1]) == info["threshold"]
+    # Unlimited budget: the late-step loosening phase takes the whole
+    # extra range, so the schedule ends at threshold + loosen_delta.
+    assert info["loosen_delta"] == 6.0
+    assert float(sched[-1]) == pytest.approx(
+        info["threshold"] + info["loosen_delta"]
+    )
     assert float(sched[0]) < float(sched[-1])
+
+    # Zero budget: loosening must not engage (delta stays 0) and the
+    # schedule tops out at the constant-calibrated threshold.
+    sched0, info0 = calibrate_schedule(
+        model, params, noise, text, num_steps=6, target_rel_l2=0.0,
+        lo=-8.0, hi=0.5, iters=1, loosen_iters=1,
+    )
+    assert info0["loosen_delta"] == 0.0
+    assert float(sched0[-1]) == pytest.approx(info0["threshold"])

@@ -98,3 +98,49 @@ def test_wrapper_vote_stride(stride):
             assert not changed, f"mask changed on no-vote step {step}"
     # the engine did evolve at some vote step (threshold -1 is generous)
     assert float(sparsity(jnp.asarray(masks[-1]))) >= 0.0
+
+def test_wrapper_vote_backoff():
+    """Adaptive cadence: stride doubles while the mask is stable, caps,
+    and resets on a threshold change (vote_backoff_cap docstring)."""
+    rng = np.random.RandomState(4)
+    b, s, h, d = 1, 1024, 2, 64
+    # FIXED inputs: after the first vote the mask is converged, so every
+    # later vote leaves it unchanged and the stride must double.
+    q = jnp.asarray(rng.randn(b, s, h, d), jnp.float32)
+    k = jnp.asarray(rng.randn(b, s, h, d), jnp.float32)
+    v = jnp.asarray(rng.randn(b, s, h, d), jnp.float32)
+    bs = BlockSizes(512, 1024)
+    eng = LiteAttention(
+        threshold=-1.0, block_sizes=bs, vote_stride=1, vote_backoff_cap=8
+    )
+
+    vote_steps = []
+    strides = []
+    mask_prev = None
+    for step in range(16):
+        eng(q, k, v)
+        m = np.asarray(eng.state.do_mask)
+        if mask_prev is None or not np.array_equal(m, mask_prev):
+            pass
+        mask_prev = m
+        strides.append(eng._cur_stride)
+        if eng._since_vote == 0:
+            vote_steps.append(step)
+
+    # First call always votes; with a converged mask the cadence doubles
+    # 1, 2, 4, 8 (cap) -> votes at 0, 1, 3, 7, 15.
+    assert vote_steps[0] == 0
+    gaps = np.diff(vote_steps)
+    assert (gaps[1:] >= gaps[:-1]).all(), f"gaps not monotone: {gaps}"
+    assert max(strides) == 8  # reached the cap
+    assert strides[-1] == 8
+
+    # Threshold change resets the cadence to the base stride.
+    eng.set_threshold(-2.0)
+    assert eng._cur_stride == 1
+
+    # Cap=0 keeps legacy fixed-stride behavior.
+    legacy = LiteAttention(threshold=-1.0, block_sizes=bs, vote_stride=2)
+    for step in range(4):
+        legacy(q, k, v)
+    assert legacy._cur_stride == 2

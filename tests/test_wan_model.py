@@ -136,3 +136,70 @@ def test_remat_matches_no_remat():
         a, b = np.asarray(a, np.float32), np.asarray(b, np.float32)
         scale = max(np.abs(a).max(), 1e-6)
         np.testing.assert_allclose(a / scale, b / scale, atol=2e-2)
+
+def test_attn_probe_entropy_and_grad():
+    """attn_probe_rows sows per-layer entropy/tile-excess scalars without
+    changing the forward output or the parameter structure, and the
+    sowed entropy is differentiable (the calibration harness regularizes
+    through it; examples/structured_calibration.py)."""
+    import dataclasses
+
+    cfg = WanConfig.tiny()
+    b, f, h, w = 1, 2, 32, 32  # 512 tokens -> 4 fine key tiles
+    latents = jax.random.normal(
+        jax.random.PRNGKey(0), (b, f, h, w, cfg.in_channels)
+    ).astype(jnp.bfloat16)
+    t = jnp.full((b,), 500.0, jnp.float32)
+    text = jax.random.normal(
+        jax.random.PRNGKey(1), (b, cfg.text_len, cfg.text_dim)
+    ).astype(jnp.bfloat16)
+    plain = WanModel(cfg)
+    probe = WanModel(dataclasses.replace(cfg, attn_probe_rows=8))
+    params = plain.init(jax.random.PRNGKey(2), latents, t, text)
+
+    (out, _), inter = probe.apply(
+        params, latents, t, text, mutable=["intermediates"]
+    )
+    out_plain, _ = plain.apply(params, latents, t, text)
+    np.testing.assert_array_equal(
+        np.asarray(out, np.float32), np.asarray(out_plain, np.float32)
+    )
+
+    def collect(tree, name):
+        found = []
+        if isinstance(tree, dict):
+            for k, v in tree.items():
+                if k == name:
+                    found.extend(jax.tree_util.tree_leaves(v))
+                else:
+                    found.extend(collect(v, name))
+        return found
+
+    inter = jax.tree_util.tree_map(lambda x: x, inter)  # unfreeze-safe
+    ents = collect(dict(inter["intermediates"]), "attn_entropy")
+    tiles = collect(dict(inter["intermediates"]), "attn_tile_excess")
+    assert len(ents) == cfg.num_layers
+    assert len(tiles) == cfg.num_layers
+    n_tokens = 512
+    for e in ents:
+        ev = float(e)
+        assert 0.0 <= ev <= np.log(n_tokens) + 1e-3
+    for te in tiles:
+        assert float(te) > 0.0
+
+    def ent_loss(p):
+        _, i2 = probe.apply(
+            p, latents, t, text, mutable=["intermediates"]
+        )
+        vals = collect(dict(i2["intermediates"]), "attn_entropy")
+        return jnp.sum(jnp.stack(vals))
+
+    g = jax.grad(ent_loss)(params)
+    gnorm = jnp.sqrt(
+        sum(
+            jnp.sum(jnp.square(x.astype(jnp.float32)))
+            for x in jax.tree_util.tree_leaves(g)
+        )
+    )
+    assert float(gnorm) > 0.0
+    assert np.isfinite(float(gnorm))
