@@ -82,6 +82,8 @@ def flash_attn_func(
     return_skip_mask: bool = False,
     alibi_slopes: Optional[jax.Array] = None,
     block_sizes: Optional[BlockSizes] = None,
+    dropout_p: float = 0.0,
+    dropout_seed: Optional[jax.Array] = None,
 ):
     """Attention forward, dense or skip-masked.
 
@@ -138,9 +140,16 @@ def flash_attn_func(
             softcap=softcap,
             block_sizes=bs,
             return_lse=True,
+            dropout_p=dropout_p,
+            dropout_seed=dropout_seed,
         )
         new_mask = None
     else:
+        assert dropout_p == 0.0, (
+            "attention dropout is a training feature; the skip-masked "
+            "engine is inference-only (reference ships it in the "
+            "inference build, hopper/setup.py:47-68)"
+        )
         assert not causal, "skip-masked attention is non-causal (video DiT)"
         assert window is None and softcap == 0.0 and alibi_slopes is None, (
             "skip-masked attention composes with none of window/softcap/"
@@ -294,6 +303,8 @@ def flash_attn_varlen_func(
     sm_margin: int = 0,
     return_softmax_lse: bool = False,
     block_sizes: Optional[BlockSizes] = None,
+    dropout_p: float = 0.0,
+    dropout_seed: Optional[jax.Array] = None,
 ):
     """Variable-length attention over packed sequences.
 
@@ -392,6 +403,8 @@ def flash_attn_varlen_func(
         softcap=softcap,
         block_sizes=bs,
         return_lse=True,
+        dropout_p=dropout_p,
+        dropout_seed=dropout_seed,
     )
     out = jnp.transpose(out[0], (1, 0, 2))
     if return_softmax_lse:

@@ -99,51 +99,33 @@ class MHA(nn.Module):
         kh = k.transpose(0, 2, 1, 3)
         vh = v.transpose(0, 2, 1, 3)
         scale = self.softmax_scale
+        dropout_p = 0.0
+        dropout_seed = None
         if self.dropout > 0.0 and not deterministic:
-            # Attention dropout: XLA fallback (the flash kernel does not
-            # implement dropout; the reference routes to its non-flash
-            # path in the same situation).
-            kh_r = jnp.repeat(kh, qh.shape[1] // kh.shape[1], axis=1)
-            vh_r = jnp.repeat(vh, qh.shape[1] // vh.shape[1], axis=1)
-            sc = scale or 1.0 / (qh.shape[-1] ** 0.5)
-            s = jnp.einsum(
-                "bhqd,bhkd->bhqk",
-                qh.astype(jnp.float32),
-                kh_r.astype(jnp.float32),
-            ) * sc
-            if self.use_alibi:
-                sq, sk = s.shape[-2], s.shape[-1]
-                row = jax.lax.broadcasted_iota(jnp.int32, (sq, sk), 0)
-                col = jax.lax.broadcasted_iota(jnp.int32, (sq, sk), 1)
-                rel = row + (sk - sq) - col
-                dist = (rel if causal else jnp.abs(rel)).astype(jnp.float32)
-                sl = alibi_slopes(s.shape[1])
-                s = s - sl[None, :, None, None] * dist[None, None]
-            if causal:
-                sq, sk = s.shape[-2], s.shape[-1]
-                row = jax.lax.broadcasted_iota(jnp.int32, (sq, sk), 0)
-                col = jax.lax.broadcasted_iota(jnp.int32, (sq, sk), 1)
-                s = jnp.where(col <= row, s, -1e30)
-            p = jax.nn.softmax(s, axis=-1)
+            # In-kernel attention dropout (reference FA2 dropout,
+            # csrc/flash_attn): the kernels regenerate a counter-based
+            # keep mask (ops/flash_fwd.dropout_keep_mask) in fwd and
+            # bwd, so no [B, H, S, S] mask tensor is materialized. The
+            # flax "dropout" rng stream seeds the counter.
+            dropout_p = float(self.dropout)
             rng = self.make_rng("dropout")
-            keep = jax.random.bernoulli(rng, 1.0 - self.dropout, p.shape)
-            p = jnp.where(keep, p / (1.0 - self.dropout), 0.0)
-            out = jnp.einsum(
-                "bhqk,bhkd->bhqd", p, vh_r.astype(jnp.float32)
-            ).astype(q.dtype)
-        else:
-            bs = self.block_sizes or get_block_sizes(
-                qh.shape[-1], q.dtype.itemsize
+            dropout_seed = jax.random.randint(
+                rng, (), -(2**31), 2**31 - 1, jnp.int32
             )
-            if self.use_alibi:
-                out = flash_attention_masked(
-                    qh, kh, vh, scale=scale, causal=causal,
-                    alibi_slopes=alibi_slopes(qh.shape[1]), block_sizes=bs,
-                )
-            else:
-                out = flash_attention(
-                    qh, kh, vh, scale=scale, causal=causal, block_sizes=bs
-                )
+        bs = self.block_sizes or get_block_sizes(
+            qh.shape[-1], q.dtype.itemsize
+        )
+        if self.use_alibi:
+            out = flash_attention_masked(
+                qh, kh, vh, scale=scale, causal=causal,
+                alibi_slopes=alibi_slopes(qh.shape[1]), block_sizes=bs,
+                dropout_p=dropout_p, dropout_seed=dropout_seed,
+            )
+        else:
+            out = flash_attention(
+                qh, kh, vh, scale=scale, causal=causal, block_sizes=bs,
+                dropout_p=dropout_p, dropout_seed=dropout_seed,
+            )
         return out.transpose(0, 2, 1, 3)
 
     @nn.compact

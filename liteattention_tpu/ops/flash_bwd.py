@@ -31,6 +31,7 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from liteattention_tpu.ops.flash_fwd import dropout_keep_mask
 from liteattention_tpu.ops.tile_sizes import BlockSizes, get_block_sizes
 
 DEFAULT_MASK_VALUE = -0.7 * float(jnp.finfo(jnp.float32).max)
@@ -76,6 +77,7 @@ def _dq_kernel(
     window=None,
     softcap: float = 0.0,
     has_alibi: bool = False,
+    dropout_p: float = 0.0,
 ):
     rest = list(rest)
     qseg_ref = rest.pop(0) if has_segments else None
@@ -83,7 +85,9 @@ def _dq_kernel(
     bound_ref = rest.pop(0) if has_bound else None
     low_ref = rest.pop(0) if has_low else None
     alibi_ref = rest.pop(0) if has_alibi else None
+    dseed_ref = rest.pop(0) if dropout_p > 0.0 else None
     dq_ref, dq_acc = rest
+    bi = pl.program_id(0)
     qi = pl.program_id(1)
     h = pl.program_id(2)
     ki = pl.program_id(3)
@@ -202,6 +206,19 @@ def _dq_kernel(
             preferred_element_type=jnp.float32,
             precision=precision,
         )
+        if dropout_p > 0.0:
+            # dP~ = D o (dO V^T) with D = keep/(1-p); the keep mask is
+            # regenerated from the global position counter so it matches
+            # the forward at any tile geometry (dropout_keep_mask).
+            keep = dropout_keep_mask(
+                dseed_ref[0, 0, 0],
+                bi * num_heads + h,
+                qi * block_q,
+                ki * block_k,
+                (block_q, block_k),
+                dropout_p,
+            )
+            dp = jnp.where(keep, dp * (1.0 / (1.0 - dropout_p)), 0.0)
         ds = p * (dp - delta)
         if softcap > 0.0:
             ds = ds * cap_factor
@@ -244,6 +261,7 @@ def _dkv_kernel(
     window=None,
     softcap: float = 0.0,
     has_alibi: bool = False,
+    dropout_p: float = 0.0,
 ):
     rest = list(rest)
     qseg_ref = rest.pop(0) if has_segments else None
@@ -251,7 +269,9 @@ def _dkv_kernel(
     bound_ref = rest.pop(0) if has_bound else None
     low_ref = rest.pop(0) if has_low else None
     alibi_ref = rest.pop(0) if has_alibi else None
+    dseed_ref = rest.pop(0) if dropout_p > 0.0 else None
     dk_ref, dv_ref, dk_acc, dv_acc = rest
+    bi = pl.program_id(0)
     ki = pl.program_id(1)
     h = pl.program_id(2)
     qi = pl.program_id(3)
@@ -365,9 +385,24 @@ def _dkv_kernel(
         p = jnp.where(
             jnp.isfinite(lse2), jnp.exp2(s - lse2), 0.0
         )
-        # dV += P^T dO
+        if dropout_p > 0.0:
+            # Same counter-based mask as the forward (dropout_keep_mask):
+            # dV consumes the DROPPED P~ = D o P, dP~ = D o (dO V^T).
+            keep = dropout_keep_mask(
+                dseed_ref[0, 0, 0],
+                bi * num_heads + h,
+                qi * block_q,
+                ki * block_k,
+                (block_q, block_k),
+                dropout_p,
+            )
+            rp = 1.0 / (1.0 - dropout_p)
+            pd = jnp.where(keep, p * rp, 0.0)
+        else:
+            pd = p
+        # dV += P~^T dO
         dv_acc[...] += jax.lax.dot_general(
-            p.astype(do.dtype),
+            pd.astype(do.dtype),
             do,
             dimension_numbers=(((0,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
@@ -380,6 +415,8 @@ def _dkv_kernel(
             preferred_element_type=jnp.float32,
             precision=precision,
         )
+        if dropout_p > 0.0:
+            dp = jnp.where(keep, dp * rp, 0.0)
         ds = p * (dp - delta)
         if softcap > 0.0:
             ds = ds * cap_factor
@@ -418,6 +455,8 @@ def flash_attention_bwd(
     scale: float,
     causal: bool,
     block_sizes: Optional[BlockSizes] = None,
+    dq_block_sizes: Optional[BlockSizes] = None,
+    dkv_block_sizes: Optional[BlockSizes] = None,
     interpret: Optional[bool] = None,
     q_segments: Optional[jax.Array] = None,
     kv_segments: Optional[jax.Array] = None,
@@ -427,92 +466,151 @@ def flash_attention_bwd(
     window=None,
     softcap: float = 0.0,
     alibi_slopes: Optional[jax.Array] = None,
+    dropout_p: float = 0.0,
+    dropout_seed: Optional[jax.Array] = None,
 ) -> Tuple[jax.Array, jax.Array, jax.Array]:
     """dQ, dK, dV for the dense flash forward. Inputs are the padded
-    [B, H, S, D] arrays plus saved lse [B, H, Sq] (natural log)."""
+    [B, H, S, D] arrays plus saved lse [B, H, Sq] (natural log).
+
+    The dQ and dKV kernels may run at different tile geometries
+    (VERDICT r2 item 8): block_q is dQ's parallel output tile but dKV's
+    reduction tile and vice versa, so each kernel gets its own table
+    entry (``kind="bwd_dq"`` / ``"bwd_dkv"``) and its own padding and
+    row-stat layout. ``block_sizes`` forces one joint geometry for both
+    (the pre-split behavior); ``dq_block_sizes`` / ``dkv_block_sizes``
+    override each side independently.
+    """
     if interpret is None:
         interpret = _default_interpret()
     b, h, sq, d = q.shape
     hk = k.shape[1]
     group = h // hk
     sk = k.shape[2]
-    bs = block_sizes or get_block_sizes(d, q.dtype.itemsize, kind="bwd")
-    block_q = min(bs.block_q, max(128, -(-sq // 128) * 128))
-    block_k = min(bs.block_k, max(128, -(-sk // 128) * 128))
+    if block_sizes is not None:
+        bs_dq = bs_dkv = block_sizes
+    else:
+        bs_dq = dq_block_sizes or get_block_sizes(
+            d, q.dtype.itemsize, kind="bwd_dq"
+        )
+        bs_dkv = dkv_block_sizes or get_block_sizes(
+            d, q.dtype.itemsize, kind="bwd_dkv"
+        )
 
-    def pad_seq(x, blk):
-        pad = (-x.shape[2]) % blk
-        return jnp.pad(x, ((0, 0), (0, 0), (0, pad), (0, 0))) if pad else x
-
-    qp, dop, op = pad_seq(q, block_q), pad_seq(do, block_q), pad_seq(o, block_q)
-    kp, vp = pad_seq(k, block_k), pad_seq(v, block_k)
-    sq_p, sk_p = qp.shape[2], kp.shape[2]
-    qt, kt = sq_p // block_q, sk_p // block_k
-
-    delta = jnp.sum(
-        op.astype(jnp.float32) * dop.astype(jnp.float32), axis=-1
-    )  # [B, H, Sq_p]
-    lse_p = jnp.pad(lse, ((0, 0), (0, 0), (0, sq_p - sq)))
-    lse_r = _reshape_rowstats(lse_p, block_q)
-    delta_r = _reshape_rowstats(delta, block_q)
+    # o is consumed only through delta = rowsum(o * dO); compute it once
+    # on the unpadded arrays and re-pad per kernel geometry below.
+    delta_full = jnp.sum(
+        o.astype(jnp.float32) * do.astype(jnp.float32), axis=-1
+    )  # [B, H, Sq]
 
     has_segments = q_segments is not None
     has_bound = kv_bound is not None
-    extra_inputs = []
-    if has_segments:
-        assert b == 1, "segment-id (varlen) attention expects packed B=1"
-        qs = jnp.pad(
-            q_segments, ((0, 0), (0, sq_p - q_segments.shape[1])),
-            constant_values=-1,
-        ).astype(jnp.int32)
-        ks = jnp.pad(
-            kv_segments, ((0, 0), (0, sk_p - kv_segments.shape[1])),
-            constant_values=-2,
-        ).astype(jnp.int32)
-        extra_inputs += [qs, ks]
-    if has_bound:
-        extra_inputs.append(
-            jnp.broadcast_to(
-                kv_bound.astype(jnp.int32).reshape(b, 1, 1), (b, 1, sk_p)
-            )
-        )
     has_low = kv_low is not None
-    if has_low:
-        extra_inputs.append(
-            jnp.broadcast_to(
-                kv_low.astype(jnp.int32).reshape(b, 1, 1), (b, 1, sk_p)
-            )
-        )
     has_alibi = alibi_slopes is not None
-    if has_alibi:
-        hp = max(128, -(-h // 128) * 128)
-        sl = alibi_slopes.astype(jnp.float32).reshape(-1, h)
-        sl = jnp.broadcast_to(sl[:, None, :], (b, 1, h))
-        extra_inputs.append(jnp.pad(sl, ((0, 0), (0, 0), (0, hp - h))))
 
     precision = (
         jax.lax.Precision.HIGHEST
         if q.dtype == jnp.float32
         else jax.lax.Precision.DEFAULT
     )
-    common = dict(
-        scale=scale,
-        num_heads=h,
-        block_q=block_q,
-        block_k=block_k,
-        seqlen_k=sk,
-        causal=causal,
-        causal_offset=sk - sq,
-        precision=precision,
-        has_segments=has_segments,
-        has_bound=has_bound,
-        bound_causal=bound_causal,
-        bound_offset=sq,
-        has_low=has_low,
-        window=window,
-        softcap=softcap,
-        has_alibi=has_alibi,
-    )
+
+    def _prep(bs: BlockSizes) -> dict:
+        block_q = min(bs.block_q, max(128, -(-sq // 128) * 128))
+        block_k = min(bs.block_k, max(128, -(-sk // 128) * 128))
+
+        def pad_seq(x, blk):
+            pad = (-x.shape[2]) % blk
+            return (
+                jnp.pad(x, ((0, 0), (0, 0), (0, pad), (0, 0)))
+                if pad
+                else x
+            )
+
+        qp, dop = pad_seq(q, block_q), pad_seq(do, block_q)
+        kp, vp = pad_seq(k, block_k), pad_seq(v, block_k)
+        sq_p, sk_p = qp.shape[2], kp.shape[2]
+        lse_r = _reshape_rowstats(
+            jnp.pad(lse, ((0, 0), (0, 0), (0, sq_p - sq))), block_q
+        )
+        delta_r = _reshape_rowstats(
+            jnp.pad(delta_full, ((0, 0), (0, 0), (0, sq_p - sq))),
+            block_q,
+        )
+        extra_inputs = []
+        if has_segments:
+            assert b == 1, (
+                "segment-id (varlen) attention expects packed B=1"
+            )
+            qs = jnp.pad(
+                q_segments, ((0, 0), (0, sq_p - q_segments.shape[1])),
+                constant_values=-1,
+            ).astype(jnp.int32)
+            ks = jnp.pad(
+                kv_segments, ((0, 0), (0, sk_p - kv_segments.shape[1])),
+                constant_values=-2,
+            ).astype(jnp.int32)
+            extra_inputs += [qs, ks]
+        if has_bound:
+            extra_inputs.append(
+                jnp.broadcast_to(
+                    kv_bound.astype(jnp.int32).reshape(b, 1, 1),
+                    (b, 1, sk_p),
+                )
+            )
+        if has_low:
+            extra_inputs.append(
+                jnp.broadcast_to(
+                    kv_low.astype(jnp.int32).reshape(b, 1, 1),
+                    (b, 1, sk_p),
+                )
+            )
+        if has_alibi:
+            hp = max(128, -(-h // 128) * 128)
+            sl = alibi_slopes.astype(jnp.float32).reshape(-1, h)
+            sl = jnp.broadcast_to(sl[:, None, :], (b, 1, h))
+            extra_inputs.append(
+                jnp.pad(sl, ((0, 0), (0, 0), (0, hp - h)))
+            )
+        if dropout_p > 0.0:
+            assert dropout_seed is not None, "dropout_p > 0 needs a seed"
+            extra_inputs.append(
+                jnp.broadcast_to(
+                    jnp.asarray(dropout_seed, jnp.int32).reshape(
+                        1, 1, 1
+                    ),
+                    (1, 1, 128),
+                )
+            )
+        common = dict(
+            scale=scale,
+            num_heads=h,
+            block_q=block_q,
+            block_k=block_k,
+            seqlen_k=sk,
+            causal=causal,
+            causal_offset=sk - sq,
+            precision=precision,
+            has_segments=has_segments,
+            has_bound=has_bound,
+            bound_causal=bound_causal,
+            bound_offset=sq,
+            has_low=has_low,
+            window=window,
+            softcap=softcap,
+            has_alibi=has_alibi,
+            dropout_p=dropout_p,
+        )
+        return dict(
+            block_q=block_q, block_k=block_k, qp=qp, kp=kp, vp=vp,
+            dop=dop, lse_r=lse_r, delta_r=delta_r, sq_p=sq_p,
+            sk_p=sk_p, qt=sq_p // block_q, kt=sk_p // block_k,
+            extra_inputs=extra_inputs, common=common,
+        )
+
+    pq = _prep(bs_dq)
+    pk = pq if bs_dkv == bs_dq else _prep(bs_dkv)
+
+    block_q, block_k = pq["block_q"], pq["block_k"]
+    qt, kt, sq_p = pq["qt"], pq["kt"], pq["sq_p"]
 
     qspec = pl.BlockSpec(
         (1, 1, block_q, d), lambda bi, qi, hi, ki: (bi, hi, qi, 0)
@@ -543,8 +641,12 @@ def flash_attention_bwd(
         extra_specs_dq.append(
             pl.BlockSpec((1, 1, hp), lambda bi, qi, hi, ki: (bi, 0, 0))
         )
+    if dropout_p > 0.0:
+        extra_specs_dq.append(
+            pl.BlockSpec((1, 1, 128), lambda bi, qi, hi, ki: (0, 0, 0))
+        )
     dq = pl.pallas_call(
-        functools.partial(_dq_kernel, kt=kt, **common),
+        functools.partial(_dq_kernel, kt=kt, **pq["common"]),
         grid=(b, qt, h, kt),
         in_specs=[qspec, kspec, kspec, qspec, statspec, statspec]
         + extra_specs_dq,
@@ -562,7 +664,13 @@ def flash_attention_bwd(
             ),
         ),
         interpret=interpret,
-    )(qp, kp, vp, dop, lse_r, delta_r, *extra_inputs)
+    )(
+        pq["qp"], pq["kp"], pq["vp"], pq["dop"], pq["lse_r"],
+        pq["delta_r"], *pq["extra_inputs"]
+    )
+
+    block_q, block_k = pk["block_q"], pk["block_k"]
+    qt, kt, sk_p = pk["qt"], pk["kt"], pk["sk_p"]
 
     qspec2 = pl.BlockSpec(
         (1, 1, block_q, d), lambda bi, ki, hi, qi: (bi, hi, qi, 0)
@@ -597,8 +705,14 @@ def flash_attention_bwd(
         extra_specs_dkv.append(
             pl.BlockSpec((1, 1, hp), lambda bi, ki, hi, qi: (bi, 0, 0))
         )
+    if dropout_p > 0.0:
+        extra_specs_dkv.append(
+            pl.BlockSpec((1, 1, 128), lambda bi, ki, hi, qi: (0, 0, 0))
+        )
     dk, dv = pl.pallas_call(
-        functools.partial(_dkv_kernel, qt=qt, group=group, **common),
+        functools.partial(
+            _dkv_kernel, qt=qt, group=group, **pk["common"]
+        ),
         grid=(b, kt, h, qt),
         in_specs=[qspec2, kspec2, kspec2, qspec2, statspec2, statspec2]
         + extra_specs_dkv,
@@ -620,7 +734,10 @@ def flash_attention_bwd(
             ),
         ),
         interpret=interpret,
-    )(qp, kp, vp, dop, lse_r, delta_r, *extra_inputs)
+    )(
+        pk["qp"], pk["kp"], pk["vp"], pk["dop"], pk["lse_r"],
+        pk["delta_r"], *pk["extra_inputs"]
+    )
 
     return dq[:, :, :sq], dk[:, :, :sk], dv[:, :, :sk]
 

@@ -39,6 +39,48 @@ def _default_interpret() -> bool:
     return jax.default_backend() == "cpu"
 
 
+def dropout_keep_mask(seed, bh, row0, col0, shape, dropout_p: float):
+    """Counter-based in-kernel attention-dropout mask.
+
+    Reference: FA2's philox dropout applied to P
+    (csrc/flash_attn/src/dropout.h, philox.cuh). Philox's essential
+    property -- the mask is a pure function of (seed, batch*nheads+h,
+    global row, global col), so the backward kernels regenerate the
+    identical mask at ANY tile geometry -- is kept; the generator is a
+    murmur3-style 32-bit finalizer over the position counter instead
+    (no 64-bit counters on the VPU, and dropout needs no cryptographic
+    stream). Works identically in interpret mode (plain integer jnp
+    ops; ``pltpu.prng_*`` has no CPU lowering in this stack).
+
+    Args: ``seed``/``bh`` traced int32 scalars, ``row0``/``col0`` the
+    global offsets of this tile, static ``shape``/``dropout_p``.
+    Returns a bool keep-mask of ``shape``.
+    """
+    u32 = jnp.uint32
+    row = (
+        jax.lax.broadcasted_iota(jnp.int32, shape, 0) + row0
+    ).astype(u32)
+    col = (
+        jax.lax.broadcasted_iota(jnp.int32, shape, 1) + col0
+    ).astype(u32)
+    key = seed.astype(u32) * u32(0xCC9E2D51) + bh.astype(u32) * u32(
+        0x1B873593
+    )
+    x = row * u32(0x9E3779B9) + col * u32(0x85EBCA6B)
+    x = x ^ key
+    # murmur3 fmix32 avalanche
+    x = x ^ (x >> u32(16))
+    x = x * u32(0x85EBCA6B)
+    x = x ^ (x >> u32(13))
+    x = x * u32(0xC2B2AE35)
+    x = x ^ (x >> u32(16))
+    # Mosaic has no uint32->f32 cast; x>>8 < 2^24 fits int32 exactly.
+    u = (x >> u32(8)).astype(jnp.int32).astype(jnp.float32) * jnp.float32(
+        2.0**-24
+    )
+    return u >= jnp.float32(dropout_p)
+
+
 def _fwd_kernel(
     q_ref,
     k_ref,
@@ -62,6 +104,7 @@ def _fwd_kernel(
     has_alibi: bool = False,
     kv_3d: bool = False,  # K/V blocks are (1, block_k, d) views of the
     # cache-layout [B, Sk, Hk*D] array (no host transpose)
+    dropout_p: float = 0.0,
 ):
     rest = list(rest)
     qseg_ref = rest.pop(0) if has_segments else None
@@ -69,10 +112,12 @@ def _fwd_kernel(
     bound_ref = rest.pop(0) if has_bound else None
     low_ref = rest.pop(0) if has_low else None
     alibi_ref = rest.pop(0) if has_alibi else None
+    dseed_ref = rest.pop(0) if dropout_p > 0.0 else None
     o_ref, lse_ref, m_scr, l_scr, acc_scr = rest
     # Grid is (B, Qt, H, Kt): Kt innermost (the online-softmax reduction),
     # H next so the per-(b, q-tile) lse block stays VMEM-resident while
     # all heads write their column.
+    bi = pl.program_id(0)
     qi = pl.program_id(1)
     h = pl.program_id(2)
     ki = pl.program_id(3)
@@ -227,6 +272,22 @@ def _fwd_kernel(
         l_curr = jnp.sum(p, axis=1, keepdims=True)
         m_scr[...] = m_next
         l_scr[...] = alpha * l_prev + l_curr
+        if dropout_p > 0.0:
+            # In-kernel attention dropout on the unnormalized P (lse
+            # and the l statistic stay dropout-free, FA2 semantics);
+            # the 1/(1-p) rescale is folded into the epilogue's l_inv.
+            # NB: program_id must be read at kernel top level (bi) --
+            # inside this pl.when branch it has no interpret-mode
+            # lowering.
+            keep = dropout_keep_mask(
+                dseed_ref[0, 0, 0],
+                bi * num_heads + h,
+                qi * block_q,
+                ki * block_k,
+                (block_q, block_k),
+                dropout_p,
+            )
+            p = jnp.where(keep, p, 0.0)
         v = v_ref[0] if kv_3d else v_ref[0, 0]
         acc_scr[...] = acc_scr[...] * alpha + jax.lax.dot(
             p.astype(v.dtype),
@@ -243,8 +304,9 @@ def _fwd_kernel(
         # still at the mask sentinel. Reference semantics: zero output,
         # -inf lse (epilogue store_zero, flash_fwd_kernel_sm90.h:557-567).
         empty = m_col <= DEFAULT_MASK_VALUE * 0.5
+        rp = 1.0 / (1.0 - dropout_p) if dropout_p > 0.0 else 1.0
         l_inv = jnp.where(
-            jnp.logical_or(empty, l == 0.0), 0.0, 1.0 / jnp.maximum(l, 1e-37)
+            jnp.logical_or(empty, l == 0.0), 0.0, rp / jnp.maximum(l, 1e-37)
         )
         o_ref[0, 0] = (acc_scr[...] * l_inv).astype(o_ref.dtype)
         lse = jnp.where(
@@ -284,6 +346,8 @@ def _flash_forward_impl(
     softcap: float = 0.0,
     alibi_slopes: Optional[jax.Array] = None,
     kv_bshd: bool = False,
+    dropout_p: float = 0.0,
+    dropout_seed: Optional[jax.Array] = None,
 ):
     """Dense flash attention forward.
 
@@ -381,6 +445,20 @@ def _flash_forward_impl(
         extra_specs.append(
             pl.BlockSpec((1, 1, hp), lambda bi, qi, hi, ki: (bi, 0, 0))
         )
+    if dropout_p > 0.0:
+        assert dropout_seed is not None, "dropout_p > 0 needs a seed"
+        # Scalar seed rides a (1, 1, 128) broadcast-VMEM block (the SMEM
+        # (1, 1) form fails the last-two-dims rule at lowering).
+        ds = jnp.broadcast_to(
+            jnp.asarray(dropout_seed, jnp.int32).reshape(1, 1, 1),
+            (1, 1, MIN_LANES),
+        )
+        extra_inputs.append(ds)
+        extra_specs.append(
+            pl.BlockSpec(
+                (1, 1, MIN_LANES), lambda bi, qi, hi, ki: (0, 0, 0)
+            )
+        )
 
     grid = (b, qt, h, kt)
     kernel = functools.partial(
@@ -402,6 +480,7 @@ def _flash_forward_impl(
         softcap=softcap,
         has_alibi=has_alibi,
         kv_3d=kv_bshd,
+        dropout_p=dropout_p,
     )
     if kv_bshd:
         kv_specs = [
@@ -466,48 +545,55 @@ def _flash_forward_impl(
 
 
 @functools.partial(
-    jax.custom_vjp, nondiff_argnums=(8, 9, 10, 11, 12, 13, 14)
+    jax.custom_vjp, nondiff_argnums=(9, 10, 11, 12, 13, 14, 15, 16)
 )
 def _flash_core(
     q, k, v, q_segments, kv_segments, kv_bound, kv_low, alibi_slopes,
+    dropout_seed,
     scale, causal, bound_causal, window, softcap, block_sizes, interpret,
+    dropout_p,
 ):
     return _flash_forward_impl(
         q, k, v, scale, causal, block_sizes, interpret,
         q_segments=q_segments, kv_segments=kv_segments,
         kv_bound=kv_bound, bound_causal=bound_causal, kv_low=kv_low,
         window=window, softcap=softcap, alibi_slopes=alibi_slopes,
+        dropout_p=dropout_p, dropout_seed=dropout_seed,
     )
 
 
 def _flash_core_fwd(
     q, k, v, q_segments, kv_segments, kv_bound, kv_low, alibi_slopes,
+    dropout_seed,
     scale, causal, bound_causal, window, softcap, block_sizes, interpret,
+    dropout_p,
 ):
     out, lse = _flash_forward_impl(
         q, k, v, scale, causal, block_sizes, interpret,
         q_segments=q_segments, kv_segments=kv_segments,
         kv_bound=kv_bound, bound_causal=bound_causal, kv_low=kv_low,
         window=window, softcap=softcap, alibi_slopes=alibi_slopes,
+        dropout_p=dropout_p, dropout_seed=dropout_seed,
     )
     return (out, lse), (
         q, k, v, out, lse, q_segments, kv_segments, kv_bound, kv_low,
-        alibi_slopes,
+        alibi_slopes, dropout_seed,
     )
 
 
 def _flash_core_bwd(
     scale, causal, bound_causal, window, softcap, block_sizes, interpret,
-    res, grads,
+    dropout_p, res, grads,
 ):
     # lse is an auxiliary output (softmax statistics); its cotangent is
     # ignored, matching the reference autograd layer
     # (hopper/_internal/flash_attn_interface.py FlashAttnFunc.backward).
     from liteattention_tpu.ops.flash_bwd import flash_attention_bwd
 
-    q, k, v, out, lse, q_segments, kv_segments, kv_bound, kv_low, alibi = (
-        res
-    )
+    (
+        q, k, v, out, lse, q_segments, kv_segments, kv_bound, kv_low,
+        alibi, dropout_seed,
+    ) = res
     do, _ = grads
     dq, dk, dv = flash_attention_bwd(
         q, k, v, out, lse, do, scale, causal,
@@ -515,8 +601,9 @@ def _flash_core_bwd(
         q_segments=q_segments, kv_segments=kv_segments,
         kv_bound=kv_bound, bound_causal=bound_causal, kv_low=kv_low,
         window=window, softcap=softcap, alibi_slopes=alibi,
+        dropout_p=dropout_p, dropout_seed=dropout_seed,
     )
-    return dq, dk, dv, None, None, None, None, None
+    return dq, dk, dv, None, None, None, None, None, None
 
 
 _flash_core.defvjp(_flash_core_fwd, _flash_core_bwd)
@@ -530,6 +617,7 @@ _flash_core.defvjp(_flash_core_fwd, _flash_core_bwd)
         "block_sizes",
         "return_lse",
         "interpret",
+        "dropout_p",
     ),
 )
 def flash_attention(
@@ -541,17 +629,30 @@ def flash_attention(
     block_sizes: Optional[BlockSizes] = None,
     return_lse: bool = False,
     interpret: Optional[bool] = None,
+    dropout_p: float = 0.0,
+    dropout_seed: Optional[jax.Array] = None,
 ):
     """Dense flash attention forward (differentiable; Pallas bwd kernels
     in :mod:`liteattention_tpu.ops.flash_bwd`). See
-    :func:`_flash_forward_impl` for argument docs."""
+    :func:`_flash_forward_impl` for argument docs.
+
+    ``dropout_p``/``dropout_seed``: in-kernel attention dropout on P
+    with 1/(1-p) rescale (reference FA2 csrc/flash_attn dropout
+    semantics); the backward kernels regenerate the identical
+    counter-based mask (:func:`dropout_keep_mask`), so no mask tensor
+    is ever materialized. ``dropout_seed`` is a traced int32 scalar --
+    vary it per training step without recompiling.
+    """
     if interpret is None:
         interpret = _default_interpret()
     if scale is None:
         scale = 1.0 / (q.shape[-1] ** 0.5)
+    if dropout_p > 0.0 and dropout_seed is None:
+        dropout_seed = jnp.int32(0)
     out, lse = _flash_core(
-        q, k, v, None, None, None, None, None, scale, causal, False, None,
-        0.0, block_sizes, interpret,
+        q, k, v, None, None, None, None, None, dropout_seed,
+        scale, causal, False, None, 0.0, block_sizes, interpret,
+        dropout_p,
     )
     if return_lse:
         return out, lse
@@ -569,6 +670,7 @@ def flash_attention(
         "interpret",
         "window",
         "softcap",
+        "dropout_p",
     ),
 )
 def flash_attention_masked(
@@ -588,6 +690,8 @@ def flash_attention_masked(
     block_sizes: Optional[BlockSizes] = None,
     return_lse: bool = False,
     interpret: Optional[bool] = None,
+    dropout_p: float = 0.0,
+    dropout_seed: Optional[jax.Array] = None,
 ):
     """Flash attention with varlen segments and/or per-batch key bounds.
 
@@ -607,10 +711,13 @@ def flash_attention_masked(
         interpret = _default_interpret()
     if scale is None:
         scale = 1.0 / (q.shape[-1] ** 0.5)
+    if dropout_p > 0.0 and dropout_seed is None:
+        dropout_seed = jnp.int32(0)
     out, lse = _flash_core(
         q, k, v, q_segments, kv_segments, kv_bound, kv_low, alibi_slopes,
+        dropout_seed,
         scale, causal, bound_causal, window, softcap, block_sizes,
-        interpret,
+        interpret, dropout_p,
     )
     if return_lse:
         return out, lse

@@ -82,9 +82,28 @@ def get_block_sizes(
     the SUPER-TILE fallback path block_k is also the elimination
     granularity; callers that use it should pass an override.
 
-    The BWD default is (512, 1024): measured 0.602 MFU over the 10 N^2 d
-    backward FLOPs at 32k tokens vs 0.566 at (640, 1024) / 0.602 at
-    (768, 1024) / 0.584 at (512, 1536) (``perf_sweep.py --mode bwd``).
+    The BWD tables are split per kernel (VERDICT r2 item 8): the dQ
+    kernel's output tile is block_q (block_k is its reduction axis)
+    while the dKV kernel's output tile is block_k (block_q is its
+    reduction axis), so their optima need not coincide. ``kind="bwd"``
+    remains the joint-table compatibility entry, (512, 1024) measured
+    0.602 MFU over the 10 N^2 d backward FLOPs at 32k tokens
+    (``perf_sweep.py --mode bwd``, round 2). Round-3 per-kernel sweep
+    (32k tokens, h=8, d=128, bf16; DCE-isolated kernels):
+
+      dq  (512, 1024) 43.7 ms / (512, 2048) 41.9 ms exec-MFU 0.798
+      dkv (512, 1024) 55.4 ms / (512, 2048) 53.6 ms exec-MFU 0.833
+      best pair (512, 2048)+(512, 2048): combined useful-MFU 0.627
+      (up from 0.602 joint). A wider follow-up sweep
+      (``--bwd-wide``) found dq (512, 4096) ~2% faster (within the
+      run-to-run band) and every dkv candidate with block_k >= 3072
+      fails TPU compilation (Mosaic internal error), so (512, 2048)
+      is the documented v5e ceiling. exec-MFU is over each kernel's EXECUTED
+      FLOPs (dq 6 N^2 d, dkv 8 N^2 d, both re-derive S); the remaining
+      useful-MFU gap is the inherent 14/10 recompute of the two-kernel
+      split -- TPU has no cross-grid-step dq accumulation (no atomics;
+      non-consecutive output revisits are undefined in the Mosaic
+      pipeline), so a one-pass fused bwd is not expressible.
     """
     if override is not None:
         return BlockSizes(*override)
@@ -95,6 +114,14 @@ def get_block_sizes(
     if kind == "bwd":
         if head_dim <= 128:
             return BlockSizes(512, 1024)
+        return BlockSizes(256, 1024)
+    if kind == "bwd_dq":
+        if head_dim <= 128:
+            return BlockSizes(512, 2048)
+        return BlockSizes(256, 1024)
+    if kind == "bwd_dkv":
+        if head_dim <= 128:
+            return BlockSizes(512, 2048)
         return BlockSizes(256, 1024)
     if head_dim <= 128:
         return BlockSizes(640, 1024)

@@ -61,6 +61,8 @@ def main():
     ap.add_argument("--heads", type=int, default=8)
     ap.add_argument("--head-dim", type=int, default=128)
     ap.add_argument("--iters", type=int, default=8)
+    ap.add_argument("--bwd-wide", action="store_true",
+                    help="sweep the wide-block_k bwd candidate set")
     args = ap.parse_args()
 
     from liteattention_tpu.ops.flash_fwd import flash_attention
@@ -366,29 +368,83 @@ def main():
         do = jax.random.normal(
             jax.random.PRNGKey(9), q.shape, jnp.float32
         ).astype(q.dtype)
+        # Useful-FLOP convention: bwd = 2.5x fwd = 10 N^2 d (S recomputed
+        # once). Each kernel actually re-executes its own S recompute, so
+        # executed FLOPs are 6 N^2 d (dQ: S, dP, dQ) + 8 N^2 d (dKV: S,
+        # dV, dP, dK) = 14; per-kernel `exec_mfu` is over the executed
+        # count (roofline headroom), the combined MFU over the useful 10.
         bwd_flops = 10.0 * b * h * s * s * d
-        for bq, bk in [(512, 1024), (640, 1024), (768, 1024),
-                       (512, 1536)]:
-            try:
-                fn = jax.jit(
-                    lambda q, k, v, o, lse, do, bs=BlockSizes(
-                        bq, bk
-                    ): flash_attention_bwd(
-                        q, k, v, o, lse, do, 1.0 / d**0.5, False,
-                        block_sizes=bs,
+        cands = [
+            (256, 1024), (384, 1024), (512, 1024), (640, 1024),
+            (768, 1024), (512, 1536), (512, 2048), (384, 2048),
+            (1024, 512), (1024, 1024),
+        ]
+        if args.bwd_wide:
+            cands = [
+                (512, 2048), (384, 3072), (512, 3072), (256, 4096),
+                (384, 4096), (512, 4096), (640, 2048), (768, 2048),
+            ]
+
+        def time_part(idx, exec_coeff, tag):
+            part = {}
+            for bq, bk in cands:
+                try:
+                    kw = (
+                        dict(dq_block_sizes=BlockSizes(bq, bk))
+                        if idx == 0
+                        else dict(dkv_block_sizes=BlockSizes(bq, bk))
                     )
+                    # Unused outputs are DCE'd, so indexing times one
+                    # kernel alone.
+                    fn = jax.jit(
+                        lambda q, k, v, o, lse, do, kw=kw: (
+                            flash_attention_bwd(
+                                q, k, v, o, lse, do, 1.0 / d**0.5,
+                                False, **kw,
+                            )[idx]
+                        )
+                    )
+                    t = timeit(
+                        fn, q, k, v, out, lse, do, iters=args.iters
+                    )
+                    em = exec_coeff * b * h * s * s * d / t / V5E_PEAK_BF16
+                    part[(bq, bk)] = t
+                    results[f"{tag}_{bq}x{bk}"] = dict(
+                        ms=round(t * 1e3, 2), exec_mfu=round(em, 4)
+                    )
+                    print(
+                        f"{tag} ({bq},{bk}): {t*1e3:8.2f} ms  "
+                        f"exec-MFU {em:.3f}"
+                    )
+                except Exception as e:
+                    print(
+                        f"{tag} ({bq},{bk}): FAILED "
+                        f"{type(e).__name__}: {str(e)[:120]}"
+                    )
+            return part
+
+        dq_times = time_part(0, 6.0, "bwd_dq")
+        dkv_times = time_part(1, 8.0, "bwd_dkv")
+        if dq_times and dkv_times:
+            best_dq = min(dq_times, key=dq_times.get)
+            best_dkv = min(dkv_times, key=dkv_times.get)
+            fn = jax.jit(
+                lambda q, k, v, o, lse, do: flash_attention_bwd(
+                    q, k, v, o, lse, do, 1.0 / d**0.5, False,
+                    dq_block_sizes=BlockSizes(*best_dq),
+                    dkv_block_sizes=BlockSizes(*best_dkv),
                 )
-                t = timeit(fn, q, k, v, out, lse, do, iters=args.iters)
-                mfu = bwd_flops / t / V5E_PEAK_BF16
-                results[f"bwd_{bq}x{bk}"] = dict(
-                    ms=round(t * 1e3, 2), mfu=round(mfu, 4)
-                )
-                print(f"bwd ({bq},{bk}): {t*1e3:8.2f} ms  MFU {mfu:.3f}")
-            except Exception as e:
-                print(
-                    f"bwd ({bq},{bk}): FAILED "
-                    f"{type(e).__name__}: {str(e)[:120]}"
-                )
+            )
+            t = timeit(fn, q, k, v, out, lse, do, iters=args.iters)
+            mfu = bwd_flops / t / V5E_PEAK_BF16
+            results["bwd_best_pair"] = dict(
+                dq=list(best_dq), dkv=list(best_dkv),
+                ms=round(t * 1e3, 2), mfu=round(mfu, 4),
+            )
+            print(
+                f"bwd best pair dq={best_dq} dkv={best_dkv}: "
+                f"{t*1e3:8.2f} ms  MFU {mfu:.3f}"
+            )
 
     if args.mode in ("lite", "all"):
         from liteattention_tpu.ops.lite_flash_fwd import (
