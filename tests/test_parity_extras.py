@@ -531,3 +531,65 @@ def test_kvcache_native_layout_matches_reference_layout():
         np.asarray(vc2),
         atol=0,
     )
+
+
+def test_kvcache_decode_d128_kernel_path():
+    """d=128 single-token decode against a reference-layout (bshd)
+    cache routes to the kv_bshd :func:`flash_attention_decode` kernel
+    (the realistic serving config) -- regression cover for the default
+    PackGQA + cache-layout-direct path (ADVICE r2), with GQA,
+    cache_seqlens AND cache_leftpad, vs a softmax oracle.
+    """
+    from unittest import mock
+
+    import liteattention_tpu.flash_attn_interface as fai
+
+    b, s_max, h, hk, d = 2, 256, 8, 2, 128
+    ks = jax.random.split(jax.random.PRNGKey(41), 5)
+    q = jax.random.normal(ks[0], (b, 1, h, d), jnp.float32)
+    kc = jax.random.normal(ks[1], (b, s_max, hk, d), jnp.float32)
+    vc = jax.random.normal(ks[2], (b, s_max, hk, d), jnp.float32)
+    kn = jax.random.normal(ks[3], (b, 1, hk, d), jnp.float32)
+    vn = jax.random.normal(ks[4], (b, 1, hk, d), jnp.float32)
+    seqlens = jnp.array([200, 137], jnp.int32)
+    leftpad = jnp.array([0, 16], jnp.int32)
+
+    calls = []
+    real = fai.flash_attention_decode
+
+    def spy(*a, **kw):
+        calls.append(1)
+        return real(*a, **kw)
+
+    with mock.patch.object(fai, "flash_attention_decode", spy):
+        out, lse, (k2, v2) = fai.flash_attn_with_kvcache(
+            q, kc, vc, k=kn, v=vn, cache_seqlens=seqlens,
+            cache_leftpad=leftpad, causal=True,
+            return_softmax_lse=True,
+        )
+    assert calls, "d=128 bshd decode must take the kv_bshd kernel path"
+
+    # Oracle over the post-append cache: keys [leftpad, seqlen+1).
+    for bi in range(b):
+        lo, hi_ = int(leftpad[bi]), int(seqlens[bi]) + 1
+        kk = np.asarray(k2[bi, lo:hi_])  # [L, hk, d]
+        vv = np.asarray(v2[bi, lo:hi_])
+        kk = np.repeat(kk, h // hk, axis=1)
+        vv = np.repeat(vv, h // hk, axis=1)
+        qq = np.asarray(q[bi, 0])  # [h, d]
+        s = np.einsum("hd,lhd->hl", qq, kk) / np.sqrt(d)
+        m = s.max(axis=1, keepdims=True)
+        p = np.exp(s - m)
+        z = p.sum(axis=1, keepdims=True)
+        o_ref = np.einsum("hl,lhd->hd", p / z, vv)
+        lse_ref = (m[:, 0] + np.log(z[:, 0]))
+        np.testing.assert_allclose(
+            np.asarray(out[bi, 0]), o_ref, atol=3e-5, rtol=1e-4
+        )
+        np.testing.assert_allclose(
+            np.asarray(lse[bi, :, 0]), lse_ref, atol=3e-5, rtol=1e-4
+        )
+        # The append landed at position seqlen.
+        np.testing.assert_allclose(
+            np.asarray(k2[bi, int(seqlens[bi])]), np.asarray(kn[bi, 0])
+        )
