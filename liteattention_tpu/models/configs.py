@@ -31,18 +31,22 @@ def opt_config(dim=768, num_layers=12, num_heads=12, vocab=50272,
     return GPTConfig(
         vocab_size=vocab, max_position_embeddings=max_pos, dim=dim,
         num_layers=num_layers, num_heads=num_heads, tie_embeddings=True,
+        mlp_relu=True,
     )
 
 
 def gptj_config(dim=4096, num_layers=28, num_heads=16, vocab=50400,
                 rotary_dim=64) -> GPTConfig:
-    """GPT-J (reference models/gptj.py): rotary (partial, interleaved
-    conventions handled by the rotary layer), parallel attention+MLP
-    block, no learned positions."""
+    """GPT-J (reference models/gptj.py): partial INTERLEAVED rotary,
+    parallel attention+MLP block with one shared norm, bias-free
+    attention projections, biased MLP and lm_head, untied embeddings,
+    exact-erf gelu is NOT used (gelu_new/tanh)."""
     return GPTConfig(
         vocab_size=vocab, max_position_embeddings=0, dim=dim,
         num_layers=num_layers, num_heads=num_heads,
-        rotary_emb_dim=rotary_dim, parallel_block=True,
+        rotary_emb_dim=rotary_dim, rotary_emb_interleaved=True,
+        parallel_block=True, parallel_block_tied_norm=True,
+        attn_bias=False, mlp_bias=True, lm_head_bias=True,
         tie_embeddings=False,
     )
 
@@ -84,6 +88,7 @@ def llama_config(dim=4096, num_layers=32, num_heads=32, num_heads_kv=None,
         num_layers=num_layers, num_heads=num_heads,
         num_heads_kv=num_heads_kv, ffn_dim=ffn_dim,
         rotary_emb_dim=dim // num_heads, gated_mlp=True,
+        attn_bias=False, mlp_bias=False,
         use_rms_norm=True, tie_embeddings=False,
     )
 
@@ -125,6 +130,7 @@ def baichuan_config(dim=4096, num_layers=32, num_heads=32,
         ffn_dim=int(dim * 8 / 3) // 128 * 128,
         rotary_emb_dim=dim // num_heads if use_rotary else 0,
         use_alibi=not use_rotary, gated_mlp=True, use_rms_norm=True,
+        attn_bias=False, mlp_bias=False,
         tie_embeddings=False,
     )
 
@@ -142,4 +148,5 @@ def btlm_config(dim=2560, num_layers=32, num_heads=32, vocab=50257,
         embeddings_multiplier=mup_embeddings_scale,
         logits_multiplier=mup_output_alpha * mup_width_scale,
         scale_qk_dot_by_d=True, tie_embeddings=True,
+        attn_bias=True, mlp_bias=True,
     )

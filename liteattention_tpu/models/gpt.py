@@ -48,6 +48,13 @@ class GPTConfig:
     ffn_dim: Optional[int] = None
     rotary_emb_dim: int = 0
     rotary_emb_base: float = 10000.0
+    # GPT-J uses the even/odd interleaved rotary convention; NeoX (and
+    # LLaMA) the half-split one (reference layers/rotary.py interleaved).
+    rotary_emb_interleaved: bool = False
+    # OPT uses ReLU in the MLP (reference models/opt.py).
+    mlp_relu: bool = False
+    # GPT-J's untied lm_head carries a bias (reference models/gptj.py).
+    lm_head_bias: bool = False
     gated_mlp: bool = False  # LLaMA-style SwiGLU
     parallel_block: bool = False  # GPT-J/NeoX fused block
     # NeoX keeps separate norms for the parallel attn/MLP branches
@@ -147,6 +154,7 @@ class GPTModel(nn.Module):
                 out_proj_bias=cfg.attn_bias,
                 rotary_emb_dim=cfg.rotary_emb_dim,
                 rotary_emb_base=cfg.rotary_emb_base,
+                rotary_emb_interleaved=cfg.rotary_emb_interleaved,
                 use_alibi=cfg.use_alibi,
                 softmax_scale=(
                     1.0 / head_dim if cfg.scale_qk_dot_by_d else None
@@ -155,14 +163,19 @@ class GPTModel(nn.Module):
                 dtype=cfg.dtype,
                 name="mha",
             )
-            act = (
-                functools.partial(nn.gelu, approximate=False)
-                if cfg.mlp_gelu_exact
-                else nn.gelu
-            )
+            if cfg.mlp_relu:
+                act = nn.relu
+            elif cfg.mlp_gelu_exact:
+                act = functools.partial(nn.gelu, approximate=False)
+            else:
+                act = nn.gelu
             if cfg.gated_mlp:
                 mlp = lambda: GatedMlp(
-                    cfg.ffn_dim or 4 * cfg.dim, dtype=cfg.dtype, name="mlp"
+                    cfg.ffn_dim or 4 * cfg.dim,
+                    bias1=cfg.mlp_bias,
+                    bias2=cfg.mlp_bias,
+                    dtype=cfg.dtype,
+                    name="mlp",
                 )
             else:
                 mlp = lambda: Mlp(
@@ -227,7 +240,7 @@ class GPTLMHeadModel(nn.Module):
         else:
             logits = nn.Dense(
                 self.cfg.vocab_size,
-                use_bias=False,
+                use_bias=self.cfg.lm_head_bias,
                 dtype=self.cfg.dtype,
                 param_dtype=jnp.float32,
                 name="lm_head",

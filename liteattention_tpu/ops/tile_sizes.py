@@ -82,6 +82,14 @@ def get_block_sizes(
     the SUPER-TILE fallback path block_k is also the elimination
     granularity; callers that use it should pass an override.
 
+    Wider gather steps were measured and REJECTED (round 3, evolved
+    49.3% mask at 73k tokens, steady-state engine step): (640, 2048)
+    novote 96.1 ms and (512, 2048) 93.9 vs (640, 1024) 92.2; gsize=16
+    also pays a bigger vote row and (768/1280, *) fail TPU compilation.
+    Schedule-union waste is NOT the gap either: evolved masks are
+    q-coherent (union density 0.5096 vs live 0.5069 at 49.3%), so
+    q-row clustering permutations were measured as no-ops too.
+
     The BWD tables are split per kernel (VERDICT r2 item 8): the dQ
     kernel's output tile is block_q (block_k is its reduction axis)
     while the dKV kernel's output tile is block_k (block_q is its

@@ -335,3 +335,284 @@ def remap_state_dict_hf_falcon(
     t["ln_f_scale"] = sd["transformer.ln_f.weight"]
     t["ln_f_bias"] = sd["transformer.ln_f.bias"]
     return {"params": p}
+
+
+def remap_state_dict_hf_opt(
+    state_dict: Mapping[str, Any], cfg: GPTConfig
+) -> Dict[str, Any]:
+    """HF OPT state dict -> flax params for ``GPTLMHeadModel``.
+
+    Parity target: ``remap_state_dict_hf_opt`` (reference
+    flash_attn/models/opt.py:14-74). OPT's learned position table
+    carries a +2 offset (HF ``OPTLearnedPositionalEmbedding``); rows
+    [2:] are the real positions. Separate biased q/k/v projections fuse
+    into Wqkv; the MLP is ReLU; embeddings are tied. Variants with
+    ``word_embed_proj_dim != hidden_size`` (350m) or
+    ``do_layer_norm_before=False`` are rejected.
+    """
+    sd = {k: _np(v) for k, v in state_dict.items()}
+    pre0 = (
+        "model.decoder."
+        if any(k.startswith("model.decoder.") for k in sd)
+        else "decoder."
+    )
+    if pre0 + "project_in.weight" in sd:
+        raise NotImplementedError(
+            "OPT word_embed_proj_dim != hidden_size (project_in/out, "
+            "the 350m layout) is not supported"
+        )
+    p: Dict[str, Any] = {"transformer": {}}
+    t = p["transformer"]
+    t["wte"] = {"embedding": sd[pre0 + "embed_tokens.weight"]}
+    # Positions: drop the 2 offset rows (reference opt.py does the same
+    # slice when building the GPT2-shaped dict).
+    t["wpe"] = {"embedding": sd[pre0 + "embed_positions.weight"][2:]}
+    for i in range(cfg.num_layers):
+        pre = f"{pre0}layers.{i}."
+        wq = sd[pre + "self_attn.q_proj.weight"]
+        wk = sd[pre + "self_attn.k_proj.weight"]
+        wv = sd[pre + "self_attn.v_proj.weight"]
+        bq = sd[pre + "self_attn.q_proj.bias"]
+        bk = sd[pre + "self_attn.k_proj.bias"]
+        bv = sd[pre + "self_attn.v_proj.bias"]
+        t[f"block_{i}"] = {
+            "norm1_scale": sd[pre + "self_attn_layer_norm.weight"],
+            "norm1_bias": sd[pre + "self_attn_layer_norm.bias"],
+            "norm2_scale": sd[pre + "final_layer_norm.weight"],
+            "norm2_bias": sd[pre + "final_layer_norm.bias"],
+            "mha": {
+                "Wqkv": {
+                    "kernel": np.concatenate([wq, wk, wv], axis=0).T,
+                    "bias": np.concatenate([bq, bk, bv]),
+                },
+                "out_proj": {
+                    "kernel": sd[pre + "self_attn.out_proj.weight"].T,
+                    "bias": sd[pre + "self_attn.out_proj.bias"],
+                },
+            },
+            "mlp": {
+                "fc1": {
+                    "kernel": sd[pre + "fc1.weight"].T,
+                    "bias": sd[pre + "fc1.bias"],
+                },
+                "fc2": {
+                    "kernel": sd[pre + "fc2.weight"].T,
+                    "bias": sd[pre + "fc2.bias"],
+                },
+            },
+        }
+    t["ln_f_scale"] = sd[pre0 + "final_layer_norm.weight"]
+    t["ln_f_bias"] = sd[pre0 + "final_layer_norm.bias"]
+    return {"params": p}
+
+
+def remap_state_dict_hf_gptj(
+    state_dict: Mapping[str, Any], cfg: GPTConfig
+) -> Dict[str, Any]:
+    """HF GPT-J state dict -> flax params for ``GPTLMHeadModel``.
+
+    Parity target: ``remap_state_dict_hf_gptj`` (reference
+    flash_attn/models/gptj.py:12-68). GPT-J is a tied-norm parallel
+    block (one ln_1 feeds both attn and MLP), bias-free separate q/k/v
+    projections (fused to Wqkv), biased fc_in/fc_out MLP, partial
+    INTERLEAVED rotary, and an untied lm_head WITH bias.
+    """
+    sd = {k: _np(v) for k, v in state_dict.items()}
+    p: Dict[str, Any] = {"transformer": {}}
+    t = p["transformer"]
+    t["wte"] = {"embedding": sd["transformer.wte.weight"]}
+    for i in range(cfg.num_layers):
+        pre = f"transformer.h.{i}."
+        wq = sd[pre + "attn.q_proj.weight"]
+        wk = sd[pre + "attn.k_proj.weight"]
+        wv = sd[pre + "attn.v_proj.weight"]
+        t[f"block_{i}"] = {
+            # Tied-norm parallel block: the single HF ln_1 is norm1.
+            "norm1_scale": sd[pre + "ln_1.weight"],
+            "norm1_bias": sd[pre + "ln_1.bias"],
+            "mha": {
+                "Wqkv": {
+                    "kernel": np.concatenate([wq, wk, wv], axis=0).T
+                },
+                "out_proj": {
+                    "kernel": sd[pre + "attn.out_proj.weight"].T
+                },
+            },
+            "mlp": {
+                "fc1": {
+                    "kernel": sd[pre + "mlp.fc_in.weight"].T,
+                    "bias": sd[pre + "mlp.fc_in.bias"],
+                },
+                "fc2": {
+                    "kernel": sd[pre + "mlp.fc_out.weight"].T,
+                    "bias": sd[pre + "mlp.fc_out.bias"],
+                },
+            },
+        }
+    t["ln_f_scale"] = sd["transformer.ln_f.weight"]
+    t["ln_f_bias"] = sd["transformer.ln_f.bias"]
+    p["lm_head"] = {
+        "kernel": sd["lm_head.weight"].T,
+        "bias": sd["lm_head.bias"],
+    }
+    return {"params": p}
+
+
+__all__ += [
+    "remap_state_dict_hf_gpt_neox",
+    "remap_state_dict_hf_falcon",
+    "remap_state_dict_hf_opt",
+    "remap_state_dict_hf_gptj",
+]
+
+
+def remap_state_dict_hf_bigcode(
+    state_dict: Mapping[str, Any], cfg: GPTConfig
+) -> Dict[str, Any]:
+    """HF GPTBigCode (StarCoder) state dict -> flax params.
+
+    Parity target: ``remap_state_dict_hf_bigcode`` (reference
+    flash_attn/models/bigcode.py:12-71). BigCode is GPT-2 shaped but
+    MQA: ``c_attn`` is already packed (q | k | v) with one KV head, and
+    its torch Linear weights are (out, in) -- unlike GPT-2's Conv1D --
+    so they transpose. Embeddings are tied.
+    """
+    sd = {k: _np(v) for k, v in state_dict.items()}
+    p: Dict[str, Any] = {"transformer": {}}
+    t = p["transformer"]
+    t["wte"] = {"embedding": sd["transformer.wte.weight"]}
+    t["wpe"] = {"embedding": sd["transformer.wpe.weight"]}
+    for i in range(cfg.num_layers):
+        pre = f"transformer.h.{i}."
+        t[f"block_{i}"] = {
+            "norm1_scale": sd[pre + "ln_1.weight"],
+            "norm1_bias": sd[pre + "ln_1.bias"],
+            "norm2_scale": sd[pre + "ln_2.weight"],
+            "norm2_bias": sd[pre + "ln_2.bias"],
+            "mha": {
+                "Wqkv": {
+                    "kernel": sd[pre + "attn.c_attn.weight"].T,
+                    "bias": sd[pre + "attn.c_attn.bias"],
+                },
+                "out_proj": {
+                    "kernel": sd[pre + "attn.c_proj.weight"].T,
+                    "bias": sd[pre + "attn.c_proj.bias"],
+                },
+            },
+            "mlp": {
+                "fc1": {
+                    "kernel": sd[pre + "mlp.c_fc.weight"].T,
+                    "bias": sd[pre + "mlp.c_fc.bias"],
+                },
+                "fc2": {
+                    "kernel": sd[pre + "mlp.c_proj.weight"].T,
+                    "bias": sd[pre + "mlp.c_proj.bias"],
+                },
+            },
+        }
+    t["ln_f_scale"] = sd["transformer.ln_f.weight"]
+    t["ln_f_bias"] = sd["transformer.ln_f.bias"]
+    return {"params": p}
+
+
+def remap_state_dict_hf_baichuan(
+    state_dict: Mapping[str, Any], cfg: GPTConfig
+) -> Dict[str, Any]:
+    """HF Baichuan state dict -> flax params.
+
+    Parity target: ``remap_state_dict_baichuan`` (reference
+    flash_attn/models/baichuan.py:20-113). LLaMA geometry with the
+    fused ``W_pack`` qkv projection (3*dim, dim), split into thirds;
+    7B uses rotary, 13B ALiBi (selected by hidden size in the config
+    adapter, same hack as the reference). No linear biases.
+    """
+    sd = {k: _np(v) for k, v in state_dict.items()}
+
+    def lin(name):
+        return sd[name].T
+
+    p: Dict[str, Any] = {"transformer": {}}
+    t = p["transformer"]
+    t["wte"] = {"embedding": sd["model.embed_tokens.weight"]}
+    for i in range(cfg.num_layers):
+        pre = f"model.layers.{i}."
+        gate = lin(pre + "mlp.gate_proj.weight")
+        up = lin(pre + "mlp.up_proj.weight")
+        t[f"block_{i}"] = {
+            "norm1_scale": sd[pre + "input_layernorm.weight"],
+            "norm2_scale": sd[pre + "post_attention_layernorm.weight"],
+            "mha": {
+                # W_pack rows are (q | k | v) thirds already.
+                "Wqkv": {"kernel": lin(pre + "self_attn.W_pack.weight")},
+                "out_proj": {
+                    "kernel": lin(pre + "self_attn.o_proj.weight")
+                },
+            },
+            "mlp": {
+                "fc1": {"kernel": np.concatenate([gate, up], axis=1)},
+                "fc2": {"kernel": lin(pre + "mlp.down_proj.weight")},
+            },
+        }
+    t["ln_f_scale"] = sd["model.norm.weight"]
+    p["lm_head"] = {"kernel": lin("lm_head.weight")}
+    return {"params": p}
+
+
+def remap_state_dict_hf_btlm(
+    state_dict: Mapping[str, Any], cfg: GPTConfig
+) -> Dict[str, Any]:
+    """HF BTLM-3B state dict -> flax params.
+
+    Parity target: ``remap_state_dict_hf_btlm`` (reference
+    flash_attn/models/btlm.py:13-68). GPT-2-heritage Conv1D weights
+    ((in, out): no transpose), fused biased ``c_attn``, SwiGLU with
+    ``c_fc`` the activated gate and ``c_fc2`` the linear up branch,
+    ALiBi positions (no wpe), tied embeddings. The muP multipliers live
+    in the config adapter (``btlm_config``), not the weights.
+    """
+    sd = {k: _np(v) for k, v in state_dict.items()}
+    p: Dict[str, Any] = {"transformer": {}}
+    t = p["transformer"]
+    t["wte"] = {"embedding": sd["transformer.wte.weight"]}
+    for i in range(cfg.num_layers):
+        pre = f"transformer.h.{i}."
+        gate = sd[pre + "mlp.c_fc.weight"]
+        up = sd[pre + "mlp.c_fc2.weight"]
+        gate_b = sd[pre + "mlp.c_fc.bias"]
+        up_b = sd[pre + "mlp.c_fc2.bias"]
+        t[f"block_{i}"] = {
+            "norm1_scale": sd[pre + "ln_1.weight"],
+            "norm1_bias": sd[pre + "ln_1.bias"],
+            "norm2_scale": sd[pre + "ln_2.weight"],
+            "norm2_bias": sd[pre + "ln_2.bias"],
+            "mha": {
+                "Wqkv": {
+                    "kernel": sd[pre + "attn.c_attn.weight"],
+                    "bias": sd[pre + "attn.c_attn.bias"],
+                },
+                "out_proj": {
+                    "kernel": sd[pre + "attn.c_proj.weight"],
+                    "bias": sd[pre + "attn.c_proj.bias"],
+                },
+            },
+            "mlp": {
+                "fc1": {
+                    "kernel": np.concatenate([gate, up], axis=1),
+                    "bias": np.concatenate([gate_b, up_b]),
+                },
+                "fc2": {
+                    "kernel": sd[pre + "mlp.c_proj.weight"],
+                    "bias": sd[pre + "mlp.c_proj.bias"],
+                },
+            },
+        }
+    t["ln_f_scale"] = sd["transformer.ln_f.weight"]
+    t["ln_f_bias"] = sd["transformer.ln_f.bias"]
+    return {"params": p}
+
+
+__all__ += [
+    "remap_state_dict_hf_bigcode",
+    "remap_state_dict_hf_baichuan",
+    "remap_state_dict_hf_btlm",
+]

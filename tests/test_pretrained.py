@@ -134,3 +134,218 @@ def test_falcon_logit_parity_with_hf():
         hf_logits = hf_model(torch.tensor(ids_np)).logits.numpy()
     logits = np.asarray(model.apply(params, jnp.asarray(ids_np)))
     np.testing.assert_allclose(logits, hf_logits, atol=2e-3, rtol=1e-3)
+
+
+def test_opt_logit_parity_with_hf():
+    """OPT exercises learned positions with the HF +2 offset, fused
+    biased q/k/v, per-layer final_layer_norm as norm2, and a ReLU MLP.
+    Bar: reference flash_attn/models/opt.py + tests/models/test_opt.py."""
+    from liteattention_tpu.models.configs import opt_config
+    from liteattention_tpu.utils.pretrained import (
+        remap_state_dict_hf_opt,
+    )
+
+    hf_cfg = transformers.OPTConfig(
+        vocab_size=128,
+        hidden_size=64,
+        num_hidden_layers=2,
+        num_attention_heads=2,
+        ffn_dim=256,
+        max_position_embeddings=64,
+        activation_function="relu",
+        do_layer_norm_before=True,
+        word_embed_proj_dim=64,
+        dropout=0.0,
+        attention_dropout=0.0,
+    )
+    torch.manual_seed(0)
+    hf_model = transformers.OPTForCausalLM(hf_cfg).eval()
+
+    cfg = opt_config(
+        dim=64, num_layers=2, num_heads=2, vocab=128, max_pos=64
+    )
+    cfg = dataclasses.replace(cfg, ffn_dim=256, dtype=jnp.float32)
+    model = GPTLMHeadModel(cfg)
+    params = remap_state_dict_hf_opt(hf_model.state_dict(), cfg)
+
+    ids_np = np.random.RandomState(3).randint(0, 128, size=(2, 24))
+    with torch.no_grad():
+        hf_logits = hf_model(torch.tensor(ids_np)).logits.numpy()
+    logits = np.asarray(model.apply(params, jnp.asarray(ids_np)))
+    np.testing.assert_allclose(logits, hf_logits, atol=2e-3, rtol=1e-3)
+
+
+def test_gptj_logit_parity_with_hf():
+    """GPT-J exercises the tied-norm parallel block, partial
+    INTERLEAVED rotary, bias-free attention + biased MLP, and the
+    biased untied lm_head. Bar: reference flash_attn/models/gptj.py +
+    tests/models/test_gptj.py."""
+    from liteattention_tpu.models.configs import gptj_config
+    from liteattention_tpu.utils.pretrained import (
+        remap_state_dict_hf_gptj,
+    )
+
+    hf_cfg = transformers.GPTJConfig(
+        vocab_size=128,
+        n_positions=64,
+        n_embd=64,
+        n_layer=2,
+        n_head=2,
+        rotary_dim=16,
+        activation_function="gelu_new",
+        resid_pdrop=0.0,
+        embd_pdrop=0.0,
+        attn_pdrop=0.0,
+    )
+    torch.manual_seed(0)
+    hf_model = transformers.GPTJForCausalLM(hf_cfg).eval()
+
+    cfg = gptj_config(
+        dim=64, num_layers=2, num_heads=2, vocab=128, rotary_dim=16
+    )
+    cfg = dataclasses.replace(
+        cfg, eps=hf_cfg.layer_norm_epsilon, dtype=jnp.float32
+    )
+    model = GPTLMHeadModel(cfg)
+    params = remap_state_dict_hf_gptj(hf_model.state_dict(), cfg)
+
+    ids_np = np.random.RandomState(4).randint(0, 128, size=(2, 24))
+    with torch.no_grad():
+        hf_logits = hf_model(torch.tensor(ids_np)).logits.numpy()
+    logits = np.asarray(model.apply(params, jnp.asarray(ids_np)))
+    np.testing.assert_allclose(logits, hf_logits, atol=2e-3, rtol=1e-3)
+
+
+def test_bigcode_logit_parity_with_hf():
+    """StarCoder/BigCode exercises MQA with the GPT-2-shaped fused
+    c_attn (already packed q|kv) + learned positions. Bar: reference
+    flash_attn/models/bigcode.py + tests/models/test_bigcode.py."""
+    from liteattention_tpu.models.configs import bigcode_config
+    from liteattention_tpu.utils.pretrained import (
+        remap_state_dict_hf_bigcode,
+    )
+
+    hf_cfg = transformers.GPTBigCodeConfig(
+        vocab_size=128,
+        n_positions=64,
+        n_embd=64,
+        n_layer=2,
+        n_head=4,
+        multi_query=True,
+        activation_function="gelu_pytorch_tanh",
+        resid_pdrop=0.0,
+        embd_pdrop=0.0,
+        attn_pdrop=0.0,
+    )
+    torch.manual_seed(0)
+    hf_model = transformers.GPTBigCodeForCausalLM(hf_cfg).eval()
+
+    cfg = bigcode_config(
+        dim=64, num_layers=2, num_heads=4, vocab=128, max_pos=64
+    )
+    cfg = dataclasses.replace(
+        cfg, eps=hf_cfg.layer_norm_epsilon, dtype=jnp.float32
+    )
+    model = GPTLMHeadModel(cfg)
+    params = remap_state_dict_hf_bigcode(hf_model.state_dict(), cfg)
+
+    ids_np = np.random.RandomState(5).randint(0, 128, size=(2, 24))
+    with torch.no_grad():
+        hf_logits = hf_model(torch.tensor(ids_np)).logits.numpy()
+    logits = np.asarray(model.apply(params, jnp.asarray(ids_np)))
+    np.testing.assert_allclose(logits, hf_logits, atol=2e-3, rtol=1e-3)
+
+
+def _tree_shapes(tree):
+    return jax.tree_util.tree_map(lambda a: tuple(np.shape(a)), tree)
+
+
+def test_baichuan_remap_structure_and_forward():
+    """Baichuan's HF class needs trust_remote_code (unavailable
+    offline), so the W_pack remap is checked structurally against
+    model.init and smoke-run. Bar: reference
+    flash_attn/models/baichuan.py remap_state_dict_baichuan."""
+    from liteattention_tpu.models.configs import baichuan_config
+    from liteattention_tpu.utils.pretrained import (
+        remap_state_dict_hf_baichuan,
+    )
+
+    dim, nl, vocab = 64, 2, 128
+    cfg = baichuan_config(dim=dim, num_layers=nl, num_heads=2,
+                          vocab=vocab)
+    cfg = dataclasses.replace(cfg, dtype=jnp.float32)
+    ffn = cfg.ffn_dim
+    rs = np.random.RandomState(6)
+    sd = {"model.embed_tokens.weight": rs.randn(vocab, dim) * 0.02,
+          "model.norm.weight": np.ones(dim),
+          "lm_head.weight": rs.randn(vocab, dim) * 0.02}
+    for i in range(nl):
+        pre = f"model.layers.{i}."
+        sd[pre + "self_attn.W_pack.weight"] = rs.randn(3 * dim, dim) * 0.02
+        sd[pre + "self_attn.o_proj.weight"] = rs.randn(dim, dim) * 0.02
+        sd[pre + "mlp.gate_proj.weight"] = rs.randn(ffn, dim) * 0.02
+        sd[pre + "mlp.up_proj.weight"] = rs.randn(ffn, dim) * 0.02
+        sd[pre + "mlp.down_proj.weight"] = rs.randn(dim, ffn) * 0.02
+        sd[pre + "input_layernorm.weight"] = np.ones(dim)
+        sd[pre + "post_attention_layernorm.weight"] = np.ones(dim)
+
+    model = GPTLMHeadModel(cfg)
+    params = remap_state_dict_hf_baichuan(sd, cfg)
+    ids = jnp.asarray(np.random.RandomState(7).randint(0, vocab, (2, 16)))
+    init_p = model.init(jax.random.PRNGKey(0), ids)
+    assert _tree_shapes(params) == _tree_shapes(
+        jax.tree_util.tree_map(np.asarray, init_p)
+    )
+    logits = model.apply(params, ids)
+    assert np.isfinite(np.asarray(logits)).all()
+
+
+def test_btlm_remap_structure_and_forward():
+    """BTLM's HF class needs trust_remote_code (unavailable offline);
+    the Conv1D/SwiGLU/muP remap is checked structurally and smoke-run
+    (muP multipliers assert a nonzero effect). Bar: reference
+    flash_attn/models/btlm.py remap_state_dict_hf_btlm."""
+    import dataclasses as dc
+
+    from liteattention_tpu.models.configs import btlm_config
+    from liteattention_tpu.utils.pretrained import (
+        remap_state_dict_hf_btlm,
+    )
+
+    dim, nl, vocab = 64, 2, 128
+    cfg = btlm_config(dim=dim, num_layers=nl, num_heads=2, vocab=vocab)
+    cfg = dc.replace(cfg, ffn_dim=128, dtype=jnp.float32)
+    rs = np.random.RandomState(8)
+    sd = {"transformer.wte.weight": rs.randn(vocab, dim) * 0.02,
+          "transformer.ln_f.weight": np.ones(dim),
+          "transformer.ln_f.bias": np.zeros(dim)}
+    for i in range(nl):
+        pre = f"transformer.h.{i}."
+        sd[pre + "attn.c_attn.weight"] = rs.randn(dim, 3 * dim) * 0.02
+        sd[pre + "attn.c_attn.bias"] = np.zeros(3 * dim)
+        sd[pre + "attn.c_proj.weight"] = rs.randn(dim, dim) * 0.02
+        sd[pre + "attn.c_proj.bias"] = np.zeros(dim)
+        sd[pre + "mlp.c_fc.weight"] = rs.randn(dim, 128) * 0.02
+        sd[pre + "mlp.c_fc.bias"] = np.zeros(128)
+        sd[pre + "mlp.c_fc2.weight"] = rs.randn(dim, 128) * 0.02
+        sd[pre + "mlp.c_fc2.bias"] = np.zeros(128)
+        sd[pre + "mlp.c_proj.weight"] = rs.randn(128, dim) * 0.02
+        sd[pre + "mlp.c_proj.bias"] = np.zeros(dim)
+        sd[pre + "ln_1.weight"] = np.ones(dim)
+        sd[pre + "ln_1.bias"] = np.zeros(dim)
+        sd[pre + "ln_2.weight"] = np.ones(dim)
+        sd[pre + "ln_2.bias"] = np.zeros(dim)
+
+    model = GPTLMHeadModel(cfg)
+    params = remap_state_dict_hf_btlm(sd, cfg)
+    ids = jnp.asarray(np.random.RandomState(9).randint(0, vocab, (2, 16)))
+    init_p = model.init(jax.random.PRNGKey(0), ids)
+    assert _tree_shapes(params) == _tree_shapes(
+        jax.tree_util.tree_map(np.asarray, init_p)
+    )
+    logits = np.asarray(model.apply(params, ids))
+    assert np.isfinite(logits).all()
+    # muP logits multiplier must bite: doubling it doubles the logits.
+    cfg2 = dc.replace(cfg, logits_multiplier=2 * cfg.logits_multiplier)
+    logits2 = np.asarray(GPTLMHeadModel(cfg2).apply(params, ids))
+    np.testing.assert_allclose(logits2, 2 * logits, rtol=1e-5)
