@@ -496,6 +496,8 @@ def flash_attn_with_kvcache(
     return_softmax_lse: bool = False,
     block_sizes: Optional[BlockSizes] = None,
     kv_cache_layout: str = "bshd",
+    k_cache_scale: Optional[jax.Array] = None,
+    v_cache_scale: Optional[jax.Array] = None,
 ):
     """Decode/append attention against a fixed-capacity KV cache.
 
@@ -531,6 +533,16 @@ def flash_attn_with_kvcache(
 
     Causality is bottom-right aligned: new query i attends cache
     positions < cache_seqlens + appended - S_new + i + 1.
+
+    TPU extension (int8 KV cache): pass int8 ``k_cache``/``v_cache``
+    with ``k_cache_scale``/``v_cache_scale`` ``[B, Hk, D]``
+    (``ops/kv_quant.quantize_kv_cache``) for the pure single-token
+    decode config (reference bshd layout, ``d % 128 == 0``, no append
+    -- append into an int8 cache with ``ops/kv_quant
+    .quantize_kv_append`` BEFORE the call). Decode is HBM-bound, so
+    halving the cache bytes approaches a 2x step speedup; this is the
+    functional analog of the fp8 descale path the reference compiles
+    out (hopper/setup.py:47-68).
     """
     if qv is not None or attention_chunk:
         raise NotImplementedError(
@@ -546,6 +558,27 @@ def flash_attn_with_kvcache(
     del scheduler_metadata, pack_gqa, sm_margin, max_seqlen_q
     if num_splits == 0:
         num_splits = 1  # reference heuristic knob; Mosaic schedules
+    if k_cache.dtype == jnp.int8:
+        assert (
+            k_cache_scale is not None and v_cache_scale is not None
+        ), "int8 caches need k_cache_scale/v_cache_scale [B, Hk, D]"
+        assert (
+            k is None
+            and page_table is None
+            and cache_batch_idx is None
+            and kv_cache_layout == "bshd"
+            and q.shape[1] == 1
+            and q.shape[-1] % 128 == 0
+            and num_splits == 1
+            and tuple(window_size) == (-1, -1)
+            and rotary_cos is None
+        ), (
+            "int8 KV caches support the pure single-token decode "
+            "config (bshd layout, d % 128 == 0); append with "
+            "ops/kv_quant.quantize_kv_append before the call"
+        )
+    else:
+        assert k_cache_scale is None and v_cache_scale is None
     b = q.shape[0]
     s_new = q.shape[1]
     window = None if tuple(window_size) == (-1, -1) else tuple(window_size)
@@ -771,6 +804,8 @@ def flash_attn_with_kvcache(
                 scale=softmax_scale,
                 softcap=softcap,
                 block_sizes=block_sizes,
+                k_scale=k_cache_scale,
+                v_scale=v_cache_scale,
             )
         out = out_p.reshape(b_, hq, 1, dd_)
         lse = lse_p.reshape(b_, hq, 1)

@@ -769,9 +769,16 @@ def _decode_folded_kernel(
         else jax.lax.Precision.DEFAULT
     )
     q = qbd_ref[0, 0]
+    k = k_ref[0]
+    if k.dtype == jnp.int8:
+        # int8-quantized cache (per-channel scales folded into q / the
+        # output on the host -- exact): the DMA moved half the bytes;
+        # the cast back to the compute dtype is a VPU pass, ~10x faster
+        # than the HBM stream it replaces.
+        k = k.astype(q.dtype)
     raw = jax.lax.dot_general(
         q,
-        k_ref[0],
+        k,
         dimension_numbers=(((1,), (1,)), ((), ())),
         preferred_element_type=jnp.float32,
         precision=precision,
@@ -796,9 +803,12 @@ def _decode_folded_kernel(
     l_curr = jnp.sum(p, axis=1, keepdims=True)
     m_scr[...] = m_next
     l_scr[...] = alpha * l_scr[...] + l_curr
+    v = v_ref[0]
+    if v.dtype == jnp.int8:
+        v = v.astype(q.dtype)
     acc_scr[...] = acc_scr[...] * alpha + jax.lax.dot(
-        p.astype(v_ref.dtype),
-        v_ref[0],
+        p.astype(v.dtype),
+        v,
         preferred_element_type=jnp.float32,
         precision=precision,
     )
@@ -832,6 +842,8 @@ def _decode_folded(
     softcap: float,
     chunk: int,
     interpret: bool,
+    k_scale: Optional[jax.Array] = None,
+    v_scale: Optional[jax.Array] = None,
 ):
     """Host side of the head-folded decode (see _decode_folded_kernel).
 
@@ -840,10 +852,29 @@ def _decode_folded(
     slab with ``slab * group * Sq <= 128`` q rows, builds the
     block-diagonal Q on host (tiny), and streams the cache at full lane
     width.
+
+    int8 caches (``ops/kv_quant``): ``k_scale``/``v_scale`` are
+    per-(batch, kv-head, channel) ``[B, Hk, D]`` dequant scales. They
+    fold EXACTLY outside the kernel -- score(r, c) = q_r . (k_i8_c *
+    ks) = (q_r * ks) . k_i8_c per channel, so ks multiplies q before
+    the block-diagonal pack, and out = P . (v_i8 * vs) = (P . v_i8) *
+    vs, so vs multiplies the extracted output lanes -- the TPU-shaped
+    analog of the reference's fp8 descale epilogue
+    (hopper/_internal/flash_attn_interface.py q_descale/k_descale/
+    v_descale). The kernel only casts int8 -> compute dtype after the
+    (halved) HBM stream.
     """
     b, h, sq, d = q.shape
     s, hk = k_cache.shape[1], k_cache.shape[2]
     group = h // hk
+    if k_cache.dtype == jnp.int8:
+        assert k_scale is not None and v_scale is not None, (
+            "int8 caches need k_scale/v_scale [B, Hk, D] "
+            "(ops/kv_quant.quantize_kv_cache)"
+        )
+        qf = q.reshape(b, hk, group, sq, d).astype(jnp.float32)
+        q = (qf * k_scale[:, :, None, None, :]).astype(q.dtype)
+        q = q.reshape(b, h, sq, d)
     rows_per_head = group * sq
     # Slab cap: <=128 q rows AND <=1024 lanes (8 heads at d=128) -- the
     # (*, 1024) block geometry is the same family as the proven
@@ -950,8 +981,11 @@ def _decode_folded(
         .reshape(b, nslab, slab, rows_per_head, slab, d)
         .astype(jnp.float32),
         jnp.eye(slab, dtype=jnp.float32),
-    ).astype(out_bd.dtype)
-    o = o.reshape(b, h, sq, d)
+    )
+    if v_scale is not None:
+        # Exact per-channel V dequant: (P . v_i8) * vs (see docstring).
+        o = o * v_scale.reshape(b, nslab, slab, 1, d)
+    o = o.astype(out_bd.dtype).reshape(b, h, sq, d)
     lse = lse_bd[:, :, :rows, 0].reshape(b, h, sq)
     return o, lse
 
@@ -977,8 +1011,18 @@ def flash_attention_decode(
     block_sizes: Optional[BlockSizes] = None,
     interpret: Optional[bool] = None,
     folded: bool = True,
+    k_scale: Optional[jax.Array] = None,
+    v_scale: Optional[jax.Array] = None,
 ):
     """Bandwidth-optimal single-token decode against a KV cache.
+
+    ``k_cache``/``v_cache`` may be int8 (``ops/kv_quant``), with
+    ``k_scale``/``v_scale`` the per-(batch, kv-head, channel) dequant
+    scales ``[B, Hk, D]``: the cache stream then moves HALF the HBM
+    bytes -- decode is bandwidth-bound, so this approaches a 2x step
+    speedup (or 2x context at equal latency) -- while the scales fold
+    exactly into q and the output (see :func:`_decode_folded`).
+    int8 requires the folded path.
 
     ``q`` is ``[B, H, Sq, D]`` with small Sq (packed GQA rows and/or a
     few query tokens); ``k_cache``/``v_cache`` stay in the CACHE layout
@@ -1006,18 +1050,24 @@ def flash_attention_decode(
     b, h, sq, d = q.shape
     hk = k_cache.shape[2]
     group = h // hk
+    if k_cache.dtype == jnp.int8:
+        assert folded and group * sq <= 128 and d % 128 == 0, (
+            "int8 caches are supported on the folded decode path only"
+        )
     if folded and group * sq <= 128:
         chunk = (block_sizes or BlockSizes(128, 1024)).block_k
         # Keep the (chunk, slab*d) stream block within VMEM budget
-        # (slab cap mirrors _decode_folded).
+        # (slab cap mirrors _decode_folded). int8 halves the bytes per
+        # row, so the same budget admits a 2x chunk.
         slab = max(1, min(hk, 128 // (group * sq), 1024 // d))
         while hk % slab:
             slab -= 1
-        chunk = max(256, min(chunk, (1 << 21) // (slab * d * 2)))
+        itemsize = jnp.dtype(k_cache.dtype).itemsize
+        chunk = max(256, min(chunk, (1 << 21) // (slab * d * itemsize)))
         chunk = min(chunk, max(256, -(-k_cache.shape[1] // 256) * 256))
         return _decode_folded(
             q, k_cache, v_cache, kv_bound, kv_low, scale, softcap,
-            chunk, interpret,
+            chunk, interpret, k_scale=k_scale, v_scale=v_scale,
         )
     return _flash_forward_impl(
         q,

@@ -1,0 +1,160 @@
+"""int8 KV-cache decode (ops/kv_quant + the folded decode kernel).
+
+The scales fold exactly outside the kernel, so the kernel path is
+tested EXACTLY against an oracle over the dequantized cache (any
+mismatch there is a kernel bug, not quantization), and the end-to-end
+quantization error against the float cache is bounded separately.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from liteattention_tpu.ops.flash_fwd import flash_attention_decode
+from liteattention_tpu.ops.kv_quant import (
+    dequantize_kv_cache,
+    quantize_kv_append,
+    quantize_kv_cache,
+)
+
+B, S, H, HK, D = 2, 384, 8, 2, 128
+
+
+def _inputs(seed=0, scale_spread=True):
+    ks = jax.random.split(jax.random.PRNGKey(seed), 3)
+    q = jax.random.normal(ks[0], (B, HK, H // HK, D), jnp.float32)
+    kc = jax.random.normal(ks[1], (B, S, HK, D), jnp.float32)
+    vc = jax.random.normal(ks[2], (B, S, HK, D), jnp.float32)
+    if scale_spread:
+        # Outlier-channel structure: per-channel magnitudes spanning
+        # ~30x, the regime per-channel scales exist for.
+        mags = jnp.exp(
+            jax.random.uniform(
+                jax.random.PRNGKey(seed + 9), (1, 1, HK, D),
+                minval=-1.5, maxval=1.5,
+            )
+        )
+        kc = kc * mags
+        vc = vc * mags[..., ::-1]
+    return q, kc, vc
+
+
+def _oracle(q, kc, vc, bound):
+    # q [B, HK, G, D] packed rows; per batch valid keys [0, bound).
+    outs = []
+    for bi in range(B):
+        kk = np.asarray(kc[bi, : int(bound[bi])], np.float64)
+        vv = np.asarray(vc[bi, : int(bound[bi])], np.float64)
+        o_h = []
+        for hj in range(HK):
+            qq = np.asarray(q[bi, hj], np.float64)  # [G, D]
+            s = qq @ kk[:, hj].T / np.sqrt(D)
+            p = np.exp(s - s.max(-1, keepdims=True))
+            p /= p.sum(-1, keepdims=True)
+            o_h.append(p @ vv[:, hj])
+        outs.append(np.stack(o_h))
+    return np.stack(outs)  # [B, HK, G, D]
+
+
+def test_quantize_roundtrip_error_bound():
+    _, kc, vc = _inputs()
+    cache = quantize_kv_cache(kc, vc)
+    kd, vd = dequantize_kv_cache(cache, jnp.float32)
+    # Symmetric per-channel absmax: error <= scale/2 per element.
+    for orig, deq, sc in [(kc, kd, cache.k_scale), (vc, vd, cache.v_scale)]:
+        err = jnp.abs(orig - deq)
+        assert float(jnp.max(err / sc[:, None])) <= 0.5 + 1e-3
+
+
+def test_int8_decode_matches_dequantized_oracle_exactly():
+    """The kernel must be EXACT vs the dequantized-cache oracle: scale
+    folding is algebraically exact, so any gap is a kernel bug."""
+    q, kc, vc = _inputs()
+    cache = quantize_kv_cache(kc, vc)
+    kd, vd = dequantize_kv_cache(cache, jnp.float32)
+    bound = jnp.array([S, 251], jnp.int32)
+    out, _ = flash_attention_decode(
+        q, cache.k, cache.v, kv_bound=bound,
+        k_scale=cache.k_scale, v_scale=cache.v_scale, interpret=True,
+    )
+    ref = _oracle(q, kd, vd, np.asarray(bound))
+    np.testing.assert_allclose(
+        np.asarray(out), ref, atol=3e-5, rtol=1e-4
+    )
+
+
+def test_int8_decode_close_to_float_cache():
+    q, kc, vc = _inputs(seed=1)
+    cache = quantize_kv_cache(kc, vc)
+    bound = jnp.full((B,), S, jnp.int32)
+    out, _ = flash_attention_decode(
+        q, cache.k, cache.v, kv_bound=bound,
+        k_scale=cache.k_scale, v_scale=cache.v_scale, interpret=True,
+    )
+    ref = _oracle(q, kc, vc, np.asarray(bound))
+    rel = np.linalg.norm(np.asarray(out) - ref) / np.linalg.norm(ref)
+    # Per-channel symmetric int8: element err ~ absmax/(127*sqrt(12))
+    # ~ 0.8% of a unit-variance channel; k and v contribute ~equally
+    # -> ~1.4% rel-L2 on the output (measured 1.42e-2). bf16 cache
+    # storage alone is ~0.4%, so int8 costs ~3x the storage rounding
+    # for 2x the bandwidth.
+    assert rel < 2e-2, rel
+
+
+def test_quantized_append_then_decode():
+    q, kc, vc = _inputs(seed=2)
+    lens = jnp.array([200, 137], jnp.int32)
+    # Calibrate on the valid prefix only (zeros beyond).
+    pos = jnp.arange(S)[None, :, None, None]
+    valid = pos < lens[:, None, None, None]
+    cache = quantize_kv_cache(
+        jnp.where(valid, kc, 0.0), jnp.where(valid, vc, 0.0)
+    )
+    knew = jax.random.normal(jax.random.PRNGKey(7), (B, 1, HK, D))
+    vnew = jax.random.normal(jax.random.PRNGKey(8), (B, 1, HK, D))
+    cache2 = quantize_kv_append(cache, knew, vnew, lens)
+    bound = lens + 1
+    out, _ = flash_attention_decode(
+        q, cache2.k, cache2.v, kv_bound=bound,
+        k_scale=cache2.k_scale, v_scale=cache2.v_scale, interpret=True,
+    )
+    # Oracle over the float cache with the new row spliced in.
+    bi = jnp.arange(B)[:, None]
+    kf = kc.at[bi, lens[:, None]].set(knew[:, 0][:, None])
+    vf = vc.at[bi, lens[:, None]].set(vnew[:, 0][:, None])
+    ref = _oracle(q, kf, vf, np.asarray(bound))
+    rel = np.linalg.norm(np.asarray(out) - ref) / np.linalg.norm(ref)
+    assert rel < 2e-2, rel
+
+
+def test_interface_int8_routing():
+    from liteattention_tpu.flash_attn_interface import (
+        flash_attn_with_kvcache,
+    )
+
+    q, kc, vc = _inputs(seed=3)
+    qb = jnp.transpose(q.reshape(B, H, 1, D), (0, 2, 1, 3))  # [B,1,H,D]
+    cache = quantize_kv_cache(kc, vc)
+    lens = jnp.full((B,), S, jnp.int32)
+    out = flash_attn_with_kvcache(
+        qb, cache.k, cache.v, cache_seqlens=lens, causal=True,
+        k_cache_scale=cache.k_scale, v_cache_scale=cache.v_scale,
+    )
+    ref = flash_attn_with_kvcache(
+        qb, kc, vc, cache_seqlens=lens, causal=True
+    )
+    rel = float(
+        jnp.linalg.norm(out - ref) / jnp.linalg.norm(ref)
+    )
+    assert rel < 2e-2, rel
+    # Scales are mandatory with int8 caches; appends are rejected.
+    with pytest.raises(AssertionError):
+        flash_attn_with_kvcache(qb, cache.k, cache.v, cache_seqlens=lens)
+    with pytest.raises(AssertionError):
+        flash_attn_with_kvcache(
+            qb, cache.k, cache.v,
+            k=jnp.zeros((B, 1, HK, D)), v=jnp.zeros((B, 1, HK, D)),
+            cache_seqlens=lens,
+            k_cache_scale=cache.k_scale, v_cache_scale=cache.v_scale,
+        )

@@ -163,6 +163,36 @@ def main():
             tk, traw = timeit_marginal(step_n, q, kcn, vcn, seqlens)
             report(label + "_native", tk, traw, nheads_kv)
 
+    # int8-quantized GQA decode (ops/kv_quant): the cache stream moves
+    # HALF the bytes, so the bandwidth-bound step should approach 2x.
+    # hbm_util here is computed over the int8 byte count (utilization
+    # of the actual stream); the speedup line compares step times.
+    from liteattention_tpu.ops.kv_quant import quantize_kv_cache
+
+    q = jax.random.normal(ks[0], (b, 1, h, d), jnp.bfloat16)
+    kc = jax.random.normal(ks[1], (b, s, hk, d), jnp.bfloat16)
+    vc = jax.random.normal(ks[2], (b, s, hk, d), jnp.bfloat16)
+    seqlens = jnp.full((b,), s, jnp.int32)
+    cache_q = quantize_kv_cache(kc, vc)
+
+    def step_q(q, kci, vci, ksc, vsc, sl):
+        return flash_attn_with_kvcache(
+            q, kci, vci, cache_seqlens=sl, causal=True,
+            k_cache_scale=ksc, v_cache_scale=vsc,
+        )
+
+    tk, traw = timeit_marginal(
+        step_q, q, cache_q.k, cache_q.v, cache_q.k_scale,
+        cache_q.v_scale, seqlens,
+    )
+    # report() assumes 2-byte elements; halve the head count to get the
+    # int8 byte count right.
+    report("decode_gqa_int8", tk, traw, hk / 2)
+    if "decode_gqa" in results:
+        sp = results["decode_gqa"]["ms"] / results["decode_gqa_int8"]["ms"]
+        results["decode_gqa_int8"]["speedup_vs_bf16"] = round(sp, 3)
+        print(f"int8 speedup vs bf16 GQA: {sp:.2f}x", flush=True)
+
     # Paged decode (page table indirection).
     pages_per_seq = s // args.page_size
     npages = b * pages_per_seq
