@@ -561,10 +561,12 @@ def flash_attn_with_kvcache(
     if k_cache.dtype == jnp.int8:
         assert (
             k_cache_scale is not None and v_cache_scale is not None
-        ), "int8 caches need k_cache_scale/v_cache_scale [B, Hk, D]"
+        ), (
+            "int8 caches need k_cache_scale/v_cache_scale "
+            "(ops/kv_quant: [B, Hk, D] contiguous, [Hk, D] paged)"
+        )
         assert (
             k is None
-            and page_table is None
             and cache_batch_idx is None
             and kv_cache_layout == "bshd"
             and q.shape[1] == 1
@@ -574,9 +576,17 @@ def flash_attn_with_kvcache(
             and rotary_cos is None
         ), (
             "int8 KV caches support the pure single-token decode "
-            "config (bshd layout, d % 128 == 0); append with "
-            "ops/kv_quant.quantize_kv_append before the call"
+            "config (bshd layout / native page pools, d % 128 == 0); "
+            "append with ops/kv_quant.quantize_kv_append / "
+            "quantize_pages_append before the call"
         )
+        if page_table is not None:
+            hq_i8 = q.shape[2]
+            hk_i8 = k_cache.shape[2]
+            assert (hq_i8 // hk_i8) * q.shape[1] <= 128, (
+                "int8 paged decode requires the folded path "
+                "(Hq/Hk * Sq <= 128)"
+            )
     else:
         assert k_cache_scale is None and v_cache_scale is None
     b = q.shape[0]
@@ -666,6 +676,8 @@ def flash_attn_with_kvcache(
                 scale=softmax_scale,
                 causal=causal,
                 return_lse=return_softmax_lse,
+                k_scale=k_cache_scale,
+                v_scale=v_cache_scale,
             )
         else:
             kp = jnp.transpose(k_cache, (2, 0, 1, 3))  # [Hk, pages, psz, D]

@@ -97,6 +97,79 @@ def quantize_kv_append(
     )
 
 
+class QuantizedKVPages(NamedTuple):
+    """int8 page pools + GLOBAL per-(kv-head, channel) scales.
+
+    ``k``/``v``: int8 ``[num_pages, page_size, Hk, D]``.
+    ``k_scale``/``v_scale``: f32 ``[Hk, D]`` -- pages are shared across
+    sequences, so the scales carry no batch axis (they must hold for
+    every sequence that may write the pool).
+    """
+
+    k: jax.Array
+    v: jax.Array
+    k_scale: jax.Array
+    v_scale: jax.Array
+
+
+def quantize_kv_pages(
+    k_pages: jax.Array, v_pages: jax.Array
+) -> QuantizedKVPages:
+    """Quantize float page pools ``[num_pages, page_size, Hk, D]`` to
+    int8 with global per-(kv-head, channel) absmax scales (zero-filled
+    dead pages never raise the absmax)."""
+
+    def sc(x):
+        amax = jnp.max(
+            jnp.abs(x.astype(jnp.float32)), axis=(0, 1)
+        )  # [Hk, D]
+        return jnp.maximum(amax / 127.0, 1e-8)
+
+    ks, vs = sc(k_pages), sc(v_pages)
+
+    def q8(x, s):
+        q = jnp.round(x.astype(jnp.float32) / s)
+        return jnp.clip(q, -127.0, 127.0).astype(jnp.int8)
+
+    return QuantizedKVPages(q8(k_pages, ks), q8(v_pages, vs), ks, vs)
+
+
+def quantize_pages_append(
+    pages: QuantizedKVPages,
+    k_new: jax.Array,
+    v_new: jax.Array,
+    page_table: jax.Array,
+    positions: jax.Array,
+) -> QuantizedKVPages:
+    """Scatter new float K/V rows ``[B, S_new, Hk, D]`` into the int8
+    pools at ``positions`` ``[B]`` via ``page_table`` ``[B, pages]``,
+    quantizing with the existing global scales (clamped)."""
+    b, s_new, hk, d = k_new.shape
+    page_size = pages.k.shape[1]
+
+    def q8(x, s):
+        q = jnp.round(x.astype(jnp.float32) / s)
+        return jnp.clip(q, -127.0, 127.0).astype(jnp.int8)
+
+    ki = q8(k_new, pages.k_scale)
+    vi = q8(v_new, pages.v_scale)
+    pos = positions[:, None] + jnp.arange(s_new)[None]  # [B, S_new]
+    page_of = jnp.take_along_axis(
+        page_table.astype(jnp.int32), pos // page_size, axis=1
+    )
+    slot = pos % page_size
+    return QuantizedKVPages(
+        pages.k.at[page_of.reshape(-1), slot.reshape(-1)].set(
+            ki.reshape(-1, hk, d)
+        ),
+        pages.v.at[page_of.reshape(-1), slot.reshape(-1)].set(
+            vi.reshape(-1, hk, d)
+        ),
+        pages.k_scale,
+        pages.v_scale,
+    )
+
+
 def dequantize_kv_cache(
     cache: QuantizedKVCache, dtype=jnp.bfloat16
 ) -> Tuple[jax.Array, jax.Array]:
@@ -108,7 +181,10 @@ def dequantize_kv_cache(
 
 __all__ = [
     "QuantizedKVCache",
+    "QuantizedKVPages",
     "quantize_kv_cache",
     "quantize_kv_append",
+    "quantize_kv_pages",
+    "quantize_pages_append",
     "dequantize_kv_cache",
 ]

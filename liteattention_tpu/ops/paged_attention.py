@@ -322,9 +322,15 @@ def _paged_folded_kernel(
     @pl.when(j * page_size < length)
     def _step():
         q = qbd_ref[0, 0]
+        k = k_ref[0]
+        if k.dtype == jnp.int8:
+            # int8-quantized pool (ops/kv_quant.quantize_kv_pages):
+            # global per-(head, channel) scales fold into q / the
+            # output on the host; the page DMA moved half the bytes.
+            k = k.astype(q.dtype)
         s = jax.lax.dot_general(
             q,
-            k_ref[0],
+            k,
             dimension_numbers=(((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32,
             precision=precision,
@@ -352,9 +358,12 @@ def _paged_folded_kernel(
         p = jnp.exp2(s - m_next[:, :1])
         m_scr[...] = m_next
         l_scr[...] = alpha * l_scr[...] + jnp.sum(p, axis=1, keepdims=True)
+        v = v_ref[0]
+        if v.dtype == jnp.int8:
+            v = v.astype(q.dtype)
         acc_scr[...] = acc_scr[...] * alpha + jax.lax.dot(
-            p.astype(v_ref.dtype),
-            v_ref[0],
+            p.astype(v.dtype),
+            v,
             preferred_element_type=jnp.float32,
             precision=precision,
         )
@@ -392,6 +401,8 @@ def paged_attention_folded(
     causal: bool = True,
     return_lse: bool = False,
     interpret: Optional[bool] = None,
+    k_scale: Optional[jax.Array] = None,
+    v_scale: Optional[jax.Array] = None,
 ):
     """Head-folded paged decode over the NATIVE page-pool layout.
 
@@ -400,6 +411,13 @@ def paged_attention_folded(
     transpose of the multi-GB pool. Requires ``D % 128 == 0`` and
     ``Hq/Hk * Sq <= 128`` q rows per KV head (single/few-token decode);
     callers fall back to :func:`paged_attention` otherwise.
+
+    int8 pools (``ops/kv_quant.quantize_kv_pages``): scales are GLOBAL
+    per-(kv-head, channel) ``[Hk, D]`` -- pages are shared across
+    sequences, so no batch axis -- and fold exactly into q (k scales)
+    and the extracted output (v scales), as in
+    ``flash_fwd._decode_folded``. The page stream moves half the HBM
+    bytes.
     """
     if interpret is None:
         interpret = _default_interpret()
@@ -423,6 +441,14 @@ def paged_attention_folded(
     lanes = slab * d
     rows = slab * rows_per_head
 
+    if k_pages.dtype == jnp.int8:
+        assert k_scale is not None and v_scale is not None, (
+            "int8 pools need k_scale/v_scale [Hk, D] "
+            "(ops/kv_quant.quantize_kv_pages)"
+        )
+        qf = q.reshape(b, sq, hk, group, d).astype(jnp.float32)
+        q = (qf * k_scale[None, None, :, None, :]).astype(q.dtype)
+        q = q.reshape(b, sq, hq, d)
     # Block-diagonal Q: q [B, Hq, Sq, D] with Hq-major (hk, group)
     # ordering; row j*rows_per_head + g*sq + qi owns lane block j.
     qh = jnp.transpose(q, (0, 2, 1, 3))  # [B, Hq, Sq, D]
@@ -506,8 +532,10 @@ def paged_attention_folded(
         .reshape(b, nslab, slab, rows_per_head, slab, d)
         .astype(jnp.float32),
         jnp.eye(slab, dtype=jnp.float32),
-    ).astype(out_bd.dtype)
-    o = o.reshape(b, hq, sq, d)
+    )
+    if v_scale is not None:
+        o = o * v_scale.reshape(nslab, slab, d)[None, :, :, None]
+    o = o.astype(out_bd.dtype).reshape(b, hq, sq, d)
     out = jnp.transpose(o, (0, 2, 1, 3))  # [B, Sq, Hq, D]
     if decode_rank:
         out = out[:, 0]

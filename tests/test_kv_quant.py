@@ -158,3 +158,97 @@ def test_interface_int8_routing():
             cache_seqlens=lens,
             k_cache_scale=cache.k_scale, v_cache_scale=cache.v_scale,
         )
+
+
+def test_int8_paged_decode_matches_dequantized_pool():
+    """int8 paged folded decode must EXACTLY match the bf16 folded
+    kernel run on the dequantized pool (scale folding is exact), and be
+    close to the float pool."""
+    from liteattention_tpu.ops.paged_attention import (
+        paged_attention_folded,
+    )
+    from liteattention_tpu.ops.kv_quant import quantize_kv_pages
+
+    page_size, pages_per_seq = 128, 3
+    npages = B * pages_per_seq
+    ks = jax.random.split(jax.random.PRNGKey(11), 3)
+    q = jax.random.normal(ks[0], (B, 1, H, D), jnp.float32)
+    kp = jax.random.normal(ks[1], (npages, page_size, HK, D), jnp.float32)
+    vp = jax.random.normal(ks[2], (npages, page_size, HK, D), jnp.float32)
+    table = jnp.arange(npages, dtype=jnp.int32).reshape(B, pages_per_seq)
+    lengths = jnp.array([page_size * 3, 200], jnp.int32)
+
+    pool = quantize_kv_pages(kp, vp)
+    kd = pool.k.astype(jnp.float32) * pool.k_scale
+    vd = pool.v.astype(jnp.float32) * pool.v_scale
+
+    out_i8, lse_i8 = paged_attention_folded(
+        q, pool.k, pool.v, lengths, table,
+        k_scale=pool.k_scale, v_scale=pool.v_scale,
+        return_lse=True, interpret=True,
+    )
+    out_ref, lse_ref = paged_attention_folded(
+        q, kd, vd, lengths, table, return_lse=True, interpret=True
+    )
+    np.testing.assert_allclose(
+        np.asarray(out_i8), np.asarray(out_ref), atol=3e-5, rtol=1e-4
+    )
+    np.testing.assert_allclose(
+        np.asarray(lse_i8), np.asarray(lse_ref), atol=3e-5, rtol=1e-4
+    )
+    out_f = paged_attention_folded(
+        q, kp, vp, lengths, table, interpret=True
+    )
+    rel = np.linalg.norm(np.asarray(out_i8) - np.asarray(out_f)) / (
+        np.linalg.norm(np.asarray(out_f))
+    )
+    assert rel < 2e-2, rel
+
+
+def test_interface_int8_paged_routing():
+    from liteattention_tpu.flash_attn_interface import (
+        flash_attn_with_kvcache,
+    )
+    from liteattention_tpu.ops.kv_quant import (
+        quantize_kv_pages,
+        quantize_pages_append,
+    )
+
+    page_size, pages_per_seq = 128, 2
+    npages = B * pages_per_seq
+    ks = jax.random.split(jax.random.PRNGKey(12), 5)
+    q = jax.random.normal(ks[0], (B, 1, H, D), jnp.float32)
+    kp = jax.random.normal(ks[1], (npages, page_size, HK, D), jnp.float32)
+    vp = jax.random.normal(ks[2], (npages, page_size, HK, D), jnp.float32)
+    table = jnp.arange(npages, dtype=jnp.int32).reshape(B, pages_per_seq)
+    lens = jnp.array([100, 220], jnp.int32)
+    # Zero the invalid tail so pool calibration sees valid rows only.
+    pos = (
+        jnp.arange(npages * page_size).reshape(npages, page_size)
+        % (pages_per_seq * page_size)
+    )
+    ok = (pos < lens[(jnp.arange(npages) // pages_per_seq)][:, None])
+    kp = jnp.where(ok[..., None, None], kp, 0.0)
+    vp = jnp.where(ok[..., None, None], vp, 0.0)
+
+    pool = quantize_kv_pages(kp, vp)
+    knew = jax.random.normal(ks[3], (B, 1, HK, D), jnp.float32)
+    vnew = jax.random.normal(ks[4], (B, 1, HK, D), jnp.float32)
+    pool = quantize_pages_append(pool, knew, vnew, table, lens)
+
+    out = flash_attn_with_kvcache(
+        q, pool.k, pool.v, cache_seqlens=lens + 1, page_table=table,
+        causal=True, k_cache_scale=pool.k_scale,
+        v_cache_scale=pool.v_scale,
+    )
+    # Float reference with the same rows appended.
+    bi = jnp.arange(B)
+    page_of = jnp.take_along_axis(table, (lens // page_size)[:, None], 1)
+    kp2 = kp.at[page_of[:, 0], lens % page_size].set(knew[:, 0])
+    vp2 = vp.at[page_of[:, 0], lens % page_size].set(vnew[:, 0])
+    ref = flash_attn_with_kvcache(
+        q, kp2, vp2, cache_seqlens=lens + 1, page_table=table,
+        causal=True,
+    )
+    rel = float(jnp.linalg.norm(out - ref) / jnp.linalg.norm(ref))
+    assert rel < 2e-2, rel

@@ -214,6 +214,30 @@ def main():
     tk, traw = timeit_marginal(step_paged, q, kp, vp, table, seqlens)
     report("decode_paged", tk, traw, hk)
 
+    # int8 paged decode (global per-(head, channel) pool scales).
+    from liteattention_tpu.ops.kv_quant import quantize_kv_pages
+
+    pool = quantize_kv_pages(kp, vp)
+
+    def step_paged_q(q, kpi, vpi, ksc, vsc, tbl, sl):
+        return flash_attn_with_kvcache(
+            q, kpi, vpi, cache_seqlens=sl, page_table=tbl, causal=True,
+            k_cache_scale=ksc, v_cache_scale=vsc,
+        )
+
+    tk, traw = timeit_marginal(
+        step_paged_q, q, pool.k, pool.v, pool.k_scale, pool.v_scale,
+        table, seqlens,
+    )
+    report("decode_paged_int8", tk, traw, hk / 2)
+    if "decode_paged" in results:
+        sp = (
+            results["decode_paged"]["ms"]
+            / results["decode_paged_int8"]["ms"]
+        )
+        results["decode_paged_int8"]["speedup_vs_bf16"] = round(sp, 3)
+        print(f"int8 speedup vs bf16 paged: {sp:.2f}x", flush=True)
+
     with open("DECODE_BENCH.json", "w") as f:
         json.dump(
             dict(
