@@ -63,6 +63,11 @@ class TrainConfig:
     # disables. The EMA tree rides the train state (checkpointed and
     # resumed with it).
     ema_decay: float = 0.0
+    # Per-top-level-module parameter and gradient norms in the metrics
+    # (reference training/src/callbacks/norm_monitor.py logs
+    # per-submodule norms to spot divergence/dead layers). Off by
+    # default: it adds one small reduction per module per step.
+    norm_monitor: bool = False
 
 
 def TrainState(**kwargs) -> Dict[str, Any]:
@@ -143,6 +148,15 @@ class Trainer:
                     params,
                 )
             metrics = {"loss": loss, "grad_norm": gnorm}
+            if self.cfg.norm_monitor:
+                def _module_norms(tree):
+                    top = tree.get("params", tree)
+                    return {
+                        k: optax.global_norm(v) for k, v in top.items()
+                    }
+
+                metrics["param_norms"] = _module_norms(params)
+                metrics["grad_norms"] = _module_norms(grads)
             return new_state, metrics
 
         shard_opt = config.shard_opt_state or config.shard_grads
@@ -295,6 +309,11 @@ class Trainer:
                 if flops_per_batch:
                     rec["flops_per_s"] = flops_per_batch * log_every / dt
                     rec["mfu"] = rec["flops_per_s"] / peak_flops
+                for key in ("param_norms", "grad_norms"):
+                    if key in metrics:
+                        rec[key] = {
+                            k: float(v) for k, v in metrics[key].items()
+                        }
                 log_fn(rec)
                 t0 = time.perf_counter()
         return state

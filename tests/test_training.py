@@ -234,3 +234,30 @@ def test_ema_and_speed_monitor():
     assert float(jnp.max(jnp.abs(e - p))) <= float(
         jnp.max(jnp.abs(p0 - p))
     ) + 1e-6
+
+
+def test_norm_monitor():
+    """Per-module param/grad norms in the log record (reference
+    training/src/callbacks/norm_monitor.py)."""
+    import itertools
+
+    cfg, model, params, loss_fn, _ = _setup()
+    tcfg = TrainConfig(
+        learning_rate=1e-2, warmup_steps=2, total_steps=50,
+        norm_monitor=True,
+    )
+    trainer = Trainer(loss_fn, tcfg)
+    state = trainer.init_state(params)
+    fixed = next(synthetic_lm_batches(cfg.vocab_size, 4, 32, seed=2))
+    logs = []
+    trainer.fit(
+        state, itertools.repeat(fixed), 2, log_every=2,
+        log_fn=logs.append,
+    )
+    rec = logs[-1]
+    assert rec["param_norms"] and rec["grad_norms"]
+    for v in {**rec["param_norms"], **rec["grad_norms"]}.values():
+        assert np.isfinite(v) and v >= 0
+    # Norms are per TOP-LEVEL module and consistent with the global norm.
+    total = sum(v**2 for v in rec["grad_norms"].values()) ** 0.5
+    assert abs(total - rec["grad_norm"]) / max(rec["grad_norm"], 1e-9) < 1e-4
