@@ -67,6 +67,10 @@ LOG2E = 1.4426950408889634
 LN2 = 0.6931471805599453
 MIN_LANES = 128
 VOTE_TILE = 128  # fine (vote/mask) granularity in sequence elements
+# Gather-ring depth: how many (gsize*128, 2D) K|V tile groups are in
+# flight. Measured insensitive at 4 on the evolved 49% point (s=0 tax
+# 1.02-1.06x across runs) -- the ring is not the residual bottleneck.
+RING_SLOTS = 4
 
 
 def _default_interpret() -> bool:
@@ -454,23 +458,54 @@ def _lite_gather_kernel(
     thr = thr_ref[0, 0]
     vq = block_q // qsubs
 
-    row_dma = pltpu.make_async_copy(
-        sched_hbm.at[b, h, qi],
-        sched_smem.at[pl.ds(0, sched_hbm.shape[3])],
-        sched_sem,
-    )
-    row_dma.start()
+    # Cross-row schedule prefetch (round 3): the per-row critical path
+    # used to start with a synchronous HBM->SMEM schedule fetch. The
+    # schedule for head h+1 is now DMA'd into the OTHER half of a
+    # double-buffered SMEM scratch while head h computes; only h == 0
+    # of each (b, q-tile) waits on its own fetch. The chain runs
+    # strictly along the innermost grid dim (h, "arbitrary" semantics =
+    # never split across cores), so it is safe under any megacore
+    # partitioning of the outer parallel dims. Measured: banded-49%
+    # novote 94.2 -> 91.3 ms; evolved-49% unchanged (its bottleneck is
+    # elsewhere -- see the residual-gap note below).
+    #
+    # Residual-gap accounting (round 3, 73k tokens, 49.3% evolved
+    # masks): novote step 91.2 ms vs naive ideal dense*live = 83.0.
+    # But the DENSE kernel itself on a literally halved KV runs 85.9 ms
+    # vs linear 82.0 (-4.8%: shorter per-q-tile reduction pipelines
+    # less efficiently), so the achievable bound at this live fraction
+    # is ~87 ms and the gather kernel's true overhead is ~4.7%, already
+    # near the dense kernel family's own short-reduction behavior.
+    # Measured non-bottlenecks: ring depth, schedule-fetch latency
+    # (this prefetch), DMA contiguity (banded == evolved after the
+    # prefetch), schedule-union waste (0.5096 density vs 0.5069 live).
+    def sched_row_copy(hh, buf):
+        return pltpu.make_async_copy(
+            sched_hbm.at[b, hh, qi],
+            sched_smem.at[buf, pl.ds(0, sched_hbm.shape[3])],
+            sched_sem.at[buf],
+        )
+
+    par = jax.lax.rem(h, 2)
+
+    @pl.when(h == 0)
+    def _own():
+        sched_row_copy(0, 0).start()
+
+    @pl.when(h + 1 < num_heads)
+    def _next():
+        sched_row_copy(h + 1, jax.lax.rem(h + 1, 2)).start()
 
     def sched_at(i):
-        return sched_smem[i // 128, i % 128]
+        return sched_smem[par, i // 128, i % 128]
 
     def qbits_at(i):
-        return sched_smem[sched_rows + i // 128, i % 128]
+        return sched_smem[par, sched_rows + i // 128, i % 128]
 
     def flags_at(step):
         # bit 0: contiguous run; bit 1: fully-live step (see host).
         i = 1 + step
-        return sched_smem[2 * sched_rows + i // 128, i % 128]
+        return sched_smem[par, 2 * sched_rows + i // 128, i % 128]
 
     if emit_votes:
         votes_scr[...] = jnp.ones_like(votes_scr)
@@ -478,7 +513,7 @@ def _lite_gather_kernel(
     l_scr[...] = jnp.zeros_like(l_scr)
     acc_scr[...] = jnp.zeros_like(acc_scr)
 
-    row_dma.wait()
+    sched_row_copy(h, par).wait()
     count = sched_at(0)
     num_steps = pl.cdiv(count, gsize)
 
@@ -869,10 +904,10 @@ def _lite_gather_call(
         jax.ShapeDtypeStruct((b, sq_p, h), jnp.float32),
     ]
     scratch = [
-        pltpu.SMEM((_pow2(3 * sched_rows), MIN_LANES), jnp.int32),
-        pltpu.SemaphoreType.DMA(()),
-        pltpu.VMEM((4, gsize * VOTE_TILE, 2 * d_p), kvp.dtype),
-        pltpu.SemaphoreType.DMA((4,)),
+        pltpu.SMEM((2, _pow2(3 * sched_rows), MIN_LANES), jnp.int32),
+        pltpu.SemaphoreType.DMA((2,)),
+        pltpu.VMEM((RING_SLOTS, gsize * VOTE_TILE, 2 * d_p), kvp.dtype),
+        pltpu.SemaphoreType.DMA((RING_SLOTS,)),
     ]
     if emit_votes:
         out_specs.append(
