@@ -568,17 +568,17 @@ def flash_attn_with_kvcache(
         assert (
             k is None
             and cache_batch_idx is None
-            and kv_cache_layout == "bshd"
             and q.shape[1] == 1
-            and q.shape[-1] % 128 == 0
+            and (kv_cache_layout == "bhsd" or q.shape[-1] % 128 == 0)
             and num_splits == 1
             and tuple(window_size) == (-1, -1)
             and rotary_cos is None
         ), (
             "int8 KV caches support the pure single-token decode "
-            "config (bshd layout / native page pools, d % 128 == 0); "
-            "append with ops/kv_quant.quantize_kv_append / "
-            "quantize_pages_append before the call"
+            "config (bshd layout with d % 128 == 0, bhsd layout, or "
+            "native page pools); append with "
+            "ops/kv_quant.quantize_kv_append / quantize_pages_append "
+            "before the call"
         )
         if page_table is not None:
             hq_i8 = q.shape[2]
@@ -793,7 +793,15 @@ def flash_attn_with_kvcache(
         if native:
             # TPU-native cache layout [B, Hk, S, D]: head slices are
             # CONTIGUOUS, so decode streams the cache at full-burst
-            # bandwidth with the regular 4D kernel path.
+            # bandwidth with the regular 4D kernel path. int8 caches:
+            # per-channel k scales fold into the packed q rows and v
+            # scales into the output, exactly (see _decode_folded);
+            # the kernel only casts after the halved DMA.
+            if k_cache.dtype == jnp.int8:
+                qp = (
+                    qp.astype(jnp.float32)
+                    * k_cache_scale[:, :, None, :]
+                ).astype(qp.dtype)
             out_p, lse_p = flash_attention_masked(
                 qp,
                 k_cache,
@@ -806,6 +814,11 @@ def flash_attn_with_kvcache(
                 block_sizes=block_sizes or BlockSizes(128, 2048),
                 return_lse=True,
             )
+            if k_cache.dtype == jnp.int8:
+                out_p = (
+                    out_p.astype(jnp.float32)
+                    * v_cache_scale[:, :, None, :]
+                ).astype(out_p.dtype)
         else:
             out_p, lse_p = flash_attention_decode(
                 qp,

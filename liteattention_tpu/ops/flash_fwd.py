@@ -150,6 +150,11 @@ def _fwd_kernel(
     def _step():
         q = q_ref[0, 0]
         k = k_ref[0] if kv_3d else k_ref[0, 0]
+        if k.dtype == jnp.int8:
+            # int8-quantized KV (ops/kv_quant): per-channel scales are
+            # folded into q / the output by the caller; the DMA moved
+            # half the bytes and the cast back is a cheap VPU pass.
+            k = k.astype(q.dtype)
         raw = jax.lax.dot_general(
             q,
             k,
@@ -289,6 +294,8 @@ def _fwd_kernel(
             )
             p = jnp.where(keep, p, 0.0)
         v = v_ref[0] if kv_3d else v_ref[0, 0]
+        if v.dtype == jnp.int8:
+            v = v.astype(q.dtype)
         acc_scr[...] = acc_scr[...] * alpha + jax.lax.dot(
             p.astype(v.dtype),
             v,

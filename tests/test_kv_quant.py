@@ -252,3 +252,31 @@ def test_interface_int8_paged_routing():
     )
     rel = float(jnp.linalg.norm(out - ref) / jnp.linalg.norm(ref))
     assert rel < 2e-2, rel
+
+
+def test_interface_int8_native_layout():
+    """int8 also rides the TPU-native bhsd cache layout (the serving
+    loop's layout): transposing the same quantized cache must give the
+    same output as the bshd route."""
+    from liteattention_tpu.flash_attn_interface import (
+        flash_attn_with_kvcache,
+    )
+
+    q, kc, vc = _inputs(seed=4)
+    qb = jnp.transpose(q.reshape(B, H, 1, D), (0, 2, 1, 3))
+    cache = quantize_kv_cache(kc, vc)
+    lens = jnp.array([S, 251], jnp.int32)
+    out_bshd = flash_attn_with_kvcache(
+        qb, cache.k, cache.v, cache_seqlens=lens, causal=True,
+        k_cache_scale=cache.k_scale, v_cache_scale=cache.v_scale,
+    )
+    kn = jnp.transpose(cache.k, (0, 2, 1, 3))
+    vn = jnp.transpose(cache.v, (0, 2, 1, 3))
+    out_n = flash_attn_with_kvcache(
+        qb, kn, vn, cache_seqlens=lens, causal=True,
+        kv_cache_layout="bhsd",
+        k_cache_scale=cache.k_scale, v_cache_scale=cache.v_scale,
+    )
+    np.testing.assert_allclose(
+        np.asarray(out_n), np.asarray(out_bshd), atol=3e-5, rtol=1e-4
+    )
