@@ -192,12 +192,32 @@ class MHA(nn.Module):
                         (b, hk, inference_params.max_seqlen, d), v.dtype
                     ),
                 )
-            kc, vc = cache[layer]
+            entry = cache[layer]
+            # int8-quantized entry (generation quantize_cache=True):
+            # (k_i8, v_i8, k_scale, v_scale), scales [B, Hk, D]
+            # (utils/generation.quantize_inference_cache). New rows are
+            # quantized with the FROZEN scales; the per-channel dequant
+            # folds exactly into q / the output around the kernel
+            # (ops/flash_fwd._decode_folded docstring).
+            quantized = len(entry) == 4
+            if quantized:
+                kc, vc, kq_scale, vq_scale = entry
+            else:
+                kc, vc = entry
             kn = k.transpose(0, 2, 1, 3)
             vn = v.transpose(0, 2, 1, 3)
+            if quantized:
+                from liteattention_tpu.ops.kv_quant import (
+                    quantize_rows_native,
+                )
+
+                kn = quantize_rows_native(kn, kq_scale)
+                vn = quantize_rows_native(vn, vq_scale)
             kc = jax.lax.dynamic_update_slice(kc, kn, (0, 0, offset, 0))
             vc = jax.lax.dynamic_update_slice(vc, vn, (0, 0, offset, 0))
-            cache[layer] = (kc, vc)
+            cache[layer] = (
+                (kc, vc, kq_scale, vq_scale) if quantized else (kc, vc)
+            )
             # Attend over the FULL fixed-capacity cache with a per-batch
             # bound: shapes are identical at every decode step, so the
             # step compiles once and replays -- the TPU analog of the
@@ -217,6 +237,11 @@ class MHA(nn.Module):
                 b_ = qh.shape[0]
                 group = h // hk
                 qp = qh.reshape(b_, hk, group, d)
+                if quantized:
+                    qp = (
+                        qp.astype(jnp.float32)
+                        * kq_scale[:, :, None, :]
+                    ).astype(qp.dtype)
                 oh = flash_attention_masked(
                     qp,
                     kc,
@@ -225,8 +250,18 @@ class MHA(nn.Module):
                     scale=self.softmax_scale,
                     bound_causal=False,
                     block_sizes=self.block_sizes or BlockSizes(128, 2048),
-                ).reshape(b_, h, 1, d)
+                )
+                if quantized:
+                    oh = (
+                        oh.astype(jnp.float32)
+                        * vq_scale[:, :, None, :]
+                    ).astype(q.dtype)
+                oh = oh.reshape(b_, h, 1, d)
             else:
+                assert not quantized, (
+                    "the quantized decode cache supports single-token "
+                    "steps without ALiBi (quantize after prefill)"
+                )
                 oh = flash_attention_masked(
                     qh,
                     kc,

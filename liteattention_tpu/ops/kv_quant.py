@@ -97,6 +97,32 @@ def quantize_kv_append(
     )
 
 
+def quantize_kv_cache_native(
+    k_cache: jax.Array, v_cache: jax.Array
+) -> QuantizedKVCache:
+    """Quantize NATIVE-layout caches ``[B, Hk, S, D]`` (the MHA decode
+    cache / ``kv_cache_layout="bhsd"``) to int8 with per-(batch,
+    kv-head, channel) scales -- absmax over the sequence axis (axis 2;
+    zero-filled capacity beyond the valid region never raises it).
+    The returned ``QuantizedKVCache.k/v`` stay in the native layout."""
+
+    def sc(x):
+        amax = jnp.max(jnp.abs(x.astype(jnp.float32)), axis=2)
+        return jnp.maximum(amax / 127.0, 1e-8)  # [B, Hk, D]
+
+    ks, vs = sc(k_cache), sc(v_cache)
+    kq = quantize_rows_native(k_cache, ks)
+    vq = quantize_rows_native(v_cache, vs)
+    return QuantizedKVCache(kq, vq, ks, vs)
+
+
+def quantize_rows_native(x: jax.Array, scale: jax.Array) -> jax.Array:
+    """Quantize native-layout rows ``[B, Hk, S_new, D]`` with existing
+    scales ``[B, Hk, D]`` (clamped -- decode appends)."""
+    q = jnp.round(x.astype(jnp.float32) / scale[:, :, None, :])
+    return jnp.clip(q, -127.0, 127.0).astype(jnp.int8)
+
+
 class QuantizedKVPages(NamedTuple):
     """int8 page pools + GLOBAL per-(kv-head, channel) scales.
 
@@ -183,6 +209,8 @@ __all__ = [
     "QuantizedKVCache",
     "QuantizedKVPages",
     "quantize_kv_cache",
+    "quantize_kv_cache_native",
+    "quantize_rows_native",
     "quantize_kv_append",
     "quantize_kv_pages",
     "quantize_pages_append",
