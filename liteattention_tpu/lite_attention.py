@@ -237,6 +237,18 @@ class LiteAttention:
         trades a slower sparsity ramp for amortizing the vote cost to
         ~1/cap once the mask converges -- which it does within a few
         steps at a fixed threshold because the update is a monotone AND.
+      adaptive_geometry: pick the gather compute tile per mask EPOCH
+        from the mask's measured q-coherence (off by default). The
+        schedule is per (b, head, kernel q-tile) and UNIONS the
+        ``block_q/128`` fine q-rows it covers; evolved video masks are
+        q-coherent (union density == live fraction, measured), but
+        INCOHERENT masks inflate the union toward 1-(1-live)^qsubs --
+        at 60% scattered sparsity the default (640, _) tile schedules
+        ~92% of tiles and converts almost nothing. When the measured
+        union density exceeds ``live * 1.15 + 0.02``, the engine drops
+        to the union-free (128, block_k) geometry for that mask epoch
+        (re-evaluated at every recompaction; the kernel is specialized
+        per geometry and jit-cached, so switching costs one compile).
     """
 
     def __init__(
@@ -247,6 +259,7 @@ class LiteAttention:
         block_sizes: Optional[BlockSizes] = None,
         vote_stride: int = 1,
         vote_backoff_cap: int = 0,
+        adaptive_geometry: bool = False,
     ):
         self._state: Optional[SkipMaskState] = None
         self._last_key = None
@@ -264,6 +277,8 @@ class LiteAttention:
         self._cur_stride = vote_stride
         self._since_vote = 0
         self._last_vote_live = None
+        self.adaptive_geometry = bool(adaptive_geometry)
+        self._geom_bs: Optional[BlockSizes] = None
         self.set_threshold(threshold)
 
     # -- reference-parity helpers -------------------------------------
@@ -271,6 +286,33 @@ class LiteAttention:
     @staticmethod
     def ceil_div(x: int, y: int) -> int:
         return cdiv(x, y)
+
+    def _pick_geometry(
+        self, do_mask: jax.Array, bs: BlockSizes
+    ) -> BlockSizes:
+        """Choose the gather compute tile for this mask epoch (see the
+        ``adaptive_geometry`` constructor doc). Runs once per
+        recompaction on the host (two cheap reductions + sync, same
+        cost class as the backoff's sparsity readback)."""
+        qsubs = bs.block_q // VOTE_TILE
+        if qsubs <= 1:
+            return bs
+        m = do_mask
+        qt = m.shape[2] // qsubs
+        live = float(jnp.mean(m.astype(jnp.float32)))
+        union = float(
+            jnp.mean(
+                jnp.any(
+                    m[:, :, : qt * qsubs].reshape(
+                        m.shape[0], m.shape[1], qt, qsubs, m.shape[3]
+                    ),
+                    axis=3,
+                ).astype(jnp.float32)
+            )
+        )
+        if union > live * 1.15 + 0.02 and live < 0.95:
+            return BlockSizes(VOTE_TILE, bs.block_k)
+        return bs
 
     def set_threshold(self, threshold: float):
         """Update the skip threshold (reference lite_attention.py:306-313).
@@ -405,10 +447,15 @@ class LiteAttention:
             # steps, so between them the gather schedule is reused
             # verbatim instead of re-running compact_mask_gather.
             if self._sched_cache is None:
+                if self.adaptive_geometry:
+                    bs = self._pick_geometry(state.do_mask, bs)
+                self._geom_bs = bs
                 bq, _ = effective_blocks(bs, q.shape[2], k.shape[2])
                 self._sched_cache = compact_mask_gather(
                     state.do_mask, bq // VOTE_TILE
                 )
+            else:
+                bs = self._geom_bs or bs
             schedule = self._sched_cache
         # Vote on the first call after (re)init and then every
         # vote_stride-th call; in between the mask is reused as-is and

@@ -196,3 +196,61 @@ def test_seq_parallel_wrapper_per_split_state():
     assert all(la.state is None for la in sp.lite_attention)
     sp.enable_skip_optimization(False)
     assert all(not la.enable_skipping for la in sp.lite_attention)
+
+
+def test_adaptive_geometry_picks_union_free_tile():
+    """adaptive_geometry: scattered (q-incoherent) masks switch the
+    engine to the (128, block_k) union-free tile; q-coherent masks keep
+    the default. Output stays oracle-exact either way."""
+    import numpy as np
+
+    from liteattention_tpu.lite_attention import LiteAttention
+    from liteattention_tpu.ops.tile_sizes import BlockSizes
+
+    b, s, h, d = 1, 1024, 2, 64
+    ks = jax.random.split(jax.random.PRNGKey(31), 3)
+    q = jax.random.normal(ks[0], (b, s, h, d), jnp.float32)
+    k = jax.random.normal(ks[1], (b, s, h, d), jnp.float32)
+    v = jax.random.normal(ks[2], (b, s, h, d), jnp.float32)
+
+    ktf = s // 128
+    rng = np.random.RandomState(32)
+    scattered = rng.rand(b, h, ktf, ktf) > 0.6
+    scattered[..., 0] = True
+    coherent = np.repeat(
+        rng.rand(b, h, 1, ktf) > 0.6, ktf, axis=2
+    )
+    coherent[..., 0] = True
+
+    for mask_np, expect_fine in [(scattered, True), (coherent, False)]:
+        attn = LiteAttention(
+            threshold=-10.0,
+            block_sizes=BlockSizes(512, 512),
+            adaptive_geometry=True,
+            max_batch_size=b,
+        )
+        # Seed the engine state with the prepared mask.
+        out0 = attn(q, k, v)
+        attn._state = attn._state._replace(
+            do_mask=jnp.asarray(mask_np)
+        )
+        attn._sched_cache = None
+        out = attn(q, k, v)
+        assert (attn._geom_bs.block_q == 128) == expect_fine, (
+            attn._geom_bs, expect_fine,
+        )
+        from liteattention_tpu.ops.attention_ref import attention_ref
+
+        ref, _ = attention_ref(
+            jnp.transpose(q, (0, 2, 1, 3)),
+            jnp.transpose(k, (0, 2, 1, 3)),
+            jnp.transpose(v, (0, 2, 1, 3)),
+            tile_mask=jnp.asarray(mask_np),
+            block_q=128,
+            block_k=128,
+        )
+        np.testing.assert_allclose(
+            np.asarray(jnp.transpose(out, (0, 2, 1, 3))),
+            np.asarray(ref),
+            atol=2e-4,
+        )

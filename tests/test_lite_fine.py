@@ -228,7 +228,9 @@ def test_fine_equals_coarse_at_128_blocks():
 
 
 @pytest.mark.parametrize(
-    "bq,bk", [(512, 512), (256, 256), (512, 256), (640, 1024)]
+    "bq,bk",
+    [(512, 512), (256, 256), (512, 256), (640, 1024), (128, 512),
+     (128, 1024)],  # qsubs=1 = the adaptive union-free geometry
 )
 def test_gather_output_matches_fine_oracle(bq, bk):
     from liteattention_tpu.ops.mask import compact_mask_gather

@@ -275,7 +275,7 @@ def main():
         )
         print(f"dense best-default: {t_best*1e3:.2f} ms")
 
-        for bq, bk in [(512, 1024)]:
+        for bq, bk in [(640, 1024)]:  # engine default (round 3)
             bs = BlockSizes(bq, bk)
 
             @jax.jit
