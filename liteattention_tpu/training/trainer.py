@@ -68,6 +68,18 @@ class TrainConfig:
     # per-submodule norms to spot divergence/dead layers). Off by
     # default: it adds one small reduction per module per step.
     norm_monitor: bool = False
+    # Gradient-compression comm hook (reference
+    # training/src/distributed/ddp_comm_hooks.py fp16_compress_hook):
+    # divide the local gradients by the dp world size FIRST (overflow
+    # safety — the reference comments on exactly this ordering), cast to
+    # this dtype, all-reduce on the wire in the compressed dtype, cast
+    # back to the gradient dtype. "bfloat16" is the TPU-native choice
+    # (same wire width as fp16, fp32-matching range so the pre-divide is
+    # belt-and-braces). None = full-precision reduction (XLA's implicit
+    # psum). Ignored without a mesh (world size 1 has no wire). May be
+    # combined with shard_grads, but the compressed path communicates
+    # via all-reduce, so ZeRO-2's reduce-scatter saving does not apply.
+    grad_comm_dtype: Optional[str] = None
 
 
 def TrainState(**kwargs) -> Dict[str, Any]:
@@ -117,9 +129,43 @@ class Trainer:
 
         self._grad_constraint = None
 
+        self._grads_fn = None
+        if config.grad_comm_dtype is not None and mesh is not None:
+            cdtype = jnp.dtype(config.grad_comm_dtype)
+            ndev = mesh.shape[dp_axis]
+
+            def _local_grads(params, batch):
+                loss, grads = jax.value_and_grad(self._loss_fn)(
+                    params, batch
+                )
+                # fp16_compress_hook order: /world_size, cast, reduce,
+                # cast back. psum of the per-shard batch-mean grads
+                # divided by ndev = the global batch mean.
+                grads = jax.tree_util.tree_map(
+                    lambda g: jax.lax.psum(
+                        (g / ndev).astype(cdtype), dp_axis
+                    ).astype(g.dtype),
+                    grads,
+                )
+                loss = jax.lax.pmean(loss, dp_axis)
+                return loss, grads
+
+            self._grads_fn = jax.shard_map(
+                _local_grads,
+                mesh=mesh,
+                in_specs=(P(), P(dp_axis)),
+                out_specs=(P(), P()),
+                check_vma=False,
+            )
+
         def step(state, batch):
             params = state["params"]
-            loss, grads = jax.value_and_grad(self._loss_fn)(params, batch)
+            if self._grads_fn is not None:
+                loss, grads = self._grads_fn(params, batch)
+            else:
+                loss, grads = jax.value_and_grad(self._loss_fn)(
+                    params, batch
+                )
             gnorm = optax.global_norm(grads)
             if self._grad_constraint is not None:
                 # ZeRO-2: constrain the gradient tree to the dp-sharded
