@@ -277,24 +277,16 @@ def _paged_folded_kernel(
     # scalar prefetch
     lengths_ref,  # SMEM [B] int32
     page_tbl_ref,  # SMEM [B, P] int32 (used by the index maps)
-    # inputs
+    # inputs: qbd, then pages_per_step k page refs, then as many v refs
     qbd_ref,  # VMEM (1, 1, 128, L) block-diagonal packed q
-    k_ref,  # VMEM (1, page_size, L): one page, ALL slab heads' lanes
-    v_ref,
-    # outputs
-    o_ref,  # VMEM (1, 1, 128, L)
-    lse_ref,  # VMEM (1, 1, 128, MIN_LANES) fp32
-    # scratch
-    m_scr,
-    l_scr,
-    acc_scr,
-    *,
+    *refs,
     scale: float,
     page_size: int,
     pages_per_seq: int,
     rows_per_head: int,
     seqlen_q: int,
     causal: bool,
+    pages_per_step: int,
 ):
     """Head-folded paged decode step (see flash_fwd._decode_folded_kernel
     for the block-diagonal trick; reference paged_kv.h + pack_gqa.h).
@@ -302,7 +294,18 @@ def _paged_folded_kernel(
     Pages are streamed in the NATIVE pool layout [num_pages, page_size,
     Hk*D]: one page is one full-lane contiguous block (512 KB at
     hk=8/d=128 vs the 64 KB per-head slabs of the per-head walk), and
-    one wide matmul pair covers every head in the slab."""
+    one wide matmul pair covers every head in the slab.
+
+    ``pages_per_step`` pages arrive per grid step as parallel block
+    streams (each its own double-buffered DMA): small pages (int8 pools
+    halve the page to 256 KB at page_size=256/hk=8) under-fill a single
+    stream's pipeline, so batching pages per step amortizes the per-step
+    fixed cost and keeps more DMAs in flight."""
+    n = pages_per_step
+    k_refs = refs[:n]
+    v_refs = refs[n : 2 * n]
+    o_ref, lse_ref, m_scr, l_scr, acc_scr = refs[2 * n :]
+    num_steps = (pages_per_seq + n - 1) // n
     b = pl.program_id(0)
     j = pl.program_id(2)
     length = lengths_ref[b]
@@ -319,56 +322,61 @@ def _paged_folded_kernel(
         else jax.lax.Precision.DEFAULT
     )
 
-    @pl.when(j * page_size < length)
-    def _step():
-        q = qbd_ref[0, 0]
-        k = k_ref[0]
-        if k.dtype == jnp.int8:
-            # int8-quantized pool (ops/kv_quant.quantize_kv_pages):
-            # global per-(head, channel) scales fold into q / the
-            # output on the host; the page DMA moved half the bytes.
-            k = k.astype(q.dtype)
-        s = jax.lax.dot_general(
-            q,
-            k,
-            dimension_numbers=(((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32,
-            precision=precision,
-        ) * (scale * LOG2E)
-        col = (
-            jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
-            + j * page_size
-        )
-        if causal and seqlen_q > 1:
-            # Row r of the block-diag layout is (head j_slab, t) with
-            # t = g*seqlen_q + qi; bottom-right causality bounds row r
-            # at length - seqlen_q + qi + 1.
-            qi_row = (
-                jax.lax.broadcasted_iota(jnp.int32, s.shape, 0)
-                % rows_per_head
-            ) % seqlen_q
-            bound = length - seqlen_q + qi_row + 1
-        else:
-            bound = length
-        s = jnp.where(col < bound, s, DEFAULT_MASK_VALUE)
-        m_prev = m_scr[...]
-        m_curr = jnp.max(s, axis=1, keepdims=True)
-        m_next = jnp.maximum(m_prev, m_curr)
-        alpha = jnp.exp2(m_prev[:, :1] - m_next[:, :1])
-        p = jnp.exp2(s - m_next[:, :1])
-        m_scr[...] = m_next
-        l_scr[...] = alpha * l_scr[...] + jnp.sum(p, axis=1, keepdims=True)
-        v = v_ref[0]
-        if v.dtype == jnp.int8:
-            v = v.astype(q.dtype)
-        acc_scr[...] = acc_scr[...] * alpha + jax.lax.dot(
-            p.astype(v.dtype),
-            v,
-            preferred_element_type=jnp.float32,
-            precision=precision,
-        )
+    for t in range(n):
+        page_idx = j * n + t
 
-    @pl.when(j == pages_per_seq - 1)
+        @pl.when(page_idx * page_size < length)
+        def _step(page_idx=page_idx, k_ref=k_refs[t], v_ref=v_refs[t]):
+            q = qbd_ref[0, 0]
+            k = k_ref[0]
+            if k.dtype == jnp.int8:
+                # int8-quantized pool (ops/kv_quant.quantize_kv_pages):
+                # global per-(head, channel) scales fold into q / the
+                # output on the host; the page DMA moved half the bytes.
+                k = k.astype(q.dtype)
+            s = jax.lax.dot_general(
+                q,
+                k,
+                dimension_numbers=(((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+                precision=precision,
+            ) * (scale * LOG2E)
+            col = (
+                jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
+                + page_idx * page_size
+            )
+            if causal and seqlen_q > 1:
+                # Row r of the block-diag layout is (head j_slab, t) with
+                # t = g*seqlen_q + qi; bottom-right causality bounds row
+                # r at length - seqlen_q + qi + 1.
+                qi_row = (
+                    jax.lax.broadcasted_iota(jnp.int32, s.shape, 0)
+                    % rows_per_head
+                ) % seqlen_q
+                bound = length - seqlen_q + qi_row + 1
+            else:
+                bound = length
+            s = jnp.where(col < bound, s, DEFAULT_MASK_VALUE)
+            m_prev = m_scr[...]
+            m_curr = jnp.max(s, axis=1, keepdims=True)
+            m_next = jnp.maximum(m_prev, m_curr)
+            alpha = jnp.exp2(m_prev[:, :1] - m_next[:, :1])
+            p = jnp.exp2(s - m_next[:, :1])
+            m_scr[...] = m_next
+            l_scr[...] = alpha * l_scr[...] + jnp.sum(
+                p, axis=1, keepdims=True
+            )
+            v = v_ref[0]
+            if v.dtype == jnp.int8:
+                v = v.astype(q.dtype)
+            acc_scr[...] = acc_scr[...] * alpha + jax.lax.dot(
+                p.astype(v.dtype),
+                v,
+                preferred_element_type=jnp.float32,
+                precision=precision,
+            )
+
+    @pl.when(j == num_steps - 1)
     def _store():
         l = l_scr[:, :1]
         m_col = m_scr[:, :1]
@@ -389,7 +397,10 @@ def _paged_folded_kernel(
 
 
 @functools.partial(
-    jax.jit, static_argnames=("scale", "causal", "return_lse", "interpret")
+    jax.jit,
+    static_argnames=(
+        "scale", "causal", "return_lse", "interpret", "pages_per_step"
+    ),
 )
 def paged_attention_folded(
     q: jax.Array,
@@ -403,6 +414,7 @@ def paged_attention_folded(
     interpret: Optional[bool] = None,
     k_scale: Optional[jax.Array] = None,
     v_scale: Optional[jax.Array] = None,
+    pages_per_step: Optional[int] = None,
 ):
     """Head-folded paged decode over the NATIVE page-pool layout.
 
@@ -464,14 +476,32 @@ def paged_attention_folded(
     vf = v_pages.reshape(num_pages, page_size, hk * d)
     pages_per_seq = page_indices.shape[1]
 
-    def kv_map(bi, ni, j, lens, tbl):
-        # Clamp dead-tail table entries (documented as ignored) so the
-        # prefetched block index stays in the pool.
-        return (
-            jnp.minimum(tbl[bi, j], num_pages - 1),
-            0,
-            ni,
-        )
+    if pages_per_step is None:
+        # Auto: batch pages until one step's K stream reaches ~512 KB
+        # (the granularity at which the single-stream bf16 pool already
+        # runs near its measured ceiling). int8 at page_size=256/hk=8
+        # gets 2 pages/step; bf16 1.
+        page_bytes = page_size * lanes * k_pages.dtype.itemsize
+        pages_per_step = max(1, min(4, (512 * 1024) // max(page_bytes, 1)))
+    pages_per_step = max(1, min(pages_per_step, pages_per_seq))
+    num_steps = -(-pages_per_seq // pages_per_step)
+
+    def kv_map_t(t):
+        def kv_map(bi, ni, j, lens, tbl):
+            # Clamp both the table column (padded tail steps) and the
+            # dead-tail table entries (documented as ignored) so the
+            # prefetched block index stays in the pool; masked-out
+            # columns make duplicate fetches harmless.
+            col = jnp.minimum(
+                j * pages_per_step + t, pages_per_seq - 1
+            )
+            return (
+                jnp.minimum(tbl[bi, col], num_pages - 1),
+                0,
+                ni,
+            )
+
+        return kv_map
 
     kernel = functools.partial(
         _paged_folded_kernel,
@@ -481,17 +511,22 @@ def paged_attention_folded(
         rows_per_head=rows_per_head,
         seqlen_q=sq,
         causal=causal,
+        pages_per_step=pages_per_step,
     )
+    page_spec = [
+        pl.BlockSpec((1, page_size, lanes), kv_map_t(t))
+        for t in range(pages_per_step)
+    ]
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
-        grid=(b, nslab, pages_per_seq),
+        grid=(b, nslab, num_steps),
         in_specs=[
             pl.BlockSpec(
                 (1, 1, 128, lanes),
                 lambda bi, ni, j, lens, tbl: (bi, ni, 0, 0),
             ),
-            pl.BlockSpec((1, page_size, lanes), kv_map),
-            pl.BlockSpec((1, page_size, lanes), kv_map),
+            *page_spec,
+            *page_spec,
         ],
         out_specs=[
             pl.BlockSpec(
@@ -521,7 +556,7 @@ def paged_attention_folded(
         ),
         interpret=interpret,
     )(lengths.astype(jnp.int32), page_indices.astype(jnp.int32), qbd,
-      kf, vf)
+      *([kf] * pages_per_step), *([vf] * pages_per_step))
 
     # Diagonal extraction via einsum-with-identity (advanced-indexing
     # diagonals lower to a serial-slow TPU gather; see

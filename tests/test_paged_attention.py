@@ -90,3 +90,38 @@ def test_paged_folded_matches_per_head(b, hq, hk, sq):
     np.testing.assert_allclose(
         np.asarray(l1), np.asarray(l2), atol=3e-5, rtol=1e-5
     )
+
+
+@pytest.mark.parametrize("pages_per_step", [2, 3, 4])
+def test_paged_folded_multi_page_step(pages_per_step):
+    """pages_per_step batches N pages into one grid step as parallel
+    block streams (DMA-granularity fix for small int8 pages). Any N,
+    including non-dividing tails, must match the single-page walk."""
+    from liteattention_tpu.ops.paged_attention import (
+        paged_attention_folded,
+    )
+
+    b, hq, hk, sq, d, ps, pps = 2, 8, 2, 1, 128, 32, 5
+    rng = np.random.RandomState(7)
+    npg = b * pps + 2
+    q = jnp.asarray(rng.randn(b, sq, hq, d), jnp.float32)
+    kp = jnp.asarray(rng.randn(npg, ps, hk, d), jnp.float32)
+    vp = jnp.asarray(rng.randn(npg, ps, hk, d), jnp.float32)
+    tbl = jnp.asarray(
+        rng.permutation(npg)[: b * pps].reshape(b, pps), jnp.int32
+    )
+    lens = jnp.asarray([ps * pps - 7, ps + 3], jnp.int32)
+    o1, l1 = paged_attention_folded(
+        q, kp, vp, lens, tbl, causal=True, return_lse=True,
+        pages_per_step=1,
+    )
+    oN, lN = paged_attention_folded(
+        q, kp, vp, lens, tbl, causal=True, return_lse=True,
+        pages_per_step=pages_per_step,
+    )
+    np.testing.assert_allclose(
+        np.asarray(o1), np.asarray(oN), atol=2e-6, rtol=1e-6
+    )
+    np.testing.assert_allclose(
+        np.asarray(l1), np.asarray(lN), atol=2e-6, rtol=1e-6
+    )
