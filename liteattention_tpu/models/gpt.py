@@ -249,6 +249,39 @@ class GPTLMHeadModel(nn.Module):
             logits = logits * self.cfg.logits_multiplier
         return logits.astype(jnp.float32)
 
+    def generate(
+        self,
+        params,
+        input_ids: jax.Array,
+        max_length: int,
+        top_k: int = 1,
+        top_p: float = 0.0,
+        temperature: float = 1.0,
+        rng: Optional[jax.Array] = None,
+        eos_token_id: Optional[int] = None,
+        **kwargs,
+    ) -> jax.Array:
+        """Reference ``GenerationMixin.generate``
+        (flash_attn/utils/generation.py:566-587): kv-cached decode up to
+        ``max_length`` total tokens. top_k=1 (the reference default) is
+        greedy; pass ``rng`` + temperature/top_k/top_p for sampling."""
+        from liteattention_tpu.utils.generation import greedy_decode
+
+        greedy = rng is None or temperature == 0.0 or top_k == 1
+        return greedy_decode(
+            lambda p, ids, inf: self.apply(p, ids, inference_params=inf),
+            params,
+            input_ids,
+            max_new_tokens=max_length - input_ids.shape[1],
+            max_seqlen=max_length,
+            rng=None if greedy else rng,
+            temperature=temperature,
+            top_k=top_k,
+            top_p=top_p,
+            eos_token_id=eos_token_id,
+            **kwargs,
+        )
+
 
 def gpt_loss_fn(model: GPTLMHeadModel, params, input_ids, labels):
     """Next-token CE loss (the training objective of the reference's

@@ -158,3 +158,15 @@ def test_remat_matches_no_remat():
         np.testing.assert_allclose(
             np.asarray(a), np.asarray(b), rtol=2e-3, atol=2e-5
         )
+
+
+def test_generate_method_matches_greedy_decode():
+    """GenerationMixin parity (reference generation.py:566-587):
+    model.generate == greedy_decode at top_k=1."""
+    cfg = GPTConfig.tiny()
+    model, params, ids = _model_and_params(cfg, s=8)
+    apply_fn = lambda p, i, inf: model.apply(p, i, inference_params=inf)
+    ref = greedy_decode(apply_fn, params, ids[:1], max_new_tokens=4,
+                        max_seqlen=12)
+    out = model.generate(params, ids[:1], max_length=12)
+    np.testing.assert_array_equal(np.asarray(ref), np.asarray(out))
