@@ -1,6 +1,10 @@
 """Multi-chip parallelism: mesh-native sequence-parallel LiteAttention,
 ring attention, tensor-parallel layers."""
 
+from liteattention_tpu.parallel.pipeline import (
+    pipeline_apply,
+    pipeline_apply_local,
+)
 from liteattention_tpu.parallel.ring_attention import (
     ring_attention_local,
     ring_self_attention,
@@ -15,4 +19,6 @@ __all__ = [
     "seq_parallel_spec",
     "ring_attention_local",
     "ring_self_attention",
+    "pipeline_apply",
+    "pipeline_apply_local",
 ]
