@@ -56,6 +56,13 @@ class GPTConfig:
     # GPT-J's untied lm_head carries a bias (reference models/gptj.py).
     lm_head_bias: bool = False
     gated_mlp: bool = False  # LLaMA-style SwiGLU
+    # Mixture-of-Experts FFN (beyond the reference, modules/moe.py):
+    # >0 replaces the dense MLP with moe_experts experts, top-k routed
+    # with a fixed capacity; the Switch load-balance aux loss is sown
+    # under the "losses" collection ("moe_aux" per block).
+    moe_experts: int = 0
+    moe_top_k: int = 2
+    moe_capacity_factor: float = 1.25
     parallel_block: bool = False  # GPT-J/NeoX fused block
     # NeoX keeps separate norms for the parallel attn/MLP branches
     # (HF use_parallel_residual); Falcon-7B ties them.
@@ -169,7 +176,19 @@ class GPTModel(nn.Module):
                 act = functools.partial(nn.gelu, approximate=False)
             else:
                 act = nn.gelu
-            if cfg.gated_mlp:
+            if cfg.moe_experts > 0:
+                from liteattention_tpu.modules.moe import MoEMlp
+
+                mlp = lambda: MoEMlp(
+                    dim=cfg.dim,
+                    hidden=cfg.ffn_dim or 4 * cfg.dim,
+                    num_experts=cfg.moe_experts,
+                    top_k=cfg.moe_top_k,
+                    capacity_factor=cfg.moe_capacity_factor,
+                    dtype=cfg.dtype,
+                    name="mlp",
+                )
+            elif cfg.gated_mlp:
                 mlp = lambda: GatedMlp(
                     cfg.ffn_dim or 4 * cfg.dim,
                     bias1=cfg.mlp_bias,

@@ -108,3 +108,35 @@ def test_moe_flax_module():
     assert y.shape == x.shape
     assert np.isfinite(np.asarray(y)).all()
     assert "moe_aux" in state["losses"]
+
+
+def test_moe_gpt_forward_and_grads():
+    """GPTConfig(moe_experts>0) swaps the dense MLP for MoE; forward,
+    grads, and the sown aux loss all work through the backbone."""
+    from liteattention_tpu.losses import cross_entropy_loss
+    from liteattention_tpu.models.gpt import GPTConfig, GPTLMHeadModel
+
+    cfg = GPTConfig(
+        vocab_size=128, max_position_embeddings=64, dim=64,
+        num_layers=2, num_heads=2, moe_experts=4, moe_top_k=2,
+    )
+    model = GPTLMHeadModel(cfg)
+    ids = jax.random.randint(jax.random.PRNGKey(0), (2, 32), 0, 128)
+    variables = jax.jit(model.init)(jax.random.PRNGKey(1), ids)
+    params = {"params": variables["params"]}  # drop init-time sows
+    logits, state = model.apply(params, ids, mutable=["losses"])
+    assert logits.shape == (2, 32, 128)
+    aux = jax.tree_util.tree_leaves(state["losses"])
+    assert len(aux) == 2 and all(np.isfinite(float(a)) for a in aux)
+
+    def loss(p):
+        lg, st = model.apply(p, ids, mutable=["losses"])
+        ce = cross_entropy_loss(lg[:, :-1], ids[:, 1:])
+        return ce + 0.01 * sum(jax.tree_util.tree_leaves(st["losses"]))
+
+    g = jax.jit(jax.grad(loss))(params)
+    leaves = jax.tree_util.tree_leaves(g)
+    assert all(np.isfinite(np.asarray(l)).all() for l in leaves)
+    # Router grads must be nonzero (the aux loss trains the router).
+    r = g["params"]["transformer"]["block_0"]["mlp"]["moe"]["router"]
+    assert float(jnp.abs(r).max()) > 0
