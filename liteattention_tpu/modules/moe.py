@@ -176,9 +176,11 @@ def moe_apply_sharded(
     single-device and expert-parallel results match exactly when no
     token overflows."""
     n = mesh.shape[axis_name]
+    e = params["router"].shape[1]
+    assert e % n == 0, f"num_experts {e} not divisible by |{axis_name}|={n}"
+    assert x.shape[0] % n == 0, "token count not divisible by the ep axis"
     if capacity is None:
         t_local = x.shape[0] // n
-        e = params["router"].shape[1]
         capacity = max(1, int(capacity_factor * top_k * t_local / e))
 
     def local(p, xs):

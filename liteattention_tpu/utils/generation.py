@@ -266,6 +266,9 @@ def decode_speculative(
     """
     b, prompt_len = input_ids.shape
     assert b == 1, "speculative decoding supports batch_size=1 (ref parity)"
+    if max_new_tokens <= 0:
+        return (input_ids, {"accepted_per_round": [], "rounds": 0}
+                ) if return_stats else input_ids
     lookahead = max(1, speculative_lookahead)
     inf_main = InferenceParams(max_seqlen=max_seqlen, max_batch_size=b)
     inf_draft = InferenceParams(max_seqlen=max_seqlen, max_batch_size=b)
