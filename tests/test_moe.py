@@ -140,3 +140,35 @@ def test_moe_gpt_forward_and_grads():
     # Router grads must be nonzero (the aux loss trains the router).
     r = g["params"]["transformer"]["block_0"]["mlp"]["moe"]["router"]
     assert float(jnp.abs(r).max()) > 0
+
+
+def test_moe_gpt_trains():
+    """MoE GPT memorizes a fixed batch through the Trainer with the aux
+    loss folded in (router + experts both receive gradients)."""
+    import itertools
+
+    from liteattention_tpu.losses import cross_entropy_loss
+    from liteattention_tpu.models.gpt import GPTConfig, GPTLMHeadModel
+    from liteattention_tpu.training.trainer import TrainConfig, Trainer
+
+    cfg = GPTConfig(
+        vocab_size=64, max_position_embeddings=32, dim=48,
+        num_layers=1, num_heads=2, moe_experts=4,
+    )
+    model = GPTLMHeadModel(cfg)
+    ids = jax.random.randint(jax.random.PRNGKey(0), (4, 16), 0, 64)
+    variables = jax.jit(model.init)(jax.random.PRNGKey(1), ids)
+    params = {"params": variables["params"]}
+
+    def loss_fn(p, batch):
+        lg, st = model.apply(p, batch, mutable=["losses"])
+        ce = cross_entropy_loss(lg[:, :-1], batch[:, 1:])
+        return ce + 0.01 * sum(jax.tree_util.tree_leaves(st["losses"]))
+
+    tr = Trainer(loss_fn, TrainConfig(learning_rate=3e-3, warmup_steps=2,
+                                      total_steps=40))
+    state = tr.init_state(params)
+    logs = []
+    tr.fit(state, itertools.repeat(np.asarray(ids)), 20, log_every=10,
+           log_fn=logs.append)
+    assert logs[-1]["loss"] < logs[0]["loss"]
