@@ -8,6 +8,8 @@ from liteattention_tpu.parallel.pipeline import (
 from liteattention_tpu.parallel.ring_attention import (
     ring_attention_local,
     ring_self_attention,
+    ulysses_attention_local,
+    ulysses_self_attention,
 )
 from liteattention_tpu.parallel.seq_parallel import (
     make_seq_parallel_attention,
@@ -21,4 +23,6 @@ __all__ = [
     "ring_self_attention",
     "pipeline_apply",
     "pipeline_apply_local",
+    "ulysses_attention_local",
+    "ulysses_self_attention",
 ]

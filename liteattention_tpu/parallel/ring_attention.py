@@ -240,6 +240,74 @@ def ring_attention_local(
     return out
 
 
+def ulysses_attention_local(
+    q: jax.Array,
+    k: jax.Array,
+    v: jax.Array,
+    axis_name: str,
+    causal: bool = False,
+    scale: Optional[float] = None,
+    interpret: Optional[bool] = None,
+):
+    """Ulysses/DeepSpeed-style context parallelism (the other algorithm
+    SURVEY §2.4 lists as absent upstream): instead of rotating KV, one
+    ``all_to_all`` re-shards from sequence-sharded ``[B, H, S/n, D]`` to
+    head-sharded ``[B, H/n, S, D]``, the local flash kernel runs the
+    FULL sequence for its head group (exact causality for free -- no
+    block scheduling), and a second ``all_to_all`` restores sequence
+    sharding. Two collectives total vs the ring's n-1 hops; requires
+    ``H % n == 0`` (the ring has no such constraint). Call inside
+    ``shard_map``."""
+    n = jax.lax.axis_size(axis_name)
+    h = q.shape[1]
+    assert h % n == 0, f"heads {h} not divisible by |{axis_name}|={n}"
+    if scale is None:
+        scale = 1.0 / (q.shape[-1] ** 0.5)
+
+    def seq_to_head(x):
+        # [B, Hl, S/n, D] local -> [B, Hl/n, S, D] local.
+        return jax.lax.all_to_all(
+            x, axis_name, split_axis=1, concat_axis=2, tiled=True
+        )
+
+    qh, kh, vh = seq_to_head(q), seq_to_head(k), seq_to_head(v)
+    out = flash_attention(
+        qh, kh, vh, scale=scale, causal=causal, interpret=interpret
+    )
+    return jax.lax.all_to_all(
+        out, axis_name, split_axis=2, concat_axis=1, tiled=True
+    )
+
+
+def ulysses_self_attention(
+    q: jax.Array,
+    k: jax.Array,
+    v: jax.Array,
+    mesh: Mesh,
+    axis_name: str = "sp",
+    causal: bool = False,
+    scale: Optional[float] = None,
+    interpret: Optional[bool] = None,
+):
+    """Jit-able global entry for :func:`ulysses_attention_local`
+    (``q/k/v [B, H, S, D]``, S and H divisible by the axis size)."""
+
+    def local(qs, ks, vs):
+        return ulysses_attention_local(
+            qs, ks, vs, axis_name, causal=causal, scale=scale,
+            interpret=interpret,
+        )
+
+    spec = P(None, None, axis_name, None)
+    return jax.shard_map(
+        local,
+        mesh=mesh,
+        in_specs=(spec, spec, spec),
+        out_specs=spec,
+        check_vma=False,
+    )(q, k, v)
+
+
 def ring_self_attention(
     q: jax.Array,
     k: jax.Array,
@@ -270,4 +338,5 @@ def ring_self_attention(
     )(q, k, v)
 
 
-__all__ = ["ring_attention_local", "ring_self_attention"]
+__all__ = ["ring_attention_local", "ring_self_attention",
+           "ulysses_attention_local", "ulysses_self_attention"]

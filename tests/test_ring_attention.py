@@ -72,3 +72,38 @@ def test_ring_gqa_and_uneven_batch():
     np.testing.assert_allclose(
         np.asarray(out), np.asarray(ref), atol=2e-5, rtol=2e-5
     )
+
+
+@pytest.mark.parametrize("causal", [False, True])
+def test_ulysses_matches_oracle(causal):
+    """Ulysses head-scatter context parallelism == dense oracle.
+    Differentiability comes for free (all_to_all + kernel VJP, no merge
+    through lse), checked with a grad spot-check."""
+    from liteattention_tpu.parallel.ring_attention import (
+        ulysses_self_attention,
+    )
+
+    mesh = _mesh(4)
+    b, h, s, d = 2, 4, 4 * 128, 64
+    ks = jax.random.split(jax.random.PRNGKey(3), 3)
+    q = jax.random.normal(ks[0], (b, h, s, d), jnp.float32)
+    k = jax.random.normal(ks[1], (b, h, s, d), jnp.float32)
+    v = jax.random.normal(ks[2], (b, h, s, d), jnp.float32)
+    ref, _ = attention_ref(q, k, v, causal=causal)
+    out = ulysses_self_attention(q, k, v, mesh, "sp", causal=causal)
+    np.testing.assert_allclose(
+        np.asarray(out), np.asarray(ref), atol=2e-5, rtol=2e-5
+    )
+    if causal:
+        g = jax.grad(
+            lambda q_: jnp.sum(
+                ulysses_self_attention(q_, k, v, mesh, "sp", causal=True)
+                ** 2
+            )
+        )(q)
+        gr = jax.grad(
+            lambda q_: jnp.sum(attention_ref(q_, k, v, causal=True)[0] ** 2)
+        )(q)
+        np.testing.assert_allclose(
+            np.asarray(g), np.asarray(gr), atol=3e-4, rtol=3e-4
+        )

@@ -302,3 +302,35 @@ def test_grad_comm_dtype_compression():
         np.testing.assert_allclose(
             a["grad_norm"], b["grad_norm"], rtol=5e-2
         )
+
+
+def test_jsonl_logger_roundtrip(tmp_path):
+    """JSONL metrics sink (reference: Lightning W&B/CSV loggers):
+    records survive a round-trip, appends resume, truncation tolerated."""
+    import itertools
+
+    from liteattention_tpu.training.logging import (
+        JsonlLogger,
+        read_jsonl,
+    )
+
+    path = str(tmp_path / "m.jsonl")
+    cfg, model, params, loss_fn, _ = _setup()
+    tcfg = TrainConfig(learning_rate=1e-3, warmup_steps=2, total_steps=20)
+    trainer = Trainer(loss_fn, tcfg)
+    state = trainer.init_state(params)
+    fixed = next(synthetic_lm_batches(cfg.vocab_size, 4, 32, seed=3))
+    with JsonlLogger(path) as logger:
+        trainer.fit(state, itertools.repeat(fixed), 4, log_every=2,
+                    log_fn=logger, tokens_per_batch=128,
+                    flops_per_batch=1e9)
+    recs = read_jsonl(path)
+    assert len(recs) == 2
+    assert {"step", "loss", "grad_norm", "mfu", "tokens_per_s"} <= set(recs[0])
+    # Append-resume + truncated-tail tolerance.
+    with JsonlLogger(path) as logger:
+        logger({"step": 99, "loss": 0.5})
+    with open(path, "a") as f:
+        f.write('{"step": 100, "lo')  # crash mid-write
+    recs = read_jsonl(path)
+    assert len(recs) == 3 and recs[-1]["step"] == 99
