@@ -143,6 +143,44 @@ def main():
             f"paged decode b{i}", outp[i][:, None][None], refp, 3e-5
         )
 
+    # Folded paged decode (native pools), multi-page steps, int8 pool.
+    from liteattention_tpu.ops.kv_quant import quantize_kv_pages
+    from liteattention_tpu.ops.paged_attention import (
+        paged_attention_folded,
+    )
+
+    hq2, hk2, d2, psz2, pps2 = 8, 4, 128, 64, 5
+    npg2 = 2 * pps2 + 2
+    kp2 = jax.random.normal(
+        ks[1], (npg2, psz2, hk2, d2), jnp.float32
+    )
+    vp2 = jax.random.normal(ks[2], (npg2, psz2, hk2, d2), jnp.float32)
+    q2 = jax.random.normal(ks[0], (2, 1, hq2, d2), jnp.float32)
+    tbl2 = jnp.asarray(
+        np.random.RandomState(3).permutation(npg2)[: 2 * pps2]
+        .reshape(2, pps2),
+        jnp.int32,
+    )
+    lens2 = jnp.asarray([psz2 * pps2 - 9, psz2 + 5], jnp.int32)
+    f1 = paged_attention_folded(
+        q2, kp2, vp2, lens2, tbl2, causal=True, interpret=False,
+        pages_per_step=1,
+    )
+    f3 = paged_attention_folded(
+        q2, kp2, vp2, lens2, tbl2, causal=True, interpret=False,
+        pages_per_step=3,
+    )
+    ok &= check("folded paged pages_per_step=3", f3, f1, 3e-5)
+    pool = quantize_kv_pages(kp2.astype(jnp.bfloat16),
+                             vp2.astype(jnp.bfloat16))
+    fi8 = paged_attention_folded(
+        q2.astype(jnp.bfloat16), pool.k, pool.v, lens2, tbl2,
+        causal=True, interpret=False, k_scale=pool.k_scale,
+        v_scale=pool.v_scale,
+    )
+    ok &= check("folded paged int8 (auto multi-page)",
+                fi8.astype(jnp.float32), f1, 0.06)
+
     # Backward vs autodiff-of-oracle.
     def loss_kernel(q, k, v):
         return jnp.sum(
