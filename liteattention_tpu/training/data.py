@@ -83,3 +83,57 @@ def synthetic_lm_batches(
 
 
 __all__ = ["FaultTolerantSampler", "synthetic_lm_batches"]
+
+
+class LMDataset:
+    """Chunked language-modeling view over one long token array
+    (reference training/src/datamodules/datasets/lm_dataset.py:10-32):
+    sequence ``i`` is ``tokens[i*L : i*L + L + 1]`` -- input = ``[:-1]``,
+    target = ``[1:]`` (the +1 overlap supplies the next-token labels).
+    ``tokens`` may be an ``np.memmap`` (the reference concat-tokenizes
+    corpora into a uint16/int32 memmap; only the indexed window is ever
+    materialized -- no slicing of the whole array)."""
+
+    def __init__(self, tokens, seq_len: int, drop_last: bool = True):
+        self.seq_len = seq_len
+        ntokens = len(tokens)
+        if drop_last:
+            ntokens = ((ntokens - 1) // seq_len) * seq_len + 1
+        self.ntokens = ntokens
+        self.tokens = tokens
+        self.total_sequences = -(-(self.ntokens - 1) // seq_len)
+
+    def __len__(self) -> int:
+        return self.total_sequences
+
+    def __getitem__(self, idx: int) -> np.ndarray:
+        start = idx * self.seq_len
+        n = min(self.seq_len, self.ntokens - 1 - start)
+        return np.asarray(
+            self.tokens[start : start + n + 1], dtype=np.int32
+        )
+
+
+def memmap_lm_batches(
+    tokens,
+    batch_size: int,
+    seq_len: int,
+    seed: int = 0,
+    sampler: Optional[FaultTolerantSampler] = None,
+) -> Iterator[np.ndarray]:
+    """Shuffled, resumable LM batch stream over a (memmap) token array:
+    ``[B, seq_len + 1]`` int32 batches (feed ``batch[:, :-1]`` /
+    ``batch[:, 1:]`` to the loss). Pass a :class:`FaultTolerantSampler`
+    to resume mid-epoch after a failure (its ``state_dict`` round-trips
+    through the checkpoint)."""
+    ds = LMDataset(tokens, seq_len)
+    full = (len(ds) - 1) if (ds.ntokens - 1) % seq_len else len(ds)
+    if sampler is None:
+        sampler = FaultTolerantSampler(num_samples=full, seed=seed)
+    while True:
+        batch = []
+        for idx in sampler:
+            batch.append(ds[idx])
+            if len(batch) == batch_size:
+                yield np.stack(batch)
+                batch = []

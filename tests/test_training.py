@@ -334,3 +334,38 @@ def test_jsonl_logger_roundtrip(tmp_path):
         f.write('{"step": 100, "lo')  # crash mid-write
     recs = read_jsonl(path)
     assert len(recs) == 3 and recs[-1]["step"] == 99
+
+
+def test_lm_dataset_and_memmap_batches(tmp_path):
+    """LMDataset chunking semantics (reference lm_dataset.py: seq i =
+    tokens[i*L : i*L+L+1]) over a real np.memmap + resumable stream."""
+    from liteattention_tpu.training.data import (
+        LMDataset,
+        memmap_lm_batches,
+    )
+
+    path = str(tmp_path / "tokens.bin")
+    toks = np.arange(1001, dtype=np.uint16)
+    np.memmap(path, dtype=np.uint16, mode="w+", shape=(1001,))[:] = toks
+    mm = np.memmap(path, dtype=np.uint16, mode="r", shape=(1001,))
+    ds = LMDataset(mm, seq_len=100)
+    assert len(ds) == 10
+    np.testing.assert_array_equal(ds[0], np.arange(101))
+    np.testing.assert_array_equal(ds[9], np.arange(900, 1001))
+    it = memmap_lm_batches(mm, batch_size=4, seq_len=100, seed=1)
+    b = next(it)
+    assert b.shape == (4, 101) and b.dtype == np.int32
+    # input/target overlap: batch[:, 1:] is the next-token shift.
+    np.testing.assert_array_equal(b[:, 1:-1], b[:, :-2] + 1)
+    # Resumable: a sampler restored mid-epoch continues the same order.
+    from liteattention_tpu.training.data import FaultTolerantSampler
+
+    s = FaultTolerantSampler(num_samples=10, seed=5)
+    it1 = memmap_lm_batches(mm, 2, 100, sampler=s)
+    next(it1)
+    saved = s.state_dict()
+    b_rest = next(it1)
+    s2 = FaultTolerantSampler(num_samples=10, seed=0)
+    s2.load_state_dict(saved)
+    b_rest2 = next(memmap_lm_batches(mm, 2, 100, sampler=s2))
+    np.testing.assert_array_equal(b_rest, b_rest2)
