@@ -38,6 +38,11 @@ def main():
     ap.add_argument("--ckpt-dir", default=None)
     ap.add_argument("--data-parallel", action="store_true",
                     help="shard the batch over all local devices")
+    ap.add_argument("--data", default=None,
+                    help="token memmap file (uint16) to train on; "
+                         "default: synthetic batches")
+    ap.add_argument("--metrics-jsonl", default=None,
+                    help="append metric records to this JSONL file")
     args = ap.parse_args()
 
     if args.model == "gpt2":
@@ -75,17 +80,36 @@ def main():
         total_steps=args.steps,
         checkpoint_dir=args.ckpt_dir,
     )
+    if args.metrics_jsonl:
+        from liteattention_tpu.training.logging import (
+            JsonlLogger,
+            TeeLogger,
+        )
+
+        log_fn = TeeLogger(JsonlLogger(args.metrics_jsonl), printer=True)
+    else:
+        log_fn = lambda m: print(json.dumps(m))
+
     trainer = Trainer(loss_fn, tcfg, mesh=mesh)
     state = trainer.restore_or_init(params)
-    batches = synthetic_lm_batches(
-        cfg.vocab_size, args.batch_size, args.seqlen
-    )
+    if args.data:
+        from liteattention_tpu.training.data import memmap_lm_batches
+
+        tokens = np.memmap(args.data, dtype=np.uint16, mode="r")
+        batches = memmap_lm_batches(
+            tokens, args.batch_size, args.seqlen
+        )
+        print(f"data: {args.data} ({len(tokens) / 1e6:.1f}M tokens)")
+    else:
+        batches = synthetic_lm_batches(
+            cfg.vocab_size, args.batch_size, args.seqlen
+        )
     state = trainer.fit(
         state,
         batches,
         num_steps=args.steps,
         tokens_per_batch=args.batch_size * args.seqlen,
-        log_fn=lambda m: print(json.dumps(m)),
+        log_fn=log_fn,
     )
     trainer.finalize_checkpoints()
     print(f"done at step {int(state['step'])}")
