@@ -302,9 +302,23 @@ class GPTLMHeadModel(nn.Module):
         )
 
 
-def gpt_loss_fn(model: GPTLMHeadModel, params, input_ids, labels):
+def gpt_loss_fn(
+    model: GPTLMHeadModel, params, input_ids, labels,
+    moe_aux_weight: float = 0.01,
+):
     """Next-token CE loss (the training objective of the reference's
-    harness, training/src/tasks/seq.py)."""
+    harness, training/src/tasks/seq.py). MoE configs: the sown Switch
+    load-balance losses are collected (``mutable=["losses"]`` -- flax
+    silently DROPS sows into immutable collections, so omitting this
+    would starve the router of its balancing gradient) and added with
+    ``moe_aux_weight``."""
+    if model.cfg.moe_experts > 0:
+        logits, state = model.apply(
+            params, input_ids, mutable=["losses"]
+        )
+        ce = cross_entropy_loss(logits[:, :-1], labels[:, 1:])
+        aux = sum(jax.tree_util.tree_leaves(state["losses"]))
+        return ce + moe_aux_weight * aux
     logits = model.apply(params, input_ids)
     return cross_entropy_loss(logits[:, :-1], labels[:, 1:])
 

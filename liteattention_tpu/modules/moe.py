@@ -62,7 +62,13 @@ def _route(x, router, top_k: int, capacity: int):
     """
     t, _ = x.shape
     e = router.shape[1]
-    logits = x.astype(jnp.float32) @ router
+    # f32 matmuls need precision=HIGHEST on TPU (default rounds the
+    # operands through bf16 -- near-tied router logits would flip
+    # top-k routing vs the f32 semantics the tests check).
+    logits = jnp.einsum(
+        "td,de->te", x.astype(jnp.float32), router,
+        precision=jax.lax.Precision.HIGHEST,
+    )
     probs = jax.nn.softmax(logits, axis=-1)  # [T, E]
     gates, experts = jax.lax.top_k(probs, top_k)  # [T, k]
     gates = gates / jnp.maximum(gates.sum(-1, keepdims=True), 1e-9)
@@ -91,15 +97,21 @@ def _route(x, router, top_k: int, capacity: int):
 
 
 def _experts_apply(wi, wo, xd):
-    """Batched expert FFN: xd [E, C, D] -> [E, C, D]."""
+    """Batched expert FFN: xd [E, C, D] -> [E, C, D]. f32 weights get
+    precision=HIGHEST (CLAUDE.md rule); bf16 is fine with default."""
+    prec = (
+        jax.lax.Precision.HIGHEST
+        if wi.dtype == jnp.float32
+        else jax.lax.Precision.DEFAULT
+    )
     h = jnp.einsum(
         "ecd,edf->ecf", xd.astype(wi.dtype), wi,
-        preferred_element_type=jnp.float32,
+        preferred_element_type=jnp.float32, precision=prec,
     )
     h = jax.nn.gelu(h)
     return jnp.einsum(
         "ecf,efd->ecd", h.astype(wo.dtype), wo,
-        preferred_element_type=jnp.float32,
+        preferred_element_type=jnp.float32, precision=prec,
     )
 
 
@@ -116,9 +128,11 @@ def moe_forward(
     if capacity is None:
         capacity = max(1, int(capacity_factor * top_k * t / e))
     dispatch, combine, aux = _route(x, params["router"], top_k, capacity)
-    xd = jnp.einsum("tec,td->ecd", dispatch, x.astype(jnp.float32))
+    xd = jnp.einsum("tec,td->ecd", dispatch, x.astype(jnp.float32),
+                   precision=jax.lax.Precision.HIGHEST)
     yd = _experts_apply(params["wi"], params["wo"], xd)
-    y = jnp.einsum("tec,ecd->td", combine, yd)
+    y = jnp.einsum("tec,ecd->td", combine, yd,
+               precision=jax.lax.Precision.HIGHEST)
     return y.astype(x.dtype), aux
 
 
@@ -146,7 +160,8 @@ def moe_forward_expert_parallel(
         capacity = max(1, int(capacity_factor * top_k * t / e))
     router = params["router"]
     dispatch, combine, aux = _route(x, router, top_k, capacity)
-    xd = jnp.einsum("tec,td->ecd", dispatch, x.astype(jnp.float32))
+    xd = jnp.einsum("tec,td->ecd", dispatch, x.astype(jnp.float32),
+                   precision=jax.lax.Precision.HIGHEST)
     # [E, C, D] -> [E/n, n*C, D]: device i receives every device's
     # slots for its own experts.
     xd = jax.lax.all_to_all(
@@ -156,7 +171,8 @@ def moe_forward_expert_parallel(
     yd = jax.lax.all_to_all(
         yd, axis_name, split_axis=1, concat_axis=0, tiled=True
     )
-    y = jnp.einsum("tec,ecd->td", combine, yd)
+    y = jnp.einsum("tec,ecd->td", combine, yd,
+               precision=jax.lax.Precision.HIGHEST)
     aux = jax.lax.pmean(aux, axis_name)
     return y.astype(x.dtype), aux
 

@@ -115,6 +115,14 @@ def pipeline_apply(
     sequential composition ``stage_{n-1}(... stage_0(x))`` computed as a
     microbatched pipeline."""
     n = mesh.shape[axis_name]
+    for leaf in jax.tree_util.tree_leaves(stage_params):
+        # P(axis_name) would silently SPLIT a larger multiple across
+        # devices and p[0] would then drop stages -- require exactly
+        # one stage per device.
+        assert leaf.shape[0] == n, (
+            f"stage_params leaf has {leaf.shape[0]} stages but the "
+            f"'{axis_name}' axis has {n} devices"
+        )
     if num_microbatches is None:
         num_microbatches = n
 

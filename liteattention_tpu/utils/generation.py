@@ -49,12 +49,20 @@ def sample_token(
     top_p: float = 0.0,
 ) -> jax.Array:
     """Sample next tokens from [B, V] logits (reference ``sample``,
-    flash_attn/utils/generation.py:73-110; top-k then top-p then
-    temperature, greedy when temperature == 0 or rng is None)."""
+    flash_attn/utils/generation.py:69-96: top-k on raw logits — the
+    selection is scale-invariant — then /temperature, then top-p on the
+    SCALED logits; greedy when temperature == 0 or rng is None).
+
+    The filter order must match :func:`sample_speculative` exactly (it
+    scales before filtering, same effective semantics): speculative
+    acceptance assumes ``p_draft`` is the distribution the draft tokens
+    were actually drawn from."""
     if rng is None or temperature == 0.0:
         return jnp.argmax(logits, axis=-1)
-    lf = _filter_logits(logits.astype(jnp.float32), top_k, top_p)
-    return jax.random.categorical(rng, lf / temperature, axis=-1)
+    lf = _filter_logits(
+        logits.astype(jnp.float32) / temperature, top_k, top_p
+    )
+    return jax.random.categorical(rng, lf, axis=-1)
 
 
 def sample_speculative(

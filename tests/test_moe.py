@@ -172,3 +172,35 @@ def test_moe_gpt_trains():
     tr.fit(state, itertools.repeat(np.asarray(ids)), 20, log_every=10,
            log_fn=logs.append)
     assert logs[-1]["loss"] < logs[0]["loss"]
+
+
+def test_gpt_loss_fn_includes_moe_aux():
+    """Regression (review r3): gpt_loss_fn must apply with
+    mutable=["losses"] for MoE configs -- flax silently drops sows
+    otherwise and the router never receives its balancing gradient."""
+    from liteattention_tpu.losses import cross_entropy_loss
+    from liteattention_tpu.models.gpt import (
+        GPTConfig,
+        GPTLMHeadModel,
+        gpt_loss_fn,
+    )
+
+    cfg = GPTConfig(
+        vocab_size=64, max_position_embeddings=32, dim=32,
+        num_layers=1, num_heads=2, moe_experts=4,
+    )
+    model = GPTLMHeadModel(cfg)
+    ids = jax.random.randint(jax.random.PRNGKey(0), (2, 16), 0, 64)
+    variables = jax.jit(model.init)(jax.random.PRNGKey(1), ids)
+    params = {"params": variables["params"]}
+    total = float(gpt_loss_fn(model, params, ids, ids))
+    logits = model.apply(params, ids)
+    ce = float(cross_entropy_loss(logits[:, :-1], ids[:, 1:]))
+    assert total > ce  # the aux term is present and positive
+    assert total == pytest.approx(
+        ce + 0.01 * float(
+            sum(jax.tree_util.tree_leaves(
+                model.apply(params, ids, mutable=["losses"])[1]["losses"]
+            ))
+        ), rel=1e-6,
+    )

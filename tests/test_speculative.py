@@ -115,3 +115,35 @@ def test_speculative_sampling_runs_and_is_valid():
     assert s1.shape == (1, 5 + 6)
     assert ((np.asarray(s1) >= 0) & (np.asarray(s1) < cfg.vocab_size)).all()
     np.testing.assert_array_equal(np.asarray(s1), np.asarray(s2))
+
+
+def test_sample_token_filter_order_matches_acceptance_dist():
+    """Regression (review r3): top-p must be applied to the
+    temperature-SCALED logits (reference sample(), generation.py:82-85),
+    the same distribution sample_speculative scores p_draft with. With
+    T<1 the scaled nucleus is smaller; the old unscaled-nucleus
+    sample_token could emit tokens that the acceptance test assigns
+    probability zero."""
+    from liteattention_tpu.utils.generation import (
+        _filter_logits,
+        sample_token,
+    )
+
+    v, temp, top_p = 32, 0.4, 0.6
+    logits = jnp.asarray(
+        np.random.RandomState(0).randn(1, v) * 2.0, jnp.float32
+    )
+    allowed = np.asarray(
+        _filter_logits(logits / temp, 0, top_p)[0]
+    ) > -np.inf
+    keys = jax.random.split(jax.random.PRNGKey(1), 512)
+    toks = jax.vmap(
+        lambda k: sample_token(logits, k, temp, 0, top_p)[0]
+    )(keys)
+    assert allowed[np.asarray(toks)].all()
+    # The unscaled nucleus is strictly larger here, so the old order
+    # would have sampled outside `allowed` with high probability.
+    allowed_unscaled = np.asarray(
+        _filter_logits(logits, 0, top_p)[0]
+    ) > -np.inf
+    assert allowed_unscaled.sum() > allowed.sum()
