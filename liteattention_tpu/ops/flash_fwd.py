@@ -839,6 +839,56 @@ def _decode_folded_kernel(
         lse_ref[0, 0] = jnp.broadcast_to(lse, (128, MIN_LANES))
 
 
+def pick_head_slab(hk: int, rows_per_head: int, d: int) -> int:
+    """Largest KV-head slab with ``slab * rows_per_head <= 128`` q rows
+    AND ``slab * d <= 1024`` lanes, dividing ``hk``. The (*, 1024)
+    block geometry is the proven dense/gather family; 4096-lane blocks
+    stalled Mosaic (CLAUDE.md round-3 gotcha a). Shared by the folded
+    cache decode and the folded paged decode."""
+    slab = max(1, min(hk, 128 // rows_per_head, 1024 // d))
+    while hk % slab:
+        slab -= 1
+    return slab
+
+
+def fold_q_blockdiag(
+    q: jax.Array, nslab: int, slab: int, rows_per_head: int, d: int
+) -> jax.Array:
+    """Block-diagonal Q pack for head-folded decode: ``q`` rows in
+    (slab-head)-major order ``[B, nslab*slab*rows_per_head, D]``-like
+    ``[B, nslab, slab, rows_per_head, D]`` view -> ``[B, nslab, 128,
+    slab*D]`` where row ``j*rows_per_head + t`` owns lane block ``j``
+    (zero elsewhere), padded to the 128-row tile."""
+    b = q.shape[0]
+    rows = slab * rows_per_head
+    eye = jnp.eye(slab, dtype=q.dtype)
+    qbd = jnp.einsum(
+        "bnjtd,jk->bnjtkd",
+        q.reshape(b, nslab, slab, rows_per_head, d),
+        eye,
+    ).reshape(b, nslab, rows, slab * d)
+    return jnp.pad(qbd, ((0, 0), (0, 0), (0, 128 - rows), (0, 0)))
+
+
+def unfold_output_diag(
+    out_bd: jax.Array, slab: int, rows_per_head: int, d: int
+) -> jax.Array:
+    """Inverse of :func:`fold_q_blockdiag` for the kernel output: row
+    ``j*rows_per_head + t`` keeps only its own lane block ``j``.
+    Einsum-against-identity on purpose: XLA lowers advanced-indexing
+    diagonals to a serial-slow TPU gather (~0.85 ms/call measured).
+    Returns f32 ``[B, nslab, slab, rows_per_head, D]``."""
+    b, nslab = out_bd.shape[:2]
+    rows = slab * rows_per_head
+    return jnp.einsum(
+        "bnjtkd,jk->bnjtd",
+        out_bd[:, :, :rows]
+        .reshape(b, nslab, slab, rows_per_head, slab, d)
+        .astype(jnp.float32),
+        jnp.eye(slab, dtype=jnp.float32),
+    )
+
+
 def _decode_folded(
     q: jax.Array,
     k_cache: jax.Array,
@@ -883,24 +933,11 @@ def _decode_folded(
         q = (qf * k_scale[:, :, None, None, :]).astype(q.dtype)
         q = q.reshape(b, h, sq, d)
     rows_per_head = group * sq
-    # Slab cap: <=128 q rows AND <=1024 lanes (8 heads at d=128) -- the
-    # (*, 1024) block geometry is the same family as the proven
-    # dense/gather kernels; 4096-lane blocks stalled Mosaic.
-    slab = max(1, min(hk, 128 // rows_per_head, 1024 // d))
-    while hk % slab:
-        slab -= 1
+    slab = pick_head_slab(hk, rows_per_head, d)
     nslab = hk // slab
     lanes = slab * d
     rows = slab * rows_per_head
-
-    # Block-diagonal Q: row j*rows_per_head + t owns lane block j.
-    eye = jnp.eye(slab, dtype=q.dtype)
-    qbd = jnp.einsum(
-        "bnjtd,jk->bnjtkd",
-        q.reshape(b, nslab, slab, rows_per_head, d),
-        eye,
-    ).reshape(b, nslab, rows, lanes)
-    qbd = jnp.pad(qbd, ((0, 0), (0, 0), (0, 128 - rows), (0, 0)))
+    qbd = fold_q_blockdiag(q, nslab, slab, rows_per_head, d)
 
     pad_s = (-s) % chunk
     if pad_s:
@@ -977,18 +1014,7 @@ def _decode_folded(
         interpret=interpret,
     )(qbd, kf, vf, bound, low)
 
-    # Row r = j*rows_per_head + t keeps only its own lane block j. The
-    # diagonal extraction is an einsum against the identity (a fused
-    # multiply-reduce): XLA lowers advanced-indexing diagonals to a
-    # GATHER, which is serial-slow on TPU and cost ~0.85 ms/call flat
-    # (measured -- it dominated the entire decode step).
-    o = jnp.einsum(
-        "bnjtkd,jk->bnjtd",
-        out_bd[:, :, :rows]
-        .reshape(b, nslab, slab, rows_per_head, slab, d)
-        .astype(jnp.float32),
-        jnp.eye(slab, dtype=jnp.float32),
-    )
+    o = unfold_output_diag(out_bd, slab, rows_per_head, d)
     if v_scale is not None:
         # Exact per-channel V dequant: (P . v_i8) * vs (see docstring).
         o = o * v_scale.reshape(b, nslab, slab, 1, d)

@@ -444,11 +444,13 @@ def paged_attention_folded(
     assert rows_per_head <= 128
     if scale is None:
         scale = 1.0 / (d**0.5)
-    # Slab cap: <=128 q rows AND <=1024 lanes (the proven block-geometry
-    # family; see flash_fwd._decode_folded).
-    slab = max(1, min(hk, 128 // rows_per_head, 1024 // d))
-    while hk % slab:
-        slab -= 1
+    from liteattention_tpu.ops.flash_fwd import (
+        fold_q_blockdiag,
+        pick_head_slab,
+        unfold_output_diag,
+    )
+
+    slab = pick_head_slab(hk, rows_per_head, d)
     nslab = hk // slab
     lanes = slab * d
     rows = slab * rows_per_head
@@ -464,13 +466,7 @@ def paged_attention_folded(
     # Block-diagonal Q: q [B, Hq, Sq, D] with Hq-major (hk, group)
     # ordering; row j*rows_per_head + g*sq + qi owns lane block j.
     qh = jnp.transpose(q, (0, 2, 1, 3))  # [B, Hq, Sq, D]
-    eye = jnp.eye(slab, dtype=q.dtype)
-    qbd = jnp.einsum(
-        "bnjtd,jk->bnjtkd",
-        qh.reshape(b, nslab, slab, rows_per_head, d),
-        eye,
-    ).reshape(b, nslab, rows, lanes)
-    qbd = jnp.pad(qbd, ((0, 0), (0, 0), (0, 128 - rows), (0, 0)))
+    qbd = fold_q_blockdiag(qh, nslab, slab, rows_per_head, d)
 
     kf = k_pages.reshape(num_pages, page_size, hk * d)
     vf = v_pages.reshape(num_pages, page_size, hk * d)
@@ -558,16 +554,7 @@ def paged_attention_folded(
     )(lengths.astype(jnp.int32), page_indices.astype(jnp.int32), qbd,
       *([kf] * pages_per_step), *([vf] * pages_per_step))
 
-    # Diagonal extraction via einsum-with-identity (advanced-indexing
-    # diagonals lower to a serial-slow TPU gather; see
-    # flash_fwd._decode_folded).
-    o = jnp.einsum(
-        "bnjtkd,jk->bnjtd",
-        out_bd[:, :, :rows]
-        .reshape(b, nslab, slab, rows_per_head, slab, d)
-        .astype(jnp.float32),
-        jnp.eye(slab, dtype=jnp.float32),
-    )
+    o = unfold_output_diag(out_bd, slab, rows_per_head, d)
     if v_scale is not None:
         o = o * v_scale.reshape(nslab, slab, d)[None, :, :, None]
     o = o.astype(out_bd.dtype).reshape(b, hq, sq, d)
