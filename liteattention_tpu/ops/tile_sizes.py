@@ -72,7 +72,7 @@ def get_block_sizes(
     the vote chain reduced to a two-stage max (and compiled out entirely
     on no-vote steps), the gather kernel's remaining cost tracks the
     dense kernel's, and (640, 1024) wins at every measured point
-    (round-3 ``tools/flat_tax_profile2.py``: s=0 overhead 1.061x
+    (round-3 ``tools/flat_tax_profile.py --phase2``: s=0 overhead 1.061x
     votes-off / 1.130x on vs 1.106x / 1.170x at (512, 1024); banded 42%
     1.495x/1.414x vs 1.439x/1.364x). block_k sets how many fine tiles
     are gathered per pipeline step (scheduling granularity stays 128);
