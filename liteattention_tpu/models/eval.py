@@ -66,6 +66,36 @@ def temporal_flicker_delta(a: jax.Array, b: jax.Array) -> jax.Array:
     )
 
 
+def subject_consistency_delta(a: jax.Array, b: jax.Array) -> jax.Array:
+    """Latent-space proxy for VBench's subject-consistency axis.
+
+    VBench scores how stable the subject's identity stays across frames
+    (DINO feature similarity between frames, reference README.md:55-69
+    SC column). The latent analog: per-frame spatially-pooled feature
+    vectors ``mean_{H,W}(x)`` give a [B, F, C] identity track; the
+    frame-to-frame cosine similarity of that track is the consistency
+    profile. Returned is the mean absolute difference between the
+    sparse and dense runs' profiles -- a sparse run that drifts the
+    subject between frames scores badly here even when per-frame
+    content error (rel-L2) is small. Third quality axis alongside
+    rel-L2/PSNR and temporal flicker."""
+
+    def profile(x):
+        feats = jnp.mean(
+            x.astype(jnp.float32), axis=(2, 3)
+        )  # [B, F, C]
+        f0 = feats[:, :-1]
+        f1 = feats[:, 1:]
+        num = jnp.sum(f0 * f1, axis=-1)
+        den = jnp.maximum(
+            jnp.linalg.norm(f0, axis=-1) * jnp.linalg.norm(f1, axis=-1),
+            1e-20,
+        )
+        return num / den  # [B, F-1]
+
+    return jnp.mean(jnp.abs(profile(a) - profile(b)))
+
+
 def evaluate_sparsity_quality(
     model: WanModel,
     params,
@@ -89,6 +119,9 @@ def evaluate_sparsity_quality(
         "relative_l2": relative_l2(sparse_out, dense_out),
         "psnr_db": latent_psnr(sparse_out, dense_out),
         "temporal_flicker": temporal_flicker_delta(sparse_out, dense_out),
+        "subject_consistency_delta": subject_consistency_delta(
+            sparse_out, dense_out
+        ),
         "mean_sparsity": jnp.mean(tel["sparsity_per_step"]),
         "final_sparsity": tel["final_sparsity"],
         "sparsity_per_step": tel["sparsity_per_step"],
@@ -121,4 +154,5 @@ def threshold_sweep(
 
 
 __all__ = ["evaluate_sparsity_quality", "threshold_sweep", "latent_psnr",
-           "relative_l2", "temporal_flicker_delta"]
+           "relative_l2", "temporal_flicker_delta",
+           "subject_consistency_delta"]

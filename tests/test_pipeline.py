@@ -132,6 +132,9 @@ def test_eval_harness_threshold_sweep():
     )
     assert float(r["relative_l2"]) < 1e-5
     assert float(r["final_sparsity"]) == 0.0
+    # All three VBench-analog axes report ~zero deviation at -inf.
+    assert float(r["temporal_flicker"]) < 1e-4
+    assert float(r["subject_consistency_delta"]) < 1e-5
 
     # Sweep: looser thresholds monotonically increase sparsity and
     # cannot decrease deviation below the tighter setting's.
