@@ -291,6 +291,9 @@ def main():
                 "final_sparsity": float(r["final_sparsity"]),
                 "relative_l2": float(r["relative_l2"]),
                 "temporal_flicker": float(r["temporal_flicker"]),
+                "subject_consistency_delta": float(
+                    r["subject_consistency_delta"]
+                ),
                 "psnr_db": float(r["psnr_db"]),
             }
             for r in curve
@@ -302,6 +305,9 @@ def main():
             "mean_sparsity": float(sched["mean_sparsity"]),
             "relative_l2": float(sched["relative_l2"]),
             "temporal_flicker": float(sched["temporal_flicker"]),
+            "subject_consistency_delta": float(
+                sched.get("subject_consistency_delta", 0.0)
+            ),
             "schedule": [float(x) for x in np.asarray(schedule)],
         },
         "budget_rel_l2": args.rel_l2_budget,
