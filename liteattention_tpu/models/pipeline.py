@@ -151,8 +151,12 @@ def denoise(
         return (x, st_c, st_u), sparsity_of(st_c)
 
     n = ts.shape[0]
-    stride = max(1, vote_stride) if enable_skipping else 1
-    if stride == 1 or n < stride:
+    # Clamp the stride to the run length: a stride longer than the run
+    # still means "vote once, up front" -- falling through to the plain
+    # every-step-vote scan would be the OPPOSITE of what the caller
+    # asked for (and measurably slower).
+    stride = max(1, min(vote_stride, n)) if enable_skipping else 1
+    if stride == 1:
         (x, st_c, st_u), sparsity_trace = jax.lax.scan(
             step,
             (noise, states_c, states_u),

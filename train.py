@@ -5,9 +5,15 @@ The reference wires Hydra configs into a PyTorch-Lightning trainer
 CLI over the same pieces: model config -> Trainer (optax + orbax) ->
 fault-tolerant data -> metrics log.
 
-Example:
+Example (flat CLI):
   python train.py --model gpt2 --dim 256 --layers 4 --heads 4 \
       --steps 200 --batch-size 8 --seqlen 256 --ckpt-dir /tmp/ckpt
+
+Example (config tree, the reference's Hydra tier — composition +
+group/dotlist overrides via training/config_tree.py):
+  python train.py --config configs/config.yaml \
+      model=llama-tiny optimizer.learning_rate=1e-4 run.steps=500 \
+      experiment=gpt2s-moe
 """
 
 import argparse
@@ -26,6 +32,11 @@ from liteattention_tpu.training.trainer import TrainConfig, Trainer
 
 def main():
     ap = argparse.ArgumentParser()
+    ap.add_argument("--config", default=None,
+                    help="YAML config tree root (configs/config.yaml); "
+                         "positional args become Hydra-style overrides")
+    ap.add_argument("overrides", nargs="*",
+                    help="group=name / key.path=value / +key=value / ~key")
     ap.add_argument("--model", choices=["gpt2", "llama"], default="gpt2")
     ap.add_argument("--dim", type=int, default=256)
     ap.add_argument("--layers", type=int, default=4)
@@ -45,6 +56,40 @@ def main():
                     help="append metric records to this JSONL file")
     args = ap.parse_args()
 
+    if args.config:
+        import dataclasses
+
+        from liteattention_tpu.training.config_tree import (
+            load_config,
+            to_flat_kwargs,
+        )
+
+        cfg_tree = load_config(args.config, args.overrides)
+        m = cfg_tree.get("model", {})
+        args.model = m.get("family", args.model)
+        args.dim = m.get("dim", args.dim)
+        args.layers = m.get("num_layers", args.layers)
+        args.heads = m.get("num_heads", args.heads)
+        args.vocab = m.get("vocab", args.vocab)
+        r = cfg_tree.get("run", {})
+        args.steps = r.get("steps", args.steps)
+        args.batch_size = r.get("batch_size", args.batch_size)
+        args.seqlen = r.get("seqlen", args.seqlen)
+        args.data = r.get("data", args.data)
+        args.metrics_jsonl = r.get("metrics_jsonl", args.metrics_jsonl)
+        args.data_parallel = r.get("data_parallel", args.data_parallel)
+        fields = [f.name for f in dataclasses.fields(TrainConfig)]
+        tcfg_kwargs = {
+            **to_flat_kwargs(cfg_tree.get("optimizer"), fields),
+            **to_flat_kwargs(cfg_tree.get("trainer"), fields),
+        }
+        args.lr = tcfg_kwargs.pop("learning_rate", args.lr)
+        args.ckpt_dir = tcfg_kwargs.pop("checkpoint_dir", args.ckpt_dir)
+        args.moe_experts = m.get("moe_experts", 0)
+    else:
+        tcfg_kwargs = {}
+        args.moe_experts = 0
+
     if args.model == "gpt2":
         cfg = gpt2_config(
             dim=args.dim, num_layers=args.layers, num_heads=args.heads,
@@ -55,6 +100,10 @@ def main():
             dim=args.dim, num_layers=args.layers, num_heads=args.heads,
             vocab=args.vocab,
         )
+    if args.moe_experts:
+        import dataclasses as _dc
+
+        cfg = _dc.replace(cfg, moe_experts=args.moe_experts)
     model = GPTLMHeadModel(cfg)
     ids0 = jnp.zeros((args.batch_size, args.seqlen), jnp.int32)
     params = jax.jit(model.init)(jax.random.PRNGKey(0), ids0)
@@ -64,6 +113,10 @@ def main():
     print(f"model: {args.model} {n_params / 1e6:.1f}M params")
 
     def loss_fn(p, batch):
+        if cfg.moe_experts > 0:
+            from liteattention_tpu.models.gpt import gpt_loss_fn
+
+            return gpt_loss_fn(model, p, batch, batch)
         logits = model.apply(p, batch)
         return cross_entropy_loss(logits[:, :-1], batch[:, 1:])
 
@@ -76,9 +129,12 @@ def main():
 
     tcfg = TrainConfig(
         learning_rate=args.lr,
-        warmup_steps=max(args.steps // 10, 1),
+        warmup_steps=tcfg_kwargs.pop(
+            "warmup_steps", max(args.steps // 10, 1)
+        ),
         total_steps=args.steps,
         checkpoint_dir=args.ckpt_dir,
+        **tcfg_kwargs,
     )
     if args.metrics_jsonl:
         from liteattention_tpu.training.logging import (
