@@ -21,6 +21,7 @@ from liteattention_tpu.flash_attn_interface import (
     flash_attn_varlen_kvpacked_func,
     flash_attn_varlen_qkvpacked_func,
     flash_attn_with_kvcache,
+    flash_mla_with_kvcache,
 )
 from liteattention_tpu.lite_attention import (
     LiteAttention,
@@ -42,5 +43,6 @@ __all__ = [
     "flash_attn_varlen_qkvpacked_func",
     "flash_attn_varlen_kvpacked_func",
     "flash_attn_with_kvcache",
+    "flash_mla_with_kvcache",
     "flash_attn_combine",
 ]

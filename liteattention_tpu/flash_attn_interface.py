@@ -36,6 +36,7 @@ from liteattention_tpu.ops.flash_fwd import (
     flash_attention_masked,
 )
 from liteattention_tpu.ops.lite_flash_fwd import lite_flash_attention
+from liteattention_tpu.ops.mla import mla_decode
 from liteattention_tpu.ops.paged_attention import (
     paged_attention,
     paged_attention_folded,
@@ -110,18 +111,21 @@ def flash_attn_func(
     # flash_attn_interface.py:466-567). fp8 descales and attention_chunk
     # are unsupported; scheduling hints (num_splits, pack_gqa, sm_margin)
     # are Mosaic's job on TPU; kernels are always deterministic.
-    if qv is not None or attention_chunk:
-        raise NotImplementedError(
-            "qv-packed fp8 path / attention_chunk are not supported"
-        )
+    if attention_chunk:
+        raise NotImplementedError("attention_chunk is not supported")
     assert q_descale is None and k_descale is None and v_descale is None, (
         "fp8 descales are not supported (bf16/f32 kernels)"
     )
     del num_splits, pack_gqa, deterministic, sm_margin
     del attn_write_list
+    if qv is not None and softmax_scale is None:
+        # Reference MLA convention (flash_attn_interface.py:301): the
+        # score is q.k + qv.v, so the scale covers both dims.
+        softmax_scale = (q.shape[-1] + qv.shape[-1]) ** (-0.5)
     qh = _bshd_to_bhsd(q)
     kh = _bshd_to_bhsd(k)
     vh = _bshd_to_bhsd(v)
+    qvh = _bshd_to_bhsd(qv) if qv is not None else None
     d = q.shape[-1]
     bs = block_sizes or get_block_sizes(
         d, q.dtype.itemsize,
@@ -142,9 +146,11 @@ def flash_attn_func(
             return_lse=True,
             dropout_p=dropout_p,
             dropout_seed=dropout_seed,
+            qv=qvh,
         )
         new_mask = None
     else:
+        assert qv is None, "qv (MLA) composes with the dense path only"
         assert dropout_p == 0.0, (
             "attention dropout is a training feature; the skip-masked "
             "engine is inference-only (reference ships it in the "
@@ -518,9 +524,17 @@ def flash_attn_with_kvcache(
     paged append/prefill (new tokens are scattered into their pages
     first, then attended).
 
-    Not supported (documented descopes): fp8 (``qv``/descales), varlen-q
+    Not supported (documented descopes): fp8 descales, varlen-q
     batches (``cu_seqlens_q``/``cu_seqlens_k_new``), skip lists in the
     decode path. ``causal`` defaults to False like the reference.
+
+    MLA/GLA decode (reference benchmark_mla_decode.py): ``v_cache`` may
+    have a different head dim than ``k_cache`` (output takes V's dim)
+    and ``qv`` adds the extra-query term ``qv . v`` to the scores, on
+    the contiguous generic path. For DeepSeek-style ABSORBED MLA, where
+    K and V are slices of one latent cache, use
+    :func:`flash_mla_with_kvcache` / ``ops/mla.mla_decode`` -- the
+    dedicated kernel streams the shared cache once.
 
     TPU extension: ``kv_cache_layout="bhsd"`` keeps the caches as
     ``[B, Hk, S_max, D]`` (head-major). Decode reads each head's cache
@@ -544,13 +558,22 @@ def flash_attn_with_kvcache(
     functional analog of the fp8 descale path the reference compiles
     out (hopper/setup.py:47-68).
     """
-    if qv is not None or attention_chunk:
-        raise NotImplementedError(
-            "qv-packed fp8 path / attention_chunk are not supported"
-        )
+    if attention_chunk:
+        raise NotImplementedError("attention_chunk is not supported")
     assert q_descale is None and k_descale is None and v_descale is None, (
         "fp8 descales are not supported (bf16/f32 kernels)"
     )
+    if qv is not None:
+        # MLA extra-query term (reference benchmark_mla_decode.py:79):
+        # scores = q.k + qv.v; generic (unfolded) decode path only. For
+        # the absorbed-MLA latent cache (K and V sharing one array) use
+        # ops/mla.mla_decode -- it streams the cache once.
+        assert page_table is None and num_splits <= 1 and k is None, (
+            "qv (MLA) supports the contiguous non-split decode path; "
+            "see ops/mla.mla_decode for the absorbed latent-cache kernel"
+        )
+        if softmax_scale is None:
+            softmax_scale = (q.shape[-1] + qv.shape[-1]) ** (-0.5)
     if cu_seqlens_q is not None or cu_seqlens_k_new is not None:
         raise NotImplementedError(
             "varlen-q kvcache batches are not supported; pad q instead"
@@ -640,6 +663,10 @@ def flash_attn_with_kvcache(
         )
         assert window is None and softcap == 0.0, (
             "window/softcap on the paged path are not supported"
+        )
+        assert v_cache.shape[-1] == k_cache.shape[-1], (
+            "paged MLA/GLA (head_dim_v != head_dim) is served by the "
+            "absorbed latent-cache kernel, ops/mla.mla_decode(page_table=)"
         )
         num_pages, page_size, hk, dd = k_cache.shape
         appended = 0
@@ -776,7 +803,13 @@ def flash_attn_with_kvcache(
         out, lse = combine_attention(
             jnp.stack(outs), jnp.stack(lses), axis=0
         )
-    elif s_new == 1 and window is None and (native or d % 128 == 0):
+    elif (
+        s_new == 1
+        and window is None
+        and (native or d % 128 == 0)
+        and v_cache.shape[-1] == d
+        and qv is None
+    ):
         # PackGQA single-token decode (the reference's pack_gqa trick,
         # pack_gqa.h, TPU-style): fold the `group` query heads of each
         # KV head into the q-ROW dimension, so the kernel grid collapses
@@ -847,6 +880,7 @@ def flash_attn_with_kvcache(
             softcap=softcap,
             block_sizes=bs,
             return_lse=True,
+            qv=None if qv is None else _bshd_to_bhsd(qv),
         )
     out = _bhsd_to_bshd(out)
     result = [out]
@@ -862,6 +896,44 @@ def flash_attn_with_kvcache(
         else:
             result.append((k_cache, v_cache))
     return result[0] if len(result) == 1 else tuple(result)
+
+
+def flash_mla_with_kvcache(
+    q: jax.Array,
+    kv_cache: jax.Array,
+    page_table: Optional[jax.Array],
+    cache_seqlens: jax.Array,
+    head_dim_v: int,
+    *metadata,
+    softmax_scale: Optional[float] = None,
+    causal: bool = True,
+    return_softmax_lse: bool = True,
+):
+    """Absorbed-MLA decode against a single latent KV cache.
+
+    Signature parity with the external ``flash_mla_with_kvcache`` the
+    reference benchmarks (benchmark_mla_decode.py:103): ``kv_cache``
+    holds one latent row per token (``Hk == 1``); K is the full row and
+    V its first ``head_dim_v`` channels. ``page_table`` may be None for
+    a contiguous ``[B, S, 1, D]`` cache. The ``*metadata`` produced by
+    the CUDA ``get_mla_metadata`` (tile-scheduler splits) has no TPU
+    analog -- Mosaic schedules -- and is accepted and ignored.
+
+    Returns ``(out, softmax_lse)`` like the reference (out only if
+    ``return_softmax_lse=False``).
+    """
+    del metadata
+    res = mla_decode(
+        q,
+        kv_cache,
+        cache_seqlens,
+        head_dim_v,
+        page_table=page_table,
+        scale=softmax_scale,
+        causal=causal,
+        return_lse=return_softmax_lse,
+    )
+    return res
 
 
 def flash_attn_combine(
@@ -904,6 +976,7 @@ __all__ = [
     "flash_attn_varlen_qkvpacked_func",
     "flash_attn_varlen_kvpacked_func",
     "flash_attn_with_kvcache",
+    "flash_mla_with_kvcache",
     "flash_attn_combine",
     "get_scheduler_metadata",
 ]

@@ -12,6 +12,7 @@ from liteattention_tpu.ops.flash_fwd import (
 )
 from liteattention_tpu.ops.flash_bwd import flash_attention_bwd
 from liteattention_tpu.ops.lite_flash_fwd import lite_flash_attention
+from liteattention_tpu.ops.mla import mla_decode
 from liteattention_tpu.ops.paged_attention import paged_attention
 from liteattention_tpu.ops.mask import (
     SkipMaskState,
@@ -31,6 +32,7 @@ __all__ = [
     "flash_attention_decode",
     "flash_attention_bwd",
     "paged_attention",
+    "mla_decode",
     "skip_votes_ref",
     "combine_attention",
     "combine_attention_psum",

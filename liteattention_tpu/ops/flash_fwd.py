@@ -105,8 +105,10 @@ def _fwd_kernel(
     kv_3d: bool = False,  # K/V blocks are (1, block_k, d) views of the
     # cache-layout [B, Sk, Hk*D] array (no host transpose)
     dropout_p: float = 0.0,
+    has_qv: bool = False,
 ):
     rest = list(rest)
+    qv_ref = rest.pop(0) if has_qv else None
     qseg_ref = rest.pop(0) if has_segments else None
     kseg_ref = rest.pop(0) if has_segments else None
     bound_ref = rest.pop(0) if has_bound else None
@@ -162,6 +164,22 @@ def _fwd_kernel(
             preferred_element_type=jnp.float32,
             precision=precision,
         )
+        if has_qv:
+            # MLA-style extra query term (reference has_qv path,
+            # benchmark_mla_decode.py:45,79): the score is
+            # q . k + qv . v with qv living in V's head dim -- K holds
+            # only the compact/rope component while V carries the rest
+            # of the key content. V is loaded here anyway for PV.
+            vq = v_ref[0] if kv_3d else v_ref[0, 0]
+            if vq.dtype == jnp.int8:
+                vq = vq.astype(q.dtype)
+            raw = raw + jax.lax.dot_general(
+                qv_ref[0, 0],
+                vq,
+                dimension_numbers=(((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+                precision=precision,
+            )
         # Scores are kept in log2 space (scale folded with log2(e)): the
         # VPU then runs exp2 directly instead of exp's internal
         # multiply-by-log2e per element -- measured 12% end-to-end on
@@ -355,6 +373,7 @@ def _flash_forward_impl(
     kv_bshd: bool = False,
     dropout_p: float = 0.0,
     dropout_seed: Optional[jax.Array] = None,
+    qv: Optional[jax.Array] = None,
 ):
     """Dense flash attention forward.
 
@@ -363,7 +382,11 @@ def _flash_forward_impl(
         heads than Q and divide evenly, they are walked grouped (each KV
         head serves ``Hq/Hk`` consecutive Q heads), matching the
         reference's GQA semantics (hopper/_internal/cpp/pack_gqa.h) without
-        materializing repeats.
+        materializing repeats. V's head dim may differ from Q/K's
+        (MLA/GLA shapes, reference benchmark_mla_decode.py); the output
+        takes V's dim.
+      qv: optional ``[B, H, Sq, Dv]`` extra query in V's head dim;
+        scores become ``q . k + qv . v`` (reference has_qv MLA path).
       scale: softmax scale (default ``1/sqrt(D)``).
       causal: lower-triangular masking.
       return_lse: also return natural-log LSE ``[B, H, Sq]`` fp32.
@@ -371,13 +394,16 @@ def _flash_forward_impl(
     Returns ``(out, lse)``.
     """
     b, h, sq, d = q.shape
+    dv = v.shape[-1]
     if kv_bshd:
         # K/V stay in the KV-CACHE layout [B, Sk, Hk, D]: no 537-MB/call
         # host transpose (measured 40 GB/s -- it dominated decode). The
         # kernel slices head h's (block_k, d) tile out of a
         # [B, Sk, Hk*D] lane-blocked view instead. Requires d % 128 == 0
         # (lane-aligned head slices); callers fall back otherwise.
-        assert d % MIN_LANES == 0, "kv_bshd needs 128-aligned head_dim"
+        assert d % MIN_LANES == 0 and dv % MIN_LANES == 0, (
+            "kv_bshd needs 128-aligned head dims"
+        )
         hk = k.shape[2]
         sk = k.shape[1]
     else:
@@ -396,7 +422,7 @@ def _flash_forward_impl(
             kpad = ((0, 0), (0, pad_k), (0, 0), (0, 0))
             k, v = jnp.pad(k, kpad), jnp.pad(v, kpad)
         kp = k.reshape(k.shape[0], k.shape[1], hk * d)
-        vp = v.reshape(v.shape[0], v.shape[1], hk * d)
+        vp = v.reshape(v.shape[0], v.shape[1], hk * dv)
         sq_p, sk_p = qp.shape[2], kp.shape[1]
     else:
         kp = _pad_seq(k, block_k)
@@ -408,6 +434,17 @@ def _flash_forward_impl(
     has_bound = kv_bound is not None
     extra_inputs = []
     extra_specs = []
+    has_qv = qv is not None
+    if has_qv:
+        assert qv.shape == (b, h, sq, dv), (
+            f"qv must be [B, H, Sq, Dv]={b, h, sq, dv}, got {qv.shape}"
+        )
+        extra_inputs.append(_pad_seq(qv, block_q))
+        extra_specs.append(
+            pl.BlockSpec(
+                (1, 1, block_q, dv), lambda bi, qi, hi, ki: (bi, hi, qi, 0)
+            )
+        )
     if has_segments:
         assert b == 1, "segment-id (varlen) attention expects packed B=1"
         qs = jnp.pad(
@@ -488,6 +525,7 @@ def _flash_forward_impl(
         has_alibi=has_alibi,
         kv_3d=kv_bshd,
         dropout_p=dropout_p,
+        has_qv=has_qv,
     )
     if kv_bshd:
         kv_specs = [
@@ -496,7 +534,7 @@ def _flash_forward_impl(
                 lambda bi, qi, hi, ki, g=group: (bi, ki, hi // g),
             ),
             pl.BlockSpec(
-                (1, block_k, d),
+                (1, block_k, dv),
                 lambda bi, qi, hi, ki, g=group: (bi, ki, hi // g),
             ),
         ]
@@ -507,7 +545,7 @@ def _flash_forward_impl(
                 lambda bi, qi, hi, ki, g=group: (bi, hi // g, ki, 0),
             ),
             pl.BlockSpec(
-                (1, 1, block_k, d),
+                (1, 1, block_k, dv),
                 lambda bi, qi, hi, ki, g=group: (bi, hi // g, ki, 0),
             ),
         ]
@@ -523,20 +561,20 @@ def _flash_forward_impl(
         ],
         out_specs=[
             pl.BlockSpec(
-                (1, 1, block_q, d), lambda bi, qi, hi, ki: (bi, hi, qi, 0)
+                (1, 1, block_q, dv), lambda bi, qi, hi, ki: (bi, hi, qi, 0)
             ),
             pl.BlockSpec(
                 (1, block_q, h), lambda bi, qi, hi, ki: (bi, qi, 0)
             ),
         ],
         out_shape=[
-            jax.ShapeDtypeStruct((b, h, sq_p, d), q.dtype),
+            jax.ShapeDtypeStruct((b, h, sq_p, dv), q.dtype),
             jax.ShapeDtypeStruct((b, sq_p, h), jnp.float32),
         ],
         scratch_shapes=[
             pltpu.VMEM((block_q, MIN_LANES), jnp.float32),
             pltpu.VMEM((block_q, MIN_LANES), jnp.float32),
-            pltpu.VMEM((block_q, d), jnp.float32),
+            pltpu.VMEM((block_q, dv), jnp.float32),
         ],
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=(
@@ -638,6 +676,7 @@ def flash_attention(
     interpret: Optional[bool] = None,
     dropout_p: float = 0.0,
     dropout_seed: Optional[jax.Array] = None,
+    qv: Optional[jax.Array] = None,
 ):
     """Dense flash attention forward (differentiable; Pallas bwd kernels
     in :mod:`liteattention_tpu.ops.flash_bwd`). See
@@ -649,6 +688,10 @@ def flash_attention(
     counter-based mask (:func:`dropout_keep_mask`), so no mask tensor
     is ever materialized. ``dropout_seed`` is a traced int32 scalar --
     vary it per training step without recompiling.
+
+    MLA/GLA shapes (``v`` head dim != ``q``/``k`` head dim, optional
+    ``qv`` extra-query term; reference benchmark_mla_decode.py) are
+    forward-only: the backward kernels require equal head dims.
     """
     if interpret is None:
         interpret = _default_interpret()
@@ -656,11 +699,17 @@ def flash_attention(
         scale = 1.0 / (q.shape[-1] ** 0.5)
     if dropout_p > 0.0 and dropout_seed is None:
         dropout_seed = jnp.int32(0)
-    out, lse = _flash_core(
-        q, k, v, None, None, None, None, None, dropout_seed,
-        scale, causal, False, None, 0.0, block_sizes, interpret,
-        dropout_p,
-    )
+    if v.shape[-1] != q.shape[-1] or qv is not None:
+        assert dropout_p == 0.0, "MLA shapes are inference-only"
+        out, lse = _flash_forward_impl(
+            q, k, v, scale, causal, block_sizes, interpret, qv=qv,
+        )
+    else:
+        out, lse = _flash_core(
+            q, k, v, None, None, None, None, None, dropout_seed,
+            scale, causal, False, None, 0.0, block_sizes, interpret,
+            dropout_p,
+        )
     if return_lse:
         return out, lse
     return out
@@ -699,6 +748,7 @@ def flash_attention_masked(
     interpret: Optional[bool] = None,
     dropout_p: float = 0.0,
     dropout_seed: Optional[jax.Array] = None,
+    qv: Optional[jax.Array] = None,
 ):
     """Flash attention with varlen segments and/or per-batch key bounds.
 
@@ -720,12 +770,22 @@ def flash_attention_masked(
         scale = 1.0 / (q.shape[-1] ** 0.5)
     if dropout_p > 0.0 and dropout_seed is None:
         dropout_seed = jnp.int32(0)
-    out, lse = _flash_core(
-        q, k, v, q_segments, kv_segments, kv_bound, kv_low, alibi_slopes,
-        dropout_seed,
-        scale, causal, bound_causal, window, softcap, block_sizes,
-        interpret, dropout_p,
-    )
+    if v.shape[-1] != q.shape[-1] or qv is not None:
+        assert dropout_p == 0.0, "MLA shapes are inference-only"
+        out, lse = _flash_forward_impl(
+            q, k, v, scale, causal, block_sizes, interpret,
+            q_segments=q_segments, kv_segments=kv_segments,
+            kv_bound=kv_bound, bound_causal=bound_causal, kv_low=kv_low,
+            window=window, softcap=softcap, alibi_slopes=alibi_slopes,
+            qv=qv,
+        )
+    else:
+        out, lse = _flash_core(
+            q, k, v, q_segments, kv_segments, kv_bound, kv_low,
+            alibi_slopes, dropout_seed,
+            scale, causal, bound_causal, window, softcap, block_sizes,
+            interpret, dropout_p,
+        )
     if return_lse:
         return out, lse
     return out

@@ -181,6 +181,52 @@ def main():
     ok &= check("folded paged int8 (auto multi-page)",
                 fi8.astype(jnp.float32), f1, 0.06)
 
+    # Absorbed-MLA decode (d=576 latent, dv=512, paged + contiguous)
+    # vs oracle -- exercises the non-128-multiple lane dim on Mosaic.
+    from liteattention_tpu.ops.mla import mla_decode
+
+    dm, dvm, hqm, sm = 576, 512, 16, 256
+    kvm = jax.random.normal(ks[1], (2, sm, dm), jnp.float32)
+    qm = jax.random.normal(ks[0], (2, 1, hqm, dm), jnp.float32)
+    lensm = jnp.asarray([sm, sm - 100], jnp.int32)
+    om = mla_decode(qm, kvm, lensm, dvm, causal=True, interpret=False)
+    sc = 1.0 / dm**0.5
+    sm_scores = (
+        jnp.einsum("bqhd,bkd->bhqk", qm.astype(jnp.float32), kvm) * sc
+    )
+    colm = jnp.arange(sm)[None, None, None, :]
+    sm_scores = jnp.where(
+        colm < lensm[:, None, None, None], sm_scores, -1e30
+    )
+    pm = jax.nn.softmax(sm_scores, axis=-1)
+    refm = jnp.einsum("bhqk,bkd->bqhd", pm, kvm[..., :dvm])
+    ok &= check("mla decode contiguous", om, refm, 3e-5)
+    psm = 64
+    ppm = sm // psm
+    om_p = mla_decode(
+        qm, kvm.reshape(2 * ppm, psm, dm), lensm, dvm,
+        page_table=jnp.arange(2 * ppm, dtype=jnp.int32).reshape(2, ppm),
+        causal=True, interpret=False,
+    )
+    ok &= check("mla decode paged", om_p, refm, 3e-5)
+
+    # Dense MLA fwd (unequal dv + qv term) vs oracle.
+    qq = q[:, :, :256, :64]
+    kk = k[:, :, :256, :64]
+    vv = v[:, :, :256, :]
+    qvt = jax.random.normal(ks[2], qq.shape[:3] + (d,), jnp.float32)
+    scm = (64 + d) ** -0.5
+    outm = flash_attention(
+        qq, kk, vv, scale=scm, qv=qvt, block_sizes=BlockSizes(128, 128),
+        interpret=False,
+    )
+    sref = (
+        jnp.einsum("bhqd,bhkd->bhqk", qq, kk)
+        + jnp.einsum("bhqd,bhkd->bhqk", qvt, vv)
+    ) * scm
+    refqv = jnp.einsum("bhqk,bhkd->bhqd", jax.nn.softmax(sref, -1), vv)
+    ok &= check("dense qv (MLA) fwd", outm, refqv, 3e-5)
+
     # Backward vs autodiff-of-oracle.
     def loss_kernel(q, k, v):
         return jnp.sum(

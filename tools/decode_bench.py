@@ -230,6 +230,53 @@ def main():
         table, seqlens,
     )
     report("decode_paged_int8", tk, traw, hk / 2)
+
+    # Absorbed-MLA decode (DeepSeek shape: one latent KV head, K = the
+    # full 576-dim latent row, V = its first 512 channels; reference
+    # benchmark_mla_decode.py). The kernel streams the shared cache
+    # ONCE, so the roofline is b*S*576*2 bytes -- a separate-tensor
+    # path would move 1088 lanes per token.
+    from liteattention_tpu.ops.mla import mla_decode
+
+    d_mla, dv_mla, hq_mla = 576, 512, 16
+    kv_lat = jax.random.normal(ks[1], (b, s, d_mla), jnp.bfloat16)
+    q_mla = jax.random.normal(ks[0], (b, 1, hq_mla, d_mla), jnp.bfloat16)
+
+    def step_mla(q, kv, sl):
+        return mla_decode(q, kv, sl, dv_mla, causal=True)
+
+    def mla_report(name, t_kernel, t_raw):
+        gb = b * s * d_mla * 2 / 1e9  # one pass over the latent cache
+        bw = gb / t_kernel
+        results[name] = dict(
+            ms=round(t_kernel * 1e3, 3),
+            steps_per_s=round(1.0 / t_kernel, 1),
+            cache_read_gbps=round(bw, 1),
+            hbm_util=round(bw / V5E_HBM_GBPS, 3),
+            raw_loop_ms=round(t_raw * 1e3, 3),
+            heads_q=hq_mla, head_dim=d_mla, head_dim_v=dv_mla,
+        )
+        print(f"{name:22s}: kernel {t_kernel*1e3:7.3f} ms  "
+              f"{bw:6.1f} GB/s ({bw/V5E_HBM_GBPS:.0%} of HBM peak)",
+              flush=True)
+
+    tk, traw = timeit_marginal(step_mla, q_mla, kv_lat, seqlens)
+    mla_report("decode_mla", tk, traw)
+
+    ps_mla = 64  # flash_mla convention
+    pp_mla = s // ps_mla
+    kv_pages_mla = kv_lat.reshape(b * pp_mla, ps_mla, d_mla)
+    tbl_mla = jnp.arange(b * pp_mla, dtype=jnp.int32).reshape(b, pp_mla)
+
+    def step_mla_paged(q, kvp, tbl, sl):
+        return mla_decode(
+            q, kvp, sl, dv_mla, page_table=tbl, causal=True
+        )
+
+    tk, traw = timeit_marginal(
+        step_mla_paged, q_mla, kv_pages_mla, tbl_mla, seqlens
+    )
+    mla_report("decode_mla_paged", tk, traw)
     if "decode_paged" in results:
         sp = (
             results["decode_paged"]["ms"]
