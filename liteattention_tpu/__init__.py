@@ -23,6 +23,11 @@ from liteattention_tpu.flash_attn_interface import (
     flash_attn_with_kvcache,
     flash_mla_with_kvcache,
 )
+from liteattention_tpu.flash_blocksparse import (
+    FlashBlocksparseAttention,
+    convert_blockmask,
+    flash_blocksparse_attn_func,
+)
 from liteattention_tpu.lite_attention import (
     LiteAttention,
     SeqParallelLiteAttention,
@@ -45,4 +50,7 @@ __all__ = [
     "flash_attn_with_kvcache",
     "flash_mla_with_kvcache",
     "flash_attn_combine",
+    "flash_blocksparse_attn_func",
+    "FlashBlocksparseAttention",
+    "convert_blockmask",
 ]

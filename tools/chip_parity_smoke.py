@@ -192,14 +192,16 @@ def main():
     om = mla_decode(qm, kvm, lensm, dvm, causal=True, interpret=False)
     sc = 1.0 / dm**0.5
     sm_scores = (
-        jnp.einsum("bqhd,bkd->bhqk", qm.astype(jnp.float32), kvm) * sc
+        jnp.einsum("bqhd,bkd->bhqk", qm.astype(jnp.float32), kvm,
+                   precision=jax.lax.Precision.HIGHEST) * sc
     )
     colm = jnp.arange(sm)[None, None, None, :]
     sm_scores = jnp.where(
         colm < lensm[:, None, None, None], sm_scores, -1e30
     )
     pm = jax.nn.softmax(sm_scores, axis=-1)
-    refm = jnp.einsum("bhqk,bkd->bqhd", pm, kvm[..., :dvm])
+    refm = jnp.einsum("bhqk,bkd->bqhd", pm, kvm[..., :dvm],
+                      precision=jax.lax.Precision.HIGHEST)
     ok &= check("mla decode contiguous", om, refm, 3e-5)
     psm = 64
     ppm = sm // psm
@@ -221,10 +223,13 @@ def main():
         interpret=False,
     )
     sref = (
-        jnp.einsum("bhqd,bhkd->bhqk", qq, kk)
-        + jnp.einsum("bhqd,bhkd->bhqk", qvt, vv)
+        jnp.einsum("bhqd,bhkd->bhqk", qq, kk,
+                   precision=jax.lax.Precision.HIGHEST)
+        + jnp.einsum("bhqd,bhkd->bhqk", qvt, vv,
+                     precision=jax.lax.Precision.HIGHEST)
     ) * scm
-    refqv = jnp.einsum("bhqk,bhkd->bhqd", jax.nn.softmax(sref, -1), vv)
+    refqv = jnp.einsum("bhqk,bhkd->bhqd", jax.nn.softmax(sref, -1), vv,
+                       precision=jax.lax.Precision.HIGHEST)
     ok &= check("dense qv (MLA) fwd", outm, refqv, 3e-5)
 
     # Backward vs autodiff-of-oracle.
