@@ -473,12 +473,17 @@ def paged_attention_folded(
     pages_per_seq = page_indices.shape[1]
 
     if pages_per_step is None:
-        # Auto: batch pages until one step's K stream reaches ~512 KB
-        # (the granularity at which the single-stream bf16 pool already
-        # runs near its measured ceiling). int8 at page_size=256/hk=8
-        # gets 2 pages/step; bf16 1.
+        # Auto: batch pages until one step's K stream reaches ~2 MB
+        # (v5e-swept at page_size=256/hk=8/d=128: bf16 util climbs
+        # 0.78 -> 0.82 -> 0.87 at 1/2/4 pages, int8 0.47 -> 0.52 ->
+        # 0.56 at 2/4/8; bf16 at 8 pages OOMs scoped VMEM -- 8 pages
+        # x 2 arrays x 2 pipeline buffers x 512 KB > the 16 MB
+        # budget, so the cap stays at 8 and the 2 MB target keeps
+        # bf16 at 4).
         page_bytes = page_size * lanes * k_pages.dtype.itemsize
-        pages_per_step = max(1, min(4, (512 * 1024) // max(page_bytes, 1)))
+        pages_per_step = max(
+            1, min(8, (2 * 1024 * 1024) // max(page_bytes, 1))
+        )
     pages_per_step = max(1, min(pages_per_step, pages_per_seq))
     num_steps = -(-pages_per_seq // pages_per_step)
 
