@@ -29,6 +29,13 @@ feeds this class — the fast kernel runs. When it is not (or with
 fallback applies the mask at the reference's own 16 x 256 granularity.
 This mirrors the reference's own dispatch philosophy ("flash only where
 the kernel supports it", modules/mha.py).
+
+Gradients: the Pallas kernel route is FORWARD-ONLY (the skip-masked
+kernel has no custom_vjp — the engine is an inference engine), unlike
+the reference's FA1 kernel which is differentiable (it is the BERT
+training kernel). Pass ``trainable=True`` to route to the exact XLA
+fallback, which is safely differentiable (finite -1e30 masking, so
+fully-masked rows produce zero output AND zero gradients).
 """
 
 from __future__ import annotations
@@ -44,6 +51,11 @@ from liteattention_tpu.flash_attn_interface import flash_attn_func
 
 BLOCK_ROWS = 16   # q positions per layout row (reference granularity)
 BLOCK_COLS = 256  # k positions per layout col
+
+# Finite mask value (repo convention, e.g. tools/chip_parity_smoke):
+# keeps the softmax NaN-free on fully-masked rows so the fallback is
+# differentiable — -inf would survive the jnp.where as NaN gradients.
+_MASK_VALUE = -1e30
 
 
 def convert_blockmask(blockmask, causal: bool = False) -> np.ndarray:
@@ -100,7 +112,18 @@ def _fallback_attention(
     Numerically the reference kernel's semantics: masked blocks are
     excluded from the softmax; fully-masked rows produce 0 output
     (flash kernels' empty-row convention, ops/flash_fwd.py epilogue).
+    Masking uses a large finite negative (see ``_MASK_VALUE``) so the
+    path is differentiable even with fully-masked rows.
+
+    With ``return_attn_probs`` returns ``(out, probs, lse)`` — lse is
+    the natural-log row logsumexp ``[B, H, Sq]`` (flash convention;
+    -inf on fully-masked rows), matching the reference's
+    ``(context, S_dmask, softmax_lse)`` triple.
     """
+    if dropout_p > 0.0 and dropout_rng is None:
+        raise ValueError(
+            "dropout_p > 0 requires dropout_rng (pass dropout_rng= / "
+            "the module's __call__(dropout_rng=) when training=True)")
     b, sq, h, d = q.shape
     sk = k.shape[1]
     scale = softmax_scale if softmax_scale is not None else 1.0 / math.sqrt(d)
@@ -116,7 +139,7 @@ def _fallback_attention(
         )
     if key_valid is not None:  # [B, sk] bool
         mask = jnp.logical_and(mask, key_valid[:, None, None, :])
-    scores = jnp.where(mask, scores, -jnp.inf)
+    scores = jnp.where(mask, scores, _MASK_VALUE)
     row_any = mask.any(axis=-1, keepdims=True)
     probs = jax.nn.softmax(scores, axis=-1)
     probs = jnp.where(row_any, probs, 0.0)
@@ -127,7 +150,11 @@ def _fallback_attention(
     out = jnp.einsum("bhqk,bkhd->bqhd", probs, v.astype(jnp.float32),
                      precision=jax.lax.Precision.HIGHEST)
     out = out.astype(q.dtype)
-    return (out, probs) if return_attn_probs else out
+    if not return_attn_probs:
+        return out
+    lse = jax.scipy.special.logsumexp(
+        jnp.where(mask, scores, -jnp.inf), axis=-1)  # [B, H, Sq]
+    return out, probs, lse
 
 
 def flash_blocksparse_attn_func(
@@ -141,6 +168,7 @@ def flash_blocksparse_attn_func(
     return_attn_probs: bool = False,
     convert_mask: bool = True,
     dropout_rng: Optional[jax.Array] = None,
+    trainable: bool = False,
 ):
     """Block-sparse attention on packed varlen QKV.
 
@@ -155,6 +183,15 @@ def flash_blocksparse_attn_func(
     128-representable mask runs the skip-masked Pallas kernel
     (static ``attn_read_list``); anything else runs the exact XLA
     fallback at the reference's native 16 x 256 granularity.
+
+    The kernel route is FORWARD-ONLY (no custom_vjp on the sparse
+    channel), while the reference FA1 kernel is differentiable. Pass
+    ``trainable=True`` to force the differentiable XLA fallback when
+    gradients are needed.
+
+    With ``return_attn_probs`` returns the reference-shaped triple
+    ``(out, probs, lse)`` (probs/lse on the PADDED ``[B, max_s]``
+    layout; lse natural-log ``[B, H, max_s]``).
     """
     cu = np.asarray(cu_seqlens)
     lens = cu[1:] - cu[:-1]
@@ -167,7 +204,7 @@ def flash_blocksparse_attn_func(
 
     equal = bool((lens == lens[0]).all())
     if (equal and representable and not causal and dropout_p == 0.0
-            and not return_attn_probs):
+            and not return_attn_probs and not trainable):
         s = int(lens[0])
         h, d = qkv.shape[-2], qkv.shape[-1]
         q, k, v = (qkv[:, i].reshape(batch, s, h, d) for i in range(3))
@@ -202,10 +239,10 @@ def flash_blocksparse_attn_func(
         dropout_p=dropout_p, dropout_rng=dropout_rng,
         return_attn_probs=return_attn_probs,
     )
-    out, probs = res if return_attn_probs else (res, None)
+    out, probs, lse = res if return_attn_probs else (res, None, None)
     flat = jnp.concatenate(
         [out[i, : int(lens[i])] for i in range(batch)], axis=0)
-    return (flat, probs) if return_attn_probs else flat
+    return (flat, probs, lse) if return_attn_probs else flat
 
 
 class FlashBlocksparseAttention:
@@ -216,8 +253,17 @@ class FlashBlocksparseAttention:
     ``make_layout(max_seq_length)`` — the reference's hydra-built
     DeepSpeed ``sparsity_config``) and applies block-sparse attention
     to ``[B, S, 3, H, D]`` packed QKV. ``key_padding_mask`` is a bool
-    ``[B, S]`` matrix (True = keep), handled exactly via the fallback
-    path's key masking.
+    ``[B, S]`` matrix (True = keep), applied by masking keys in place
+    and zeroing padded query rows. NOTE a semantics delta from the
+    reference: the reference unpads/COMPACTS tokens (the blockmask then
+    indexes compacted positions, flash_blocksparse_attention.py:84-100)
+    — equivalent to this in-place form only for TRAILING padding, the
+    layout every collator here produces. Non-contiguous padding masks
+    would index the blockmask at different (shifted) positions in the
+    reference; compact such batches yourself before calling.
+
+    Returns ``(output, None)`` like the reference's
+    ``forward -> (output, attn_weights)``.
     """
 
     def __init__(self, sparsity_config, softmax_temp=None,
@@ -251,11 +297,16 @@ class FlashBlocksparseAttention:
                 dropout_p=0.0, max_s=s,
                 softmax_scale=self.softmax_temp, causal=causal,
             )
-            return flat.reshape(b, s, *flat.shape[1:])
+            return flat.reshape(b, s, *flat.shape[1:]), None
         q, k, v = qkv[:, :, 0], qkv[:, :, 1], qkv[:, :, 2]
         el = _blockmask_elementwise(bm, s, s)
-        return _fallback_attention(
+        out = _fallback_attention(
             q, k, v, el, self.softmax_temp, causal,
             key_valid=key_padding_mask, dropout_p=dropout_p,
             dropout_rng=dropout_rng,
         )
+        if key_padding_mask is not None:
+            # Reference pad_input zero-fills padded rows on re-pad
+            # (bert_padding.py); mirror that at padded QUERY rows.
+            out = out * key_padding_mask[:, :, None, None].astype(out.dtype)
+        return out, None

@@ -125,10 +125,13 @@ def test_blocksparse_module_key_padding():
     mod = FlashBlocksparseAttention(layout, max_seq_length=512)
     valid = np.ones((b, s), bool)
     valid[0, 200:] = False
-    out = mod(qkv, key_padding_mask=jnp.asarray(valid))
+    out, attn_weights = mod(qkv, key_padding_mask=jnp.asarray(valid))
+    assert attn_weights is None  # reference forward returns (out, None)
     bm = layout[: s // 16, : s // 256]
     ref = _oracle(np.asarray(qkv[:, :, 0]), np.asarray(qkv[:, :, 1]),
                   np.asarray(qkv[:, :, 2]), bm, key_valid=valid)
+    # Padded query rows are zero-filled (reference pad_input semantics).
+    ref = ref * valid[:, :, None, None]
     np.testing.assert_allclose(np.asarray(out), ref, atol=2e-3,
                                rtol=2e-3)
 
@@ -140,7 +143,7 @@ def test_blocksparse_module_kernel_route():
     qkv = jax.random.normal(key, (b, s, 3, h, d), jnp.float32)
     layout = _group_uniform_mask(rng, 512)
     mod = FlashBlocksparseAttention(layout, max_seq_length=512)
-    out = mod(qkv)
+    out, _ = mod(qkv)
     ref = _oracle(np.asarray(qkv[:, :, 0]), np.asarray(qkv[:, :, 1]),
                   np.asarray(qkv[:, :, 2]), layout)
     np.testing.assert_allclose(np.asarray(out), ref, atol=2e-3,
@@ -158,15 +161,55 @@ def test_blocksparse_dropout_and_probs():
     cu = np.asarray([0, s], np.int32)
     bm = rng.random((s // 16, 1)) < 0.6
     bm[0] = True
-    out, probs = flash_blocksparse_attn_func(
+    out, probs, lse = flash_blocksparse_attn_func(
         qkv, cu, bm, max_s=s, return_attn_probs=True)
     p = np.asarray(probs)
     rowsum = p.sum(-1)
     live = rowsum > 0
     np.testing.assert_allclose(rowsum[live], 1.0, atol=1e-5)
+    # lse is the natural-log row logsumexp of the masked scores.
+    d = qkv.shape[-1]
+    scores = np.einsum(
+        "qhd,khd->hqk", np.float32(qkv[:, 0]), np.float32(qkv[:, 1]),
+    ) * d ** -0.5
+    el = np.repeat(np.repeat(np.asarray(bm) != 0, 16, 0), 256, 1)[:s, :s]
+    ref_lse = np.log(np.sum(np.where(el[None], np.exp(
+        scores - scores.max(-1, keepdims=True)), 0.0), -1)) \
+        + scores.max(-1)
+    np.testing.assert_allclose(np.asarray(lse)[0], ref_lse,
+                               atol=1e-3, rtol=1e-3)
     # Dropout path runs and zeroes ~p of the mass (smoke, not exact).
     out_d = flash_blocksparse_attn_func(
         qkv, cu, bm, dropout_p=0.5, max_s=s,
         dropout_rng=jax.random.PRNGKey(7))
     assert np.asarray(out_d).shape == np.asarray(out).shape
     assert not np.allclose(np.asarray(out_d), np.asarray(out))
+    # dropout without an rng is a clear error, not an opaque TypeError.
+    with pytest.raises(ValueError, match="dropout_rng"):
+        flash_blocksparse_attn_func(qkv, cu, bm, dropout_p=0.5, max_s=s)
+
+
+def test_blocksparse_trainable_grads():
+    """trainable=True routes to the differentiable fallback; gradients
+    are finite even when the mask fully masks some q rows (the -1e30
+    finite masking keeps the jnp.where NaN-free under autodiff)."""
+    b, s, h, d = 1, 256, 2, 32
+    key = jax.random.PRNGKey(8)
+    qkv = jax.random.normal(key, (b * s, 3, h, d), jnp.float32)
+    cu = np.asarray([0, s], np.int32)
+    bm = np.zeros((s // 16, 1), bool)
+    bm[:8] = True  # rows 128..255 fully masked
+    bm8 = np.repeat(bm.reshape(-1, 8, 1).any(1), 8, 0)  # group-uniform
+
+    def loss(x):
+        return jnp.sum(flash_blocksparse_attn_func(
+            x, cu, bm8, max_s=s, trainable=True) ** 2)
+
+    g = jax.grad(loss)(qkv)
+    assert np.isfinite(np.asarray(g)).all()
+    # Forward value matches the oracle (fully-masked rows -> 0 output).
+    out_t = np.asarray(flash_blocksparse_attn_func(
+        qkv, cu, bm8, max_s=s, trainable=True)).reshape(b, s, h, d)
+    x = np.asarray(qkv).reshape(b, s, 3, h, d)
+    ref = _oracle(x[:, :, 0], x[:, :, 1], x[:, :, 2], bm8)
+    np.testing.assert_allclose(out_t, ref, atol=2e-3, rtol=2e-3)
