@@ -41,6 +41,7 @@ import jax.numpy as jnp
 from liteattention_tpu.ops.flash_fwd import flash_attention
 from liteattention_tpu.ops.lite_flash_fwd import (
     VOTE_TILE,
+    build_gather_schedule,
     lite_flash_attention,
 )
 from liteattention_tpu.ops.mask import (
@@ -129,6 +130,11 @@ def lite_attention_step(
       enable_skipping: when False, runs the dense kernel and returns the
         state unchanged (the reference's documented disable path,
         README.md:158-159).
+      schedule: optional cached compaction ``(fidx, count, qbits)`` or
+        ``(fidx, count, qbits, packed)`` where ``packed`` is the
+        pre-assembled wire-format schedule from
+        :func:`build_gather_schedule` (the stateful wrapper caches both
+        between vote steps).
       emit_votes: when False, the kernel's vote chain is compiled out
         (~a full extra MXU pass per step saved) and the mask is carried
         over unchanged. The reference votes every step
@@ -160,8 +166,12 @@ def lite_attention_step(
         # compaction is ~10 ms at 73k tokens and would otherwise be paid
         # every step).
         bq, bk = effective_blocks(bs, q.shape[2], k.shape[2])
+        packed = None
         if schedule is not None:
-            fidx, count, qbits = schedule
+            if len(schedule) == 4:
+                fidx, count, qbits, packed = schedule
+            else:
+                fidx, count, qbits = schedule
         else:
             fidx, count, qbits = compact_mask_gather(
                 state.do_mask, bq // VOTE_TILE
@@ -178,6 +188,7 @@ def lite_attention_step(
             block_sizes=bs,
             fine_schedule=True,
             emit_votes=emit_votes,
+            packed_schedule=packed,
         )
         if emit_votes:
             votes = votes[
@@ -450,10 +461,22 @@ class LiteAttention:
                 if self.adaptive_geometry:
                     bs = self._pick_geometry(state.do_mask, bs)
                 self._geom_bs = bs
-                bq, _ = effective_blocks(bs, q.shape[2], k.shape[2])
-                self._sched_cache = compact_mask_gather(
+                bq, bk = effective_blocks(bs, q.shape[2], k.shape[2])
+                fidx, count, qbits = compact_mask_gather(
                     state.do_mask, bq // VOTE_TILE
                 )
+                # The packed wire-format schedule (assembly ~7 ms at
+                # 73k tokens) is cached alongside the compaction: both
+                # are frozen between vote steps.
+                packed = build_gather_schedule(
+                    fidx,
+                    count,
+                    qbits,
+                    gsize=bk // VOTE_TILE,
+                    qsubs=bq // VOTE_TILE,
+                    seqlen_k=k.shape[2],
+                )
+                self._sched_cache = (fidx, count, qbits, packed)
             else:
                 bs = self._geom_bs or bs
             schedule = self._sched_cache

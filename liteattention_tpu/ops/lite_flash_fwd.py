@@ -633,7 +633,12 @@ def _lite_gather_kernel(
             # MXU pass per step) and a direct full-width lane-tree
             # (~0.5 us/step) pay full price on the (block_q, gW) array;
             # this costs ~one elementwise pass (measured: vote overhead
-            # 35 ms -> single-digit ms at 73k s=0).
+            # 35 ms -> single-digit ms at 73k s=0). A round-4 attempt
+            # to share per-128-lane segment maxes between the vote and
+            # the running max (lane-segment reduce FIRST) re-measured
+            # as a 2x kernel slowdown on chip -- the full-width
+            # lane-group reduction is the expensive shape regardless of
+            # what reuses it. Do not reorder.
             rg = jnp.max(
                 diff.reshape(qsubs, vq, gsize * VOTE_TILE), axis=1
             )  # (qsubs, gW)
@@ -786,9 +791,91 @@ def _pad_seq(x: jax.Array, block: int) -> jax.Array:
     return x
 
 
+@functools.partial(
+    jax.jit, static_argnames=("gsize", "qsubs", "seqlen_k")
+)
+def build_gather_schedule(
+    fidx: jax.Array,
+    count: jax.Array,
+    qbits: jax.Array,
+    *,
+    gsize: int,
+    qsubs: int,
+    seqlen_k: int,
+) -> jax.Array:
+    """Pack a compacted gather schedule into the kernel's wire format.
+
+    Produces the ``[B, H, Qt, 3R, 128]`` int32 row blocks the gather
+    kernel DMAs to SMEM: ``[count, fidx...]`` + ``[0, qbits...]`` +
+    ``[0, runflags...]`` (see ``_lite_gather_kernel``). Split out of the
+    attention call (round 4) so the engine can CACHE the packed form
+    alongside the compaction: assembly costs ~7 ms at 73k tokens on
+    chip and the schedule only changes when the mask does, yet it used
+    to be re-traced into EVERY step -- including the no-vote steps of a
+    ``vote_stride`` cycle that exist precisely to amortize mask costs.
+
+    Per-STEP flags: step p covers schedule entries
+    [p*gsize, (p+1)*gsize).
+      bit 0 (run):  the entries are consecutive fine indices -> one
+                    contiguous DMA per operand instead of gsize.
+      bit 1 (full): every entry is valid (no phantom tail), every
+                    q-row group is live, and no entry touches the
+                    padded tail tile -> the kernel skips sub-masking
+                    entirely and consumes the raw score tile.
+    """
+    b, h, qt, ktf = fidx.shape
+    sched_rows = -(-(1 + ktf + gsize) // MIN_LANES)
+    row_len = sched_rows * MIN_LANES
+
+    def section(head, body):
+        return jnp.concatenate(
+            [
+                head[..., None].astype(jnp.int32),
+                body.astype(jnp.int32),
+                jnp.zeros(
+                    (b, h, qt, row_len - 1 - body.shape[-1]), jnp.int32
+                ),
+            ],
+            axis=-1,
+        ).reshape(b, h, qt, sched_rows, MIN_LANES)
+
+    steps = -(-ktf // gsize)
+    tail = ((0, 0),) * 3 + ((0, steps * gsize - ktf),)
+    fpad = jnp.pad(fidx, tail, mode="edge").reshape(
+        b, h, qt, steps, gsize
+    )
+    runflag = jnp.all(
+        fpad == fpad[..., :1] + jnp.arange(gsize, dtype=fidx.dtype),
+        axis=-1,
+    )
+    qbpad = jnp.pad(qbits, tail, mode="edge").reshape(
+        b, h, qt, steps, gsize
+    )
+    full_qb = (1 << qsubs) - 1
+    fullflag = jnp.logical_and(
+        jnp.all(qbpad == full_qb, axis=-1),
+        (jnp.arange(steps, dtype=jnp.int32) + 1) * gsize
+        <= count[..., None],
+    )
+    if seqlen_k % VOTE_TILE != 0:
+        fullflag = jnp.logical_and(
+            fullflag, jnp.all(fpad != ktf - 1, axis=-1)
+        )
+    flags = runflag.astype(jnp.int32) + 2 * fullflag.astype(jnp.int32)
+    return jnp.concatenate(
+        [
+            section(count, fidx),
+            section(jnp.zeros_like(count), qbits),
+            section(jnp.zeros_like(count), flags),
+        ],
+        axis=3,
+    )
+
+
 def _lite_gather_call(
     q, k, v, fidx, count, threshold, qbits,
     *, scale, block_q, gsize, interpret, emit_votes=True,
+    packed_schedule=None,
 ):
     """Host side of the gather schedule (see _lite_gather_kernel)."""
     b, h, sq, d = q.shape
@@ -819,64 +906,20 @@ def _lite_gather_call(
 
     # Schedule: [count, fidx...] + [0, qbits...] + [0, runflags...];
     # width covers the worst-case over-read (up to gsize - 1 phantom
-    # entries past count).
+    # entries past count). A caller holding a cached packed schedule
+    # (the engine between vote steps) passes it verbatim.
     sched_rows = -(-(1 + ktf + gsize) // MIN_LANES)
-    row_len = sched_rows * MIN_LANES
-
-    def section(head, body):
-        return jnp.concatenate(
-            [
-                head[..., None].astype(jnp.int32),
-                body.astype(jnp.int32),
-                jnp.zeros(
-                    (b, h, qt, row_len - 1 - body.shape[-1]), jnp.int32
-                ),
-            ],
-            axis=-1,
-        ).reshape(b, h, qt, sched_rows, MIN_LANES)
-
-    # Per-STEP flags: step p covers schedule entries
-    # [p*gsize, (p+1)*gsize).
-    #   bit 0 (run):  the entries are consecutive fine indices -> one
-    #                 contiguous DMA per operand instead of gsize.
-    #   bit 1 (full): every entry is valid (no phantom tail), every
-    #                 q-row group is live, and no entry touches the
-    #                 padded tail tile -> the kernel skips sub-masking
-    #                 entirely and consumes the raw score tile.
     steps = -(-ktf // gsize)
-    tail = ((0, 0),) * 3 + ((0, steps * gsize - ktf),)
-    fpad = jnp.pad(fidx, tail, mode="edge").reshape(
-        b, h, qt, steps, gsize
-    )
-    runflag = jnp.all(
-        fpad == fpad[..., :1] + jnp.arange(gsize, dtype=fidx.dtype),
-        axis=-1,
-    )
-    qbpad = jnp.pad(qbits, tail, mode="edge").reshape(
-        b, h, qt, steps, gsize
-    )
-    full_qb = (1 << qsubs) - 1
-    fullflag = jnp.logical_and(
-        jnp.all(qbpad == full_qb, axis=-1),
-        (jnp.arange(steps, dtype=jnp.int32) + 1) * gsize
-        <= count[..., None],
-    )
-    if sk % VOTE_TILE != 0:
-        fullflag = jnp.logical_and(
-            fullflag, jnp.all(fpad != ktf - 1, axis=-1)
-        )
-    flags = runflag.astype(jnp.int32) + 2 * fullflag.astype(jnp.int32)
     # Vote rows are packed one per STEP (lane qs*gsize+g).
     steps8 = max(8, -(-steps // 8) * 8)
-
-    schedule = jnp.concatenate(
-        [
-            section(count, fidx),
-            section(jnp.zeros_like(count), qbits),
-            section(jnp.zeros_like(count), flags),
-        ],
-        axis=3,
-    )
+    if packed_schedule is None:
+        schedule = build_gather_schedule(
+            fidx, count, qbits, gsize=gsize, qsubs=qsubs, seqlen_k=sk
+        )
+    else:
+        schedule = packed_schedule
+    assert schedule.shape == (b, h, qt, 3 * sched_rows, MIN_LANES), (
+        schedule.shape, (b, h, qt, 3 * sched_rows, MIN_LANES))
 
     thr = jnp.reshape(threshold.astype(jnp.float32), (1, 1))
     kernel = functools.partial(
@@ -1005,6 +1048,7 @@ def lite_flash_attention(
     fine_schedule: bool = False,
     interpret: Optional[bool] = None,
     emit_votes: bool = True,
+    packed_schedule: Optional[jax.Array] = None,
 ) -> Tuple[jax.Array, jax.Array, Optional[jax.Array]]:
     """Sparse flash attention over a compacted skip mask, emitting votes.
 
@@ -1043,6 +1087,11 @@ def lite_flash_attention(
         host decode) is compiled out and ``votes`` returns None -- the
         engine's ``vote_stride`` amortization (PARITY.md round-3
         deviation note).
+      packed_schedule: gather path only. Optional pre-packed wire-format
+        schedule from :func:`build_gather_schedule` (must have been
+        built from the SAME (kv_idx, count, kv_bits) and geometry).
+        Skips the ~7 ms/step assembly; the engine caches it between
+        vote steps.
 
     Returns:
       out ``[B, H, Sq, D]``, lse fp32 ``[B, H, Sq]``,
@@ -1073,6 +1122,7 @@ def lite_flash_attention(
             q, k, v, kv_idx, count, threshold, kv_bits,
             scale=scale, block_q=block_q, gsize=block_k // VOTE_TILE,
             interpret=interpret, emit_votes=emit_votes,
+            packed_schedule=packed_schedule,
         )
     if kv_bits is None:
         qsubs = ksubs = 1
@@ -1203,4 +1253,9 @@ def lite_flash_attention(
     return out, lse, votes
 
 
-__all__ = ["lite_flash_attention", "LOG2E", "VOTE_TILE"]
+__all__ = [
+    "lite_flash_attention",
+    "build_gather_schedule",
+    "LOG2E",
+    "VOTE_TILE",
+]
