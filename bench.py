@@ -40,7 +40,10 @@ import jax.numpy as jnp
 import numpy as np
 
 from liteattention_tpu.ops.flash_fwd import flash_attention
-from liteattention_tpu.ops.lite_flash_fwd import lite_flash_attention
+from liteattention_tpu.ops.lite_flash_fwd import (
+    build_gather_schedule,
+    lite_flash_attention,
+)
 from liteattention_tpu.ops.mask import (
     SkipMaskState,
     compact_mask_gather,
@@ -122,7 +125,16 @@ def main():
 
     @jax.jit
     def compact(do_mask):
-        return compact_mask_gather(do_mask, qsubs)
+        # Engine semantics (round 4): the PACKED wire-format schedule is
+        # cached alongside the compaction -- both are built once per
+        # vote cycle, and no-vote steps skip the ~7 ms in-graph
+        # assembly entirely.
+        fidx, count, qbits = compact_mask_gather(do_mask, qsubs)
+        packed = build_gather_schedule(
+            fidx, count, qbits, gsize=lite_bs.block_k // 128,
+            qsubs=qsubs, seqlen_k=s,
+        )
+        return fidx, count, qbits, packed
 
     def make_step(thr, emit_votes=True):
         # Steady-state engine step (LiteAttention wrapper semantics):
@@ -131,11 +143,11 @@ def main():
         # stride cycle, not per step.
         @jax.jit
         def lite_step(sched, do_mask, q, k, v):
-            fidx, count, qbits = sched
+            fidx, count, qbits, packed = sched
             out, lse, votes = lite_flash_attention(
                 q, k, v, fidx, count, jnp.float32(thr), kv_bits=qbits,
                 block_sizes=lite_bs, fine_schedule=True,
-                emit_votes=emit_votes,
+                emit_votes=emit_votes, packed_schedule=packed,
             )
             if not emit_votes:
                 return out, do_mask
