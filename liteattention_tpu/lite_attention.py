@@ -54,6 +54,10 @@ from liteattention_tpu.ops.mask import (
     sparsity,
     update_mask,
 )
+from liteattention_tpu.ops.schedule_pack import (
+    pack_schedule,
+    unpack_schedule,
+)
 from liteattention_tpu.ops.tile_sizes import BlockSizes, get_block_sizes
 
 
@@ -462,19 +466,19 @@ class LiteAttention:
                     bs = self._pick_geometry(state.do_mask, bs)
                 self._geom_bs = bs
                 bq, bk = effective_blocks(bs, q.shape[2], k.shape[2])
-                fidx, count, qbits = compact_mask_gather(
-                    state.do_mask, bq // VOTE_TILE
-                )
-                # The packed wire-format schedule (assembly ~7 ms at
-                # 73k tokens) is cached alongside the compaction: both
-                # are frozen between vote steps.
-                packed = build_gather_schedule(
-                    fidx,
-                    count,
-                    qbits,
-                    gsize=bk // VOTE_TILE,
+                # One Pallas kernel replaces the XLA
+                # compact_mask_gather + build_gather_schedule pipeline
+                # (argsort + minor-dim gather + relayouts cost ~15 ms
+                # at 73k tokens per vote cycle); fidx/count/qbits are
+                # recovered as contiguous slices for the vote decode.
+                packed = pack_schedule(
+                    state.do_mask,
                     qsubs=bq // VOTE_TILE,
+                    gsize=bk // VOTE_TILE,
                     seqlen_k=k.shape[2],
+                )
+                fidx, count, qbits = unpack_schedule(
+                    packed, state.do_mask.shape[3], packed.shape[3] // 3
                 )
                 self._sched_cache = (fidx, count, qbits, packed)
             else:

@@ -24,9 +24,15 @@ from liteattention_tpu.ops.mask import (
     sparsity,
     update_mask,
 )
+from liteattention_tpu.ops.schedule_pack import (
+    pack_schedule,
+    unpack_schedule,
+)
 from liteattention_tpu.ops.tile_sizes import BlockSizes, get_block_sizes
 
 __all__ = [
+    "pack_schedule",
+    "unpack_schedule",
     "attention_ref",
     "flash_attention_masked",
     "flash_attention_decode",

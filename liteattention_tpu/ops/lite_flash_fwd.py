@@ -1000,14 +1000,20 @@ def _lite_gather_call(
     # fidx[b, h, qt, j*gsize+g] for q-row-group qs. The schedule lists
     # survivors in INCREASING index order, but phantom tail entries
     # REPEAT the last live index, so several schedule positions can
-    # alias one fine tile: the decode is a scatter-MIN over fidx (any
-    # aliased position voting "do" wins), not the cumsum-rank gather a
-    # bijective schedule would allow. A cumsum-rank decode built on
-    # qbits was tried in round 2 and silently collapsed masks (qbits is
-    # SCHEDULE-aligned, not fine-indexed; caught by
+    # alias one fine tile: the decode must OR the "do" votes of every
+    # aliased position, not gather one of them. A cumsum-rank decode
+    # built on qbits was tried in round 2 and silently collapsed masks
+    # (qbits is SCHEDULE-aligned, not fine-indexed; caught by
     # tests/test_lite_fine.py::test_gather_votes_match_oracle) -- do
     # not "simplify" back to it. Dead tiles vote the neutral 1 (the
     # monotone update keeps them skipped).
+    #
+    # The scatter is expressed as a one-hot MATMUL, not jnp scatter-min:
+    # fine_do[f] = sum_j onehot(fidx[j] == f) * do[j] > 0. An XLA
+    # scatter over the minor dim lowers to a serial loop and cost 26 ms
+    # at 73k tokens on v5e; the einsum runs in ~2 ms (MXU) with exact
+    # parity -- same pathology and fix as the diagonal-extraction
+    # einsum-with-identity gotcha (round 3).
     raw = votes[:, :, :, :steps, : qsubs * gsize].reshape(
         b, qt, h, steps, qsubs, gsize
     )
@@ -1016,15 +1022,14 @@ def _lite_gather_call(
     )[..., :ktf]
     pos = jnp.arange(ktf, dtype=jnp.int32)
     valid = pos[None, None, None] < count[..., None]  # [B, H, Qt, Ktf]
-    sched_votes = jnp.where(valid[:, :, :, None, :], sched_votes, 1)
-    bi = jnp.arange(b)[:, None, None, None, None]
-    hi = jnp.arange(h)[None, :, None, None, None]
-    qti = jnp.arange(qt)[None, None, :, None, None]
-    qsi = jnp.arange(qsubs)[None, None, None, :, None]
-    fine_votes = jnp.ones((b, h, qt, qsubs, ktf), jnp.int32)
-    fine_votes = fine_votes.at[bi, hi, qti, qsi, fidx[:, :, :, None, :]].min(
-        sched_votes, mode="drop"
-    )
+    do = jnp.logical_and(
+        sched_votes == 0, valid[:, :, :, None, :]
+    ).astype(jnp.bfloat16)
+    # onehot[j, f] = (fidx[j] == f); bf16 is exact here (0/1 entries,
+    # f32 MXU accumulation, and the result is only tested > 0).
+    onehot = (fidx[..., :, None] == pos[None, :]).astype(jnp.bfloat16)
+    fine_do = jnp.einsum("bhqsj,bhqjf->bhqsf", do, onehot)
+    fine_votes = jnp.where(fine_do > 0, 0, 1).astype(jnp.int32)
     votes = fine_votes.reshape(b, h, qt * qsubs, ktf)
     return out, lse, votes
 

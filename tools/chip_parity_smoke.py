@@ -119,6 +119,34 @@ def main():
           + f" lite gather votes: {gm} mismatches at live tiles")
     ok &= gm == 0
 
+    # Pallas schedule packer vs the XLA pipeline, BIT-identical on the
+    # compiled chip. ktf=384 > 256 exercises index values that default
+    # matmul precision would round through bf16 (interpret mode cannot
+    # catch that); mixed densities exercise anchor tails + run flags.
+    from liteattention_tpu.ops.lite_flash_fwd import (
+        build_gather_schedule,
+    )
+    from liteattention_tpu.ops.schedule_pack import pack_schedule
+
+    ktf_p = 384
+    rng_p = np.random.RandomState(7)
+    mask_p = rng_p.rand(1, 2, ktf_p, ktf_p) < np.linspace(
+        0.02, 0.9, ktf_p
+    ).reshape(-1, 1)
+    mask_pj = jnp.asarray(mask_p)
+    fx, ct, qb = compact_mask_gather(mask_pj, 4)
+    want_p = build_gather_schedule(
+        fx, ct, qb, gsize=8, qsubs=4, seqlen_k=ktf_p * 128 - 37
+    )
+    got_p = pack_schedule(
+        mask_pj, qsubs=4, gsize=8, seqlen_k=ktf_p * 128 - 37,
+        interpret=False,
+    )
+    pm = int((np.asarray(got_p) != np.asarray(want_p)).sum())
+    print(("OK " if pm == 0 else "FAIL")
+          + f" schedule pack wire format: {pm} word mismatches")
+    ok &= pm == 0
+
     # Paged decode vs oracle.
     hk, pages, psz = 2, 16, 128
     kp = jax.random.normal(ks[1], (hk, pages, psz, d), jnp.float32)
