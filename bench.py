@@ -49,6 +49,10 @@ from liteattention_tpu.ops.mask import (
     compact_mask_gather,
     update_mask,
 )
+from liteattention_tpu.ops.schedule_pack import (
+    pack_schedule,
+    unpack_schedule,
+)
 from liteattention_tpu.ops.tile_sizes import BlockSizes
 
 TARGET_SPARSITY = 0.42
@@ -125,14 +129,17 @@ def main():
 
     @jax.jit
     def compact(do_mask):
-        # Engine semantics (round 4): the PACKED wire-format schedule is
-        # cached alongside the compaction -- both are built once per
-        # vote cycle, and no-vote steps skip the ~7 ms in-graph
-        # assembly entirely.
-        fidx, count, qbits = compact_mask_gather(do_mask, qsubs)
-        packed = build_gather_schedule(
-            fidx, count, qbits, gsize=lite_bs.block_k // 128,
-            qsubs=qsubs, seqlen_k=s,
+        # Engine semantics (round 4): ONE Pallas kernel packs the mask
+        # straight into the wire-format schedule (replacing the XLA
+        # argsort/gather/assembly pipeline, ~15 ms at 73k); the
+        # compaction views the vote decode needs are contiguous slices
+        # of it. Built once per vote cycle and cached in between.
+        packed = pack_schedule(
+            do_mask, qsubs=qsubs, gsize=lite_bs.block_k // 128,
+            seqlen_k=s,
+        )
+        fidx, count, qbits = unpack_schedule(
+            packed, do_mask.shape[3], packed.shape[3] // 3
         )
         return fidx, count, qbits, packed
 

@@ -167,26 +167,40 @@ def denoise(
         # (static unroll inside the cycle body -- emit_votes selects
         # different compiled kernels, so it cannot be a scanned value).
         # The compacted gather SCHEDULES ride the carry: the masks only
-        # change on vote steps, so compaction (argsort over the fine
-        # mask -- ~14 ms/step at 8 heads, ~5x that at Wan head counts)
-        # runs once per cycle instead of every step.
+        # change on vote steps, so compaction runs once per cycle
+        # instead of every step. Round 4: the Pallas packer builds the
+        # wire-format schedule in one kernel (the XLA argsort/gather
+        # pipeline cost ~15 ms/layer-pass at 73k tokens) and the
+        # (fidx, count, qbits) views the vote decode needs are
+        # contiguous slices of it -- the whole vote cycle stays
+        # on-device inside the scan.
         from liteattention_tpu.lite_attention import effective_blocks
         from liteattention_tpu.ops.lite_flash_fwd import VOTE_TILE
-        from liteattention_tpu.ops.mask import compact_mask_gather
+        from liteattention_tpu.ops.schedule_pack import (
+            pack_schedule,
+            unpack_schedule,
+        )
 
         pt, ph, pw = cfg.patch_size
         n_tok = (grid[0] // pt) * (grid[1] // ph) * (grid[2] // pw)
         bs = cfg.attn_block_sizes("lite")
-        bq, _ = effective_blocks(bs, n_tok, n_tok)
+        bq, bk = effective_blocks(bs, n_tok, n_tok)
         qsubs = bq // VOTE_TILE
+
+        def compact_one(st):
+            packed = pack_schedule(
+                st.do_mask, qsubs=qsubs, gsize=bk // VOTE_TILE,
+                seqlen_k=n_tok,
+            )
+            fidx, count, qbits = unpack_schedule(
+                packed, st.do_mask.shape[3], packed.shape[3] // 3
+            )
+            return fidx, count, qbits, packed
 
         def compact_states(states):
             if states is None:
                 return None
-            return {
-                i: compact_mask_gather(st.do_mask, qsubs)
-                for i, st in states.items()
-            }
+            return {i: compact_one(st) for i, st in states.items()}
 
         def step_sched(carry, inp, emit_votes):
             x, st_c, st_u, sc_c, sc_u = carry
