@@ -403,6 +403,7 @@ def _lite_gather_kernel(
     gsize: int,
     sched_rows: int,
     emit_votes: bool,
+    cross_prime: bool = True,
 ):
     """GATHER-schedule sparse forward: the schedule lists surviving FINE
     (128-wide) k-tiles; each step gathers ``gsize`` of them from
@@ -496,16 +497,22 @@ def _lite_gather_kernel(
     def _next():
         sched_row_copy(h + 1, jax.lax.rem(h + 1, 2)).start()
 
+    def sched_at_buf(buf, i):
+        return sched_smem[buf, i // 128, i % 128]
+
     def sched_at(i):
-        return sched_smem[par, i // 128, i % 128]
+        return sched_at_buf(par, i)
 
     def qbits_at(i):
         return sched_smem[par, sched_rows + i // 128, i % 128]
 
-    def flags_at(step):
+    def flags_at_buf(buf, step):
         # bit 0: contiguous run; bit 1: fully-live step (see host).
         i = 1 + step
-        return sched_smem[par, 2 * sched_rows + i // 128, i % 128]
+        return sched_smem[buf, 2 * sched_rows + i // 128, i % 128]
+
+    def flags_at(step):
+        return flags_at_buf(par, step)
 
     if emit_votes:
         votes_scr[...] = jnp.ones_like(votes_scr)
@@ -513,7 +520,19 @@ def _lite_gather_kernel(
     l_scr[...] = jnp.zeros_like(l_scr)
     acc_scr[...] = jnp.zeros_like(acc_scr)
 
-    sched_row_copy(h, par).wait()
+    # Cross-cell KV pre-prime (round 4): only h == 0 waits its own
+    # schedule copy -- for h > 0 the PREVIOUS grid cell (head h-1, same
+    # core: h is the innermost "arbitrary" dim) already waited it
+    # before reading the schedule to pre-issue this cell's first ring
+    # DMAs (see _preprime_next below). Every started schedule copy is
+    # still waited exactly once.
+    if cross_prime:
+        @pl.when(h == 0)
+        def _wait_own():
+            sched_row_copy(h, par).wait()
+    else:
+        sched_row_copy(h, par).wait()
+
     count = sched_at(0)
     num_steps = pl.cdiv(count, gsize)
 
@@ -546,31 +565,36 @@ def _lite_gather_kernel(
     # MultiPageAsyncCopyDescriptor), with K|V fetched as one tile. Run
     # steps: one contiguous (gsize*128, 2D) copy, signalling the same
     # byte count on the same semaphore.
-    def kv_copy(step, g, slot):
-        idx = sched_at(1 + step * gsize + g)
+    def kv_copy(step, g, slot, buf=None, kvh=None):
+        idx = sched_at_buf(par if buf is None else buf,
+                           1 + step * gsize + g)
         return pltpu.make_async_copy(
-            kv_hbm.at[b, hk, pl.ds(idx * VOTE_TILE, VOTE_TILE)],
+            kv_hbm.at[b, hk if kvh is None else kvh,
+                      pl.ds(idx * VOTE_TILE, VOTE_TILE)],
             kvbuf.at[slot, pl.ds(g * VOTE_TILE, VOTE_TILE)],
             dma_sems.at[slot],
         )
 
-    def kv_run_copy(step, slot):
-        idx0 = sched_at(1 + step * gsize)
+    def kv_run_copy(step, slot, buf=None, kvh=None):
+        idx0 = sched_at_buf(par if buf is None else buf, 1 + step * gsize)
         return pltpu.make_async_copy(
-            kv_hbm.at[b, hk, pl.ds(idx0 * VOTE_TILE, gsize * VOTE_TILE)],
+            kv_hbm.at[b, hk if kvh is None else kvh,
+                      pl.ds(idx0 * VOTE_TILE, gsize * VOTE_TILE)],
             kvbuf.at[slot],
             dma_sems.at[slot],
         )
 
-    def start_step(step, slot):
-        @pl.when((flags_at(step) & 1) == 1)
-        def _run():
-            kv_run_copy(step, slot).start()
+    def start_step(step, slot, buf=None, kvh=None):
+        fl = flags_at_buf(par if buf is None else buf, step)
 
-        @pl.when((flags_at(step) & 1) == 0)
+        @pl.when((fl & 1) == 1)
+        def _run():
+            kv_run_copy(step, slot, buf, kvh).start()
+
+        @pl.when((fl & 1) == 0)
         def _scatter():
             for g in range(gsize):
-                kv_copy(step, g, slot).start()
+                kv_copy(step, g, slot, buf, kvh).start()
 
     def wait_step(step, slot):
         # Either path signalled exactly gsize * 128 * 2D elements on
@@ -589,9 +613,20 @@ def _lite_gather_kernel(
             dma_sems.at[slot],
         ).wait()
 
+    # Ring prime: only the FIRST cell of each core-local h-chain primes
+    # itself; cells with h > 0 had their first nslot-1 step DMAs
+    # pre-issued by the previous cell's _preprime_next (below), so
+    # their compute starts with the transfers already in flight instead
+    # of paying the issue+HBM latency of a cold ring every grid cell.
     nslot = kvbuf.shape[0]
     for i in range(nslot - 1):
-        @pl.when(i < num_steps)
+        prime_now = (
+            jnp.logical_and(h == 0, i < num_steps)
+            if cross_prime
+            else i < num_steps
+        )
+
+        @pl.when(prime_now)
         def _prime(i=i):
             start_step(i, i % nslot)
 
@@ -763,6 +798,26 @@ def _lite_gather_kernel(
 
     jax.lax.fori_loop(0, num_steps, body, 0)
 
+    # Cross-cell KV pre-prime (round 4): all of this cell's kvbuf slots
+    # are free after the loop's last wait, and head h+1's schedule copy
+    # (started at cell entry) has long landed -- wait it here (the one
+    # wait for that copy; see _wait_own) and pre-issue the next cell's
+    # first ring DMAs so they overlap this cell's epilogue and the next
+    # cell's prologue. The h-chain runs strictly sequentially on one
+    # core ("arbitrary" innermost dim), exactly like the round-3
+    # schedule prefetch this extends.
+    if cross_prime:
+        @pl.when(h + 1 < num_heads)
+        def _preprime_next():
+            par2 = jax.lax.rem(h + 1, 2)
+            sched_row_copy(h + 1, par2).wait()
+            steps2 = pl.cdiv(sched_at_buf(par2, 0), gsize)
+            kvh2 = (h + 1) // group
+            for i in range(nslot - 1):
+                @pl.when(i < steps2)
+                def _pp(i=i):
+                    start_step(i, i % nslot, par2, kvh2)
+
     l = l_scr[:, :1]
     m_col = m_scr[:, :1]
     empty = m_col <= DEFAULT_MASK_VALUE * 0.5
@@ -875,7 +930,7 @@ def build_gather_schedule(
 def _lite_gather_call(
     q, k, v, fidx, count, threshold, qbits,
     *, scale, block_q, gsize, interpret, emit_votes=True,
-    packed_schedule=None,
+    packed_schedule=None, cross_prime=True,
 ):
     """Host side of the gather schedule (see _lite_gather_kernel)."""
     b, h, sq, d = q.shape
@@ -934,6 +989,7 @@ def _lite_gather_call(
         gsize=gsize,
         sched_rows=sched_rows,
         emit_votes=emit_votes,
+        cross_prime=cross_prime,
     )
     grid = (b, qt, h)
     out_specs = [
@@ -1037,7 +1093,8 @@ def _lite_gather_call(
 @functools.partial(
     jax.jit,
     static_argnames=(
-        "scale", "block_sizes", "fine_schedule", "interpret", "emit_votes"
+        "scale", "block_sizes", "fine_schedule", "interpret", "emit_votes",
+        "cross_prime",
     ),
 )
 def lite_flash_attention(
@@ -1054,6 +1111,7 @@ def lite_flash_attention(
     interpret: Optional[bool] = None,
     emit_votes: bool = True,
     packed_schedule: Optional[jax.Array] = None,
+    cross_prime: bool = True,
 ) -> Tuple[jax.Array, jax.Array, Optional[jax.Array]]:
     """Sparse flash attention over a compacted skip mask, emitting votes.
 
@@ -1127,7 +1185,7 @@ def lite_flash_attention(
             q, k, v, kv_idx, count, threshold, kv_bits,
             scale=scale, block_q=block_q, gsize=block_k // VOTE_TILE,
             interpret=interpret, emit_votes=emit_votes,
-            packed_schedule=packed_schedule,
+            packed_schedule=packed_schedule, cross_prime=cross_prime,
         )
     if kv_bits is None:
         qsubs = ksubs = 1
