@@ -68,27 +68,39 @@ def get_block_sizes(
       stock pallas flash_attention: default ~0.09, tuned-1024 ~0.57.
 
     The DENSE default is (640, 1024): the best measured point. The LITE
-    (gather-schedule) default is ALSO (640, 1024) as of round 3: with
-    the vote chain reduced to a two-stage max (and compiled out entirely
-    on no-vote steps), the gather kernel's remaining cost tracks the
-    dense kernel's, and (640, 1024) wins at every measured point
-    (round-3 ``tools/flat_tax_profile.py --phase2``: s=0 overhead 1.061x
-    votes-off / 1.130x on vs 1.106x / 1.170x at (512, 1024); banded 42%
-    1.495x/1.414x vs 1.439x/1.364x). block_k sets how many fine tiles
-    are gathered per pipeline step (scheduling granularity stays 128);
-    block_q sets the per-q-tile schedule-union granularity (qsubs =
-    block_q/128 fine q-rows share one schedule) -- at 42-77% banded
-    sparsity the wider union loses less than the bigger tile gains. For
-    the SUPER-TILE fallback path block_k is also the elimination
-    granularity; callers that use it should pass an override.
+    (gather-schedule) default is (1024, 1024) as of round 4
+    (``/tmp``-sweep then on-chip interleaved verify, banded masks at
+    73k tokens, novote):
 
-    Wider gather steps were measured and REJECTED (round 3, evolved
-    49.3% mask at 73k tokens, steady-state engine step): (640, 2048)
-    novote 96.1 ms and (512, 2048) 93.9 vs (640, 1024) 92.2; gsize=16
-    also pays a bigger vote row and (768/1280, *) fail TPU compilation.
-    Schedule-union waste is NOT the gap either: evolved masks are
-    q-coherent (union density 0.5096 vs live 0.5069 at 49.3%), so
-    q-row clustering permutations were measured as no-ops too.
+      lite tile     s=0 ms    s=0.5 ms
+      (640, 1024)    163.5      87.2
+      (768, 1024)    165.6      87.1
+      (1024,1024)    153.4      81.2   <- default (bit-exact vs 640@s=0)
+      (1280,1024)    156.1      82.7
+      (1024,2048)    scoped-VMEM OOM (16M limit)
+
+    At (1024, 1024) the gather kernel's full-mask point BEATS the best
+    dense-kernel tile (153 vs 161 ms, 0.737 MFU): the hand-rolled
+    K|V-interleaved ring (1 DMA/step, 4-deep lookahead, cross-cell
+    pre-prime) outruns the Mosaic auto-pipeline at a tile the dense
+    kernel cannot exploit ((1024,1024) measured ~169 ms THERE). s=0.5
+    lands at 0.505x dense = the live fraction itself, i.e. ideal
+    sparsity->runtime conversion. block_k sets how many fine tiles are
+    gathered per pipeline step (scheduling granularity stays 128);
+    block_q sets the per-q-tile schedule-union granularity (qsubs =
+    block_q/128 fine q-rows share one schedule) -- evolved masks are
+    q-coherent, so the wider union loses less than the bigger tile
+    gains. For the SUPER-TILE fallback path block_k is also the
+    elimination granularity; callers that use it should pass an
+    override.
+
+    Wider gather STEPS (block_k > 1024, gsize=16) were measured and
+    REJECTED in round 3 ((640, 2048) novote 96.1 ms and (512, 2048)
+    93.9 vs (640, 1024) 92.2; bigger vote rows) and (1024, 2048) fails
+    scoped-VMEM allocation in round 4. Schedule-union waste is NOT a
+    gap either: evolved masks are q-coherent (union density 0.5096 vs
+    live 0.5069 at 49.3%, qsubs=5), so q-row clustering permutations
+    were measured as no-ops too.
 
     The BWD tables are split per kernel (VERDICT r2 item 8): the dQ
     kernel's output tile is block_q (block_k is its reduction axis)
@@ -117,7 +129,7 @@ def get_block_sizes(
         return BlockSizes(*override)
     if kind == "lite":
         if head_dim <= 128:
-            return BlockSizes(640, 1024)
+            return BlockSizes(1024, 1024)
         return BlockSizes(256, 1024)
     if kind == "bwd":
         if head_dim <= 128:

@@ -275,7 +275,7 @@ def main():
         )
         print(f"dense best-default: {t_best*1e3:.2f} ms")
 
-        for bq, bk in [(640, 1024)]:  # engine default (round 3)
+        for bq, bk in [(1024, 1024)]:  # engine default (round 4)
             bs = BlockSizes(bq, bk)
 
             @jax.jit
