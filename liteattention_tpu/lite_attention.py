@@ -43,6 +43,7 @@ from liteattention_tpu.ops.lite_flash_fwd import (
     VOTE_TILE,
     build_gather_schedule,
     lite_flash_attention,
+    pack_kv,
 )
 from liteattention_tpu.ops.mask import (
     SkipMaskState,
@@ -112,6 +113,8 @@ def lite_attention_step(
     return_lse: bool = False,
     emit_votes: bool = True,
     schedule: Optional[Tuple[jax.Array, jax.Array, jax.Array]] = None,
+    packed_kv: Optional[jax.Array] = None,
+    seqlen_k: Optional[int] = None,
 ):
     """One denoising-step attention call with skip-mask evolution.
 
@@ -139,6 +142,14 @@ def lite_attention_step(
         pre-assembled wire-format schedule from
         :func:`build_gather_schedule` (the stateful wrapper caches both
         between vote steps).
+      packed_kv: optional pre-interleaved K|V from
+        :func:`~liteattention_tpu.ops.lite_flash_fwd.pack_kv`
+        (``[B, Hk, Skp, 2Dp]``). Models with fused KV projections emit
+        this layout for free (one concatenated-weights matmul); the
+        kernel then skips its in-call interleave (~2x KV bytes of HBM
+        traffic). When given, ``k``/``v`` may be ``None`` (pass
+        ``seqlen_k``); requires ``enable_skipping=True``.
+      seqlen_k: unpadded key length when ``k`` is ``None``.
       emit_votes: when False, the kernel's vote chain is compiled out
         (~a full extra MXU pass per step saved) and the mask is carried
         over unchanged. The reference votes every step
@@ -157,6 +168,9 @@ def lite_attention_step(
         kind="lite" if enable_skipping else "dense",
     )
     if not enable_skipping:
+        assert k is not None, (
+            "enable_skipping=False runs the dense kernel; pass k/v "
+            "(packed_kv is a lite-path input)")
         out, lse = flash_attention(
             q, k, v, scale=scale, block_sizes=bs, return_lse=True
         )
@@ -169,7 +183,9 @@ def lite_attention_step(
         # vote step can be reused verbatim (the wrapper caches it;
         # compaction is ~10 ms at 73k tokens and would otherwise be paid
         # every step).
-        bq, bk = effective_blocks(bs, q.shape[2], k.shape[2])
+        sk = k.shape[2] if k is not None else (
+            seqlen_k if seqlen_k is not None else packed_kv.shape[2])
+        bq, bk = effective_blocks(bs, q.shape[2], sk)
         packed = None
         if schedule is not None:
             if len(schedule) == 4:
@@ -193,6 +209,8 @@ def lite_attention_step(
             fine_schedule=True,
             emit_votes=emit_votes,
             packed_schedule=packed,
+            packed_kv=packed_kv,
+            seqlen_k=seqlen_k,
         )
         if emit_votes:
             votes = votes[
@@ -496,11 +514,22 @@ class LiteAttention:
             emit = self._call_count % self.vote_stride == 0
         self._call_count += 1
         self._since_vote += 1
+        if self.enable_skipping:
+            # Feed the kernel its own pre-interleaved K|V HBM layout:
+            # the lane concat is the buffer's only consumer, so XLA
+            # writes the [B,S,H,D]->[B,H,S,D] transposes straight into
+            # it and the kernel's in-call interleave (~2x KV bytes of
+            # traffic) disappears.
+            kv_args = dict(packed_kv=pack_kv(k, v), seqlen_k=k.shape[2])
+            k_in = v_in = None
+        else:
+            kv_args = {}
+            k_in, v_in = k, v
         result = lite_attention_step(
             state,
             q,
-            k,
-            v,
+            k_in,
+            v_in,
             threshold=self.threshold,
             scale=scale,
             must_do=must_do,
@@ -509,6 +538,7 @@ class LiteAttention:
             return_lse=True,
             emit_votes=emit,
             schedule=schedule,
+            **kv_args,
         )
         out, lse, new_state = result
         if self.enable_skipping:

@@ -36,6 +36,7 @@ from liteattention_tpu.lite_attention import (
     lite_attention_step,
 )
 from liteattention_tpu.ops.flash_fwd import flash_attention
+from liteattention_tpu.ops.lite_flash_fwd import pack_kv
 from liteattention_tpu.ops.tile_sizes import BlockSizes, get_block_sizes
 from liteattention_tpu.parallel.seq_parallel import (
     seq_parallel_attention_step,
@@ -294,10 +295,16 @@ class WanSelfAttention(nn.Module):
             )
             new_state = None
         else:
+            # Hand the kernel the pre-interleaved K|V layout: the lane
+            # concat is the packed buffer's ONLY consumer here, so XLA
+            # writes the rope/transpose outputs straight into it -- the
+            # kernel's in-call interleave (~2x KV bytes of HBM traffic
+            # per step) disappears instead of moving up a level.
             oh, new_state = lite_attention_step(
-                state, qh, kh, vh, threshold=threshold,
+                state, qh, None, None, threshold=threshold,
                 block_sizes=cfg.attn_block_sizes("lite"),
                 emit_votes=emit_votes, schedule=schedule,
+                packed_kv=pack_kv(kh, vh), seqlen_k=n,
             )
         out = _attn_bnhd(oh)
         return dense(cfg.dim, name="o")(out), new_state

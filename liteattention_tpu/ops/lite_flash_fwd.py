@@ -927,34 +927,68 @@ def build_gather_schedule(
     )
 
 
-def _lite_gather_call(
-    q, k, v, fidx, count, threshold, qbits,
-    *, scale, block_q, gsize, interpret, emit_votes=True,
-    packed_schedule=None, cross_prime=True,
-):
-    """Host side of the gather schedule (see _lite_gather_kernel)."""
-    b, h, sq, d = q.shape
-    hk = k.shape[1]
-    group = h // hk
-    sk = k.shape[2]
-    qsubs = block_q // VOTE_TILE
+def pack_kv(k: jax.Array, v: jax.Array) -> jax.Array:
+    """Lane-interleave K|V into the gather kernel's ``[B, Hk, Skp, 2Dp]``
+    HBM layout (rows padded to the 128 fine-tile grain, head dim padded
+    to a lane multiple).
 
-    qp = _pad_seq(q, block_q)
+    Build this ONCE per KV and pass it as
+    ``lite_flash_attention(packed_kv=...)``: the concatenation
+    materializes the full KV (~2x KV bytes of HBM traffic), which is a
+    fixed ~5 ms per call at 73k tokens if rebuilt inside the step --
+    the round-4 per-call floor. The engine caches it alongside the
+    schedule; a model gets the layout for FREE by concatenating its K
+    and V projection weight columns (one matmul then writes the packed
+    array directly -- the same trick as qkv-packed projections,
+    reference flash_attn_interface.py qkv_packed entry points).
+    """
     kp = _pad_seq(k, VOTE_TILE)
     vp = _pad_seq(v, VOTE_TILE)
+    d = k.shape[-1]
     d_pad = (-d) % MIN_LANES
     if d_pad:
         pad = ((0, 0), (0, 0), (0, 0), (0, d_pad))
-        qp, kp, vp = jnp.pad(qp, pad), jnp.pad(kp, pad), jnp.pad(vp, pad)
+        kp, vp = jnp.pad(kp, pad), jnp.pad(vp, pad)
+    return jnp.concatenate([kp, vp], axis=-1)
+
+
+def _lite_gather_call(
+    q, k, v, fidx, count, threshold, qbits,
+    *, scale, block_q, gsize, interpret, emit_votes=True,
+    packed_schedule=None, cross_prime=True, packed_kv=None,
+    seqlen_k=None,
+):
+    """Host side of the gather schedule (see _lite_gather_kernel)."""
+    b, h, sq, d = q.shape
+    qsubs = block_q // VOTE_TILE
+
+    qp = _pad_seq(q, block_q)
+    d_pad = (-d) % MIN_LANES
+    if d_pad:
+        pad = ((0, 0), (0, 0), (0, 0), (0, d_pad))
+        qp = jnp.pad(qp, pad)
     d_p = d + d_pad
     sq_p = qp.shape[2]
     qt = sq_p // block_q
-    ktf = kp.shape[2] // VOTE_TILE
     # K and V ride ONE flat [B, Hk, Skp, 2D] array (lane-concatenated):
     # each gathered fine tile is a single 128-row-aligned DMA covering
     # both operands, and the flat (gsize*128, 2D) ring buffer feeds the
-    # fused matmuls with no in-kernel reshape.
-    kvp = jnp.concatenate([kp, vp], axis=-1)
+    # fused matmuls with no in-kernel reshape. Callers on the hot path
+    # pass it pre-built (see pack_kv); rebuilding it here costs a fixed
+    # ~5 ms at 73k tokens (2x KV bytes of HBM traffic per call).
+    if packed_kv is not None:
+        kvp = packed_kv
+        assert kvp.shape[0] == b and kvp.shape[3] == 2 * d_p, (
+            kvp.shape, (b, 2 * d_p))
+        hk = kvp.shape[1]
+        sk = seqlen_k if seqlen_k is not None else (
+            k.shape[2] if k is not None else kvp.shape[2])
+    else:
+        hk = k.shape[1]
+        sk = k.shape[2]
+        kvp = pack_kv(k, v)
+    group = h // hk
+    ktf = kvp.shape[2] // VOTE_TILE
     assert fidx.shape == (b, h, qt, ktf), (fidx.shape, (b, h, qt, ktf))
     assert count.shape == (b, h, qt)
     assert qbits.shape == (b, h, qt, ktf)
@@ -1094,7 +1128,7 @@ def _lite_gather_call(
     jax.jit,
     static_argnames=(
         "scale", "block_sizes", "fine_schedule", "interpret", "emit_votes",
-        "cross_prime",
+        "cross_prime", "seqlen_k",
     ),
 )
 def lite_flash_attention(
@@ -1112,6 +1146,8 @@ def lite_flash_attention(
     emit_votes: bool = True,
     packed_schedule: Optional[jax.Array] = None,
     cross_prime: bool = True,
+    packed_kv: Optional[jax.Array] = None,
+    seqlen_k: Optional[int] = None,
 ) -> Tuple[jax.Array, jax.Array, Optional[jax.Array]]:
     """Sparse flash attention over a compacted skip mask, emitting votes.
 
@@ -1155,6 +1191,13 @@ def lite_flash_attention(
         built from the SAME (kv_idx, count, kv_bits) and geometry).
         Skips the ~7 ms/step assembly; the engine caches it between
         vote steps.
+      packed_kv: gather path only. Optional pre-interleaved K|V HBM
+        array from :func:`pack_kv` (``[B, Hk, Skp, 2Dp]``). Skips the
+        in-call interleave -- a fixed ~5 ms of HBM traffic per call at
+        73k tokens. When given, ``k``/``v`` may be ``None`` (pass
+        ``seqlen_k`` for the unpadded key length; defaults to the
+        packed row count).
+      seqlen_k: unpadded key length when ``k`` is None (packed_kv path).
 
     Returns:
       out ``[B, H, Sq, D]``, lse fp32 ``[B, H, Sq]``,
@@ -1166,10 +1209,16 @@ def lite_flash_attention(
     if interpret is None:
         interpret = _default_interpret()
     b, h, sq, d = q.shape
-    hk = k.shape[1]
+    if k is not None:
+        hk = k.shape[1]
+        sk = k.shape[2]
+    else:
+        assert packed_kv is not None and fine_schedule, (
+            "k/v may only be omitted on the gather path with packed_kv")
+        hk = packed_kv.shape[1]
+        sk = seqlen_k if seqlen_k is not None else packed_kv.shape[2]
     assert h % hk == 0
     group = h // hk
-    sk = k.shape[2]
     if scale is None:
         scale = 1.0 / (d**0.5)
     bs = block_sizes or get_block_sizes(d, q.dtype.itemsize, kind="lite")
@@ -1186,7 +1235,9 @@ def lite_flash_attention(
             scale=scale, block_q=block_q, gsize=block_k // VOTE_TILE,
             interpret=interpret, emit_votes=emit_votes,
             packed_schedule=packed_schedule, cross_prime=cross_prime,
+            packed_kv=packed_kv, seqlen_k=sk,
         )
+    assert packed_kv is None, "packed_kv is a gather-path argument"
     if kv_bits is None:
         qsubs = ksubs = 1
     else:

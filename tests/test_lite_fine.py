@@ -258,6 +258,36 @@ def test_gather_output_matches_fine_oracle(bq, bk):
     assert votes.shape == (b, h, qt_pad, ktf)
 
 
+@pytest.mark.parametrize("hk", [2, 1])  # MHA and GQA
+def test_gather_packed_kv_bit_exact(hk):
+    # The pre-interleaved K|V hot path (pack_kv + packed_kv=) must be
+    # bit-exact vs handing the kernel separate k/v: it is the SAME HBM
+    # layout, built by the caller instead of inside the call.
+    from liteattention_tpu.ops.lite_flash_fwd import pack_kv
+    from liteattention_tpu.ops.mask import compact_mask_gather
+
+    b, h, s, d = 1, 2, 1024, 64
+    bq, bk = 512, 512
+    q, k, v = _qkv(31, b, h, s, d, correlated=True)
+    k, v = k[:, :hk], v[:, :hk]
+    qtf = ktf = s // 128
+    mask = _random_fine_mask(32, b, h, qtf, ktf, keep_prob=0.5)
+    fidx, count, qbits = compact_mask_gather(mask, bq // 128)
+    out, lse, votes = lite_flash_attention(
+        q, k, v, fidx, count, jnp.float32(-3.0), kv_bits=qbits,
+        block_sizes=BlockSizes(bq, bk), fine_schedule=True,
+    )
+    kvp = pack_kv(k, v)
+    out_p, lse_p, votes_p = lite_flash_attention(
+        q, None, None, fidx, count, jnp.float32(-3.0), kv_bits=qbits,
+        block_sizes=BlockSizes(bq, bk), fine_schedule=True,
+        packed_kv=kvp, seqlen_k=s,
+    )
+    np.testing.assert_array_equal(np.asarray(out), np.asarray(out_p))
+    np.testing.assert_array_equal(np.asarray(lse), np.asarray(lse_p))
+    np.testing.assert_array_equal(np.asarray(votes), np.asarray(votes_p))
+
+
 @pytest.mark.parametrize("thr", [-10.0, -3.0, jnp.inf])
 @pytest.mark.parametrize("style", ["dense_random", "sparse_clustered"])
 def test_gather_votes_match_oracle(thr, style):
