@@ -38,6 +38,7 @@ from liteattention_tpu.ops.flash_fwd import flash_attention
 from liteattention_tpu.ops.lite_flash_fwd import (
     VOTE_TILE,
     lite_flash_attention,
+    pack_kv,
 )
 from liteattention_tpu.ops.mask import (
     SkipMaskState,
@@ -114,9 +115,14 @@ def make_seq_parallel_attention(
         fidx, count, qbits = compact_mask_gather(
             state_mask, bq // VOTE_TILE
         )
+        # Pre-interleaved K|V (pack_kv): the concat fuses into whatever
+        # produced the shard, so the kernel's in-call interleave cost
+        # disappears (see ops/lite_flash_fwd.pack_kv).
         out_l, lse_l, votes = lite_flash_attention(
-            q, k_shard, v_shard, fidx, count, thr, kv_bits=qbits,
+            q, None, None, fidx, count, thr, kv_bits=qbits,
             block_sizes=bs, fine_schedule=True,
+            packed_kv=pack_kv(k_shard, v_shard),
+            seqlen_k=k_shard.shape[2],
         )
         votes = votes[:, :, : state_mask.shape[2], : state_mask.shape[3]]
         out, lse = combine_attention_psum(out_l, lse_l, axis_name)
@@ -183,8 +189,9 @@ def seq_parallel_attention_step(
             do_mask, bq // VOTE_TILE
         )
         o_l, lse_l, votes = lite_flash_attention(
-            q, k_sh, v_sh, fidx, count, thr, kv_bits=qbits,
+            q, None, None, fidx, count, thr, kv_bits=qbits,
             block_sizes=bs, fine_schedule=True, emit_votes=emit_votes,
+            packed_kv=pack_kv(k_sh, v_sh), seqlen_k=k_sh.shape[2],
         )
         out, _ = combine_attention_psum(o_l, lse_l, axis_name)
         if not emit_votes:
