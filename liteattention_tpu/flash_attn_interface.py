@@ -504,6 +504,7 @@ def flash_attn_with_kvcache(
     kv_cache_layout: str = "bshd",
     k_cache_scale: Optional[jax.Array] = None,
     v_cache_scale: Optional[jax.Array] = None,
+    max_seqlen_k_new: Optional[int] = None,
 ):
     """Decode/append attention against a fixed-capacity KV cache.
 
@@ -524,9 +525,14 @@ def flash_attn_with_kvcache(
     paged append/prefill (new tokens are scattered into their pages
     first, then attended).
 
-    Not supported (documented descopes): fp8 descales, varlen-q
-    batches (``cu_seqlens_q``/``cu_seqlens_k_new``), skip lists in the
-    decode path. ``causal`` defaults to False like the reference.
+    Varlen-q batches (``cu_seqlens_q``/``cu_seqlens_k_new``, packed
+    ``[total, H, D]`` inputs) are ACCEPTED via internal right-aligned
+    padding to ``max_seqlen_q`` (required) / ``max_seqlen_k_new``
+    (TPU extension, static new-KV pad bound, defaults to the packed
+    total) -- see :func:`_kvcache_varlen_q`.
+
+    Not supported (documented descopes): fp8 descales, skip lists in
+    the decode path. ``causal`` defaults to False like the reference.
 
     MLA/GLA decode (reference benchmark_mla_decode.py): ``v_cache`` may
     have a different head dim than ``k_cache`` (output takes V's dim)
@@ -574,9 +580,21 @@ def flash_attn_with_kvcache(
         )
         if softmax_scale is None:
             softmax_scale = (q.shape[-1] + qv.shape[-1]) ** (-0.5)
-    if cu_seqlens_q is not None or cu_seqlens_k_new is not None:
+    if cu_seqlens_q is not None:
+        # Varlen-q batches (reference flash_attn_interface.py:688-861):
+        # accepted via internal right-aligned padding; see
+        # _kvcache_varlen_q for the exact-predicate argument.
+        return _kvcache_varlen_q(
+            q, k_cache, v_cache, k, v, qv, rotary_cos, rotary_sin,
+            cache_seqlens, cache_batch_idx, cache_leftpad, page_table,
+            cu_seqlens_q, cu_seqlens_k_new, max_seqlen_q,
+            max_seqlen_k_new, rotary_seqlens, softmax_scale, causal,
+            window_size, softcap, rotary_interleaved, num_splits,
+            return_softmax_lse, block_sizes, kv_cache_layout,
+        )
+    if cu_seqlens_k_new is not None:
         raise NotImplementedError(
-            "varlen-q kvcache batches are not supported; pad q instead"
+            "cu_seqlens_k_new without cu_seqlens_q is not supported"
         )
     del scheduler_metadata, pack_gqa, sm_margin, max_seqlen_q
     if num_splits == 0:
@@ -762,7 +780,9 @@ def flash_attn_with_kvcache(
     # Valid cache region: [cache_leftpad, cache_seqlens + appended). The
     # kernel receives the TOTAL valid length and applies bottom-right
     # causality (col < total - s_new + row + 1) when ``causal``.
-    appended = 0 if k is None else s_new
+    # NB: the appended-KV length is k's, which may differ from the query
+    # length (the reference tracks seqlen_knew separately from seqlen_q).
+    appended = 0 if k is None else k.shape[1]
     total = cache_seqlens + appended
     kv_low = (
         cache_leftpad.astype(jnp.int32) if cache_leftpad is not None
@@ -895,6 +915,233 @@ def flash_attn_with_kvcache(
             result.append((full_k_cache, full_v_cache))
         else:
             result.append((k_cache, v_cache))
+    return result[0] if len(result) == 1 else tuple(result)
+
+
+def _kvcache_varlen_q(
+    q,
+    k_cache,
+    v_cache,
+    k,
+    v,
+    qv,
+    rotary_cos,
+    rotary_sin,
+    cache_seqlens,
+    cache_batch_idx,
+    cache_leftpad,
+    page_table,
+    cu_seqlens_q,
+    cu_seqlens_k_new,
+    max_seqlen_q,
+    max_seqlen_k_new,
+    rotary_seqlens,
+    softmax_scale,
+    causal,
+    window_size,
+    softcap,
+    rotary_interleaved,
+    num_splits,
+    return_softmax_lse,
+    block_sizes,
+    kv_cache_layout,
+):
+    """Varlen-q KV-cache attention via internal padding.
+
+    Parity target: the ``cu_seqlens_q``/``cu_seqlens_k_new`` arguments
+    of the reference ``flash_attn_with_kvcache`` (reference
+    hopper/_internal/flash_attn_interface.py:688-861): ``q`` is packed
+    ``[total_q, Hq, D]`` with per-sequence boundaries ``cu_seqlens_q``
+    ``[B+1]``; new ``k``/``v`` are packed ``[total_k_new, Hk, D]`` with
+    ``cu_seqlens_k_new``. The CUDA kernel walks the ragged batch
+    directly; XLA wants static shapes, so here each sequence is padded
+    to ``max_seqlen_q`` (REQUIRED, like the reference) / a static new-KV
+    bound, the fixed-shape kvcache path runs, and the outputs are
+    re-packed. Queries are padded RIGHT-ALIGNED so the kernel's
+    bottom-right causal/local predicate ``col < total - Lq_pad + row + 1``
+    equals the per-sequence predicate ``col < total - lq + i + 1``
+    exactly at every actual query row.
+    """
+    assert max_seqlen_q is not None, (
+        "cu_seqlens_q requires max_seqlen_q (static pad bound; the "
+        "reference requires it too)"
+    )
+    assert k_cache.dtype != jnp.int8, (
+        "varlen-q batches with int8 caches are not supported"
+    )
+    b = cu_seqlens_q.shape[0] - 1
+    lq_max = int(max_seqlen_q)
+    cu_q = cu_seqlens_q.astype(jnp.int32)
+    seqlens_q = cu_q[1:] - cu_q[:-1]  # [B]
+    total_q = q.shape[0]
+    hq, d = q.shape[1], q.shape[2]
+    if softmax_scale is None:
+        softmax_scale = (
+            d + (qv.shape[-1] if qv is not None else 0)
+        ) ** (-0.5)
+    if cache_seqlens is None:
+        cache_seqlens = jnp.zeros((b,), jnp.int32)
+    elif isinstance(cache_seqlens, int):
+        cache_seqlens = jnp.full((b,), cache_seqlens, jnp.int32)
+    cache_seqlens = cache_seqlens.astype(jnp.int32)
+
+    # --- pad q right-aligned: row r holds query i = r - (Lq - lq). ---
+    rows = jnp.arange(lq_max, dtype=jnp.int32)
+    lead = (lq_max - seqlens_q)[:, None]  # [B, 1] garbage rows in front
+    q_valid = rows[None, :] >= lead  # [B, Lq]
+    src_q = jnp.clip(cu_q[:-1, None] + rows[None, :] - lead, 0, total_q - 1)
+
+    def _pad_rows(packed):
+        g = jnp.take(packed, src_q.reshape(-1), axis=0)
+        g = g.reshape(b, lq_max, *packed.shape[1:])
+        vm = q_valid.reshape(b, lq_max, *([1] * (packed.ndim - 1)))
+        return jnp.where(vm, g, 0)
+
+    q_pad = _pad_rows(q)
+    qv_pad = None if qv is None else _pad_rows(qv)
+
+    # --- pad + append new K/V (per-sequence ragged lengths). ---
+    appended = jnp.zeros((b,), jnp.int32)
+    if k is not None:
+        assert cu_seqlens_k_new is not None
+        cu_k = cu_seqlens_k_new.astype(jnp.int32)
+        seqlens_k = cu_k[1:] - cu_k[:-1]
+        appended = seqlens_k
+        lk_max = int(
+            max_seqlen_k_new if max_seqlen_k_new is not None else k.shape[0]
+        )
+        hk, dk = k.shape[1], k.shape[2]
+        rk = jnp.arange(lk_max, dtype=jnp.int32)
+        k_valid = rk[None, :] < seqlens_k[:, None]  # [B, Lk]
+        src_k = jnp.clip(cu_k[:-1, None] + rk[None, :], 0, k.shape[0] - 1)
+
+        def _pad_new(packed):
+            g = jnp.take(packed, src_k.reshape(-1), axis=0)
+            return g.reshape(b, lk_max, *packed.shape[1:])
+
+        k_pad, v_pad = _pad_new(k), _pad_new(v)
+        if rotary_cos is not None:
+            rot_base = (
+                rotary_seqlens.astype(jnp.int32)
+                if rotary_seqlens is not None
+                else cache_seqlens
+            )
+            pos_k = jnp.clip(rot_base[:, None] + rk[None, :], 0)
+            k_pad = _apply_rotary_batched(
+                k_pad,
+                _gather_rotary(rotary_cos, pos_k),
+                _gather_rotary(rotary_sin, pos_k),
+                rotary_interleaved,
+            )
+        if page_table is not None:
+            npages, psz = k_cache.shape[0], k_cache.shape[1]
+            pos = cache_seqlens[:, None] + rk[None, :]
+            pos_c = jnp.clip(pos, 0, page_table.shape[1] * psz - 1)
+            page_of = jnp.take_along_axis(
+                page_table.astype(jnp.int32), pos_c // psz, axis=1
+            )
+            slot = pos_c % psz
+            pf, sf = page_of.reshape(-1), slot.reshape(-1)
+            vm = k_valid.reshape(-1)[:, None, None]
+            k_cache = k_cache.at[pf, sf].set(
+                jnp.where(vm, k_pad.reshape(-1, hk, dk), k_cache[pf, sf])
+            )
+            v_cache = v_cache.at[pf, sf].set(
+                jnp.where(
+                    vm,
+                    v_pad.reshape(-1, hk, v.shape[-1]),
+                    v_cache[pf, sf],
+                )
+            )
+        else:
+            if cache_batch_idx is not None:
+                idx = cache_batch_idx.astype(jnp.int32)
+                kc_b = jnp.take(k_cache, idx, axis=0)
+                vc_b = jnp.take(v_cache, idx, axis=0)
+            else:
+                kc_b, vc_b = k_cache, v_cache
+            s_ax = 2 if kv_cache_layout == "bhsd" else 1
+            s_max = kc_b.shape[s_ax]
+            pos_c = jnp.clip(
+                cache_seqlens[:, None] + rk[None, :], 0, s_max - 1
+            )
+
+            def _put(cache, new, p, vm_b):
+                # cache [S,Hk,D] or [Hk,S,D]; new [Lk,Hk,D] bshd rows.
+                if kv_cache_layout == "bhsd":
+                    new_h = jnp.swapaxes(new, 0, 1)  # [Hk, Lk, D]
+                    cur = cache[:, p]
+                    return cache.at[:, p].set(
+                        jnp.where(vm_b[None, :, None], new_h, cur)
+                    )
+                cur = cache[p]
+                return cache.at[p].set(
+                    jnp.where(vm_b[:, None, None], new, cur)
+                )
+
+            kc_b = jax.vmap(_put)(kc_b, k_pad, pos_c, k_valid)
+            vc_b = jax.vmap(_put)(vc_b, v_pad, pos_c, k_valid)
+            if cache_batch_idx is not None:
+                k_cache = k_cache.at[idx].set(kc_b)
+                v_cache = v_cache.at[idx].set(vc_b)
+            else:
+                k_cache, v_cache = kc_b, vc_b
+
+    # --- rotary on q (within-sequence positions, right-aligned). ---
+    if rotary_cos is not None:
+        rot_base = (
+            rotary_seqlens.astype(jnp.int32)
+            if rotary_seqlens is not None
+            else cache_seqlens
+        )
+        if causal or tuple(window_size) != (-1, -1):
+            pos_q = jnp.clip(rot_base[:, None] + rows[None, :] - lead, 0)
+        else:
+            pos_q = jnp.broadcast_to(rot_base[:, None], (b, lq_max))
+        q_pad = _apply_rotary_batched(
+            q_pad,
+            _gather_rotary(rotary_cos, pos_q),
+            _gather_rotary(rotary_sin, pos_q),
+            rotary_interleaved,
+        )
+
+    res = flash_attn_with_kvcache(
+        q_pad,
+        k_cache,
+        v_cache,
+        qv=qv_pad,
+        cache_seqlens=cache_seqlens + appended,
+        cache_batch_idx=cache_batch_idx,
+        cache_leftpad=cache_leftpad,
+        page_table=page_table,
+        softmax_scale=softmax_scale,
+        causal=causal,
+        window_size=window_size,
+        softcap=softcap,
+        num_splits=num_splits,
+        return_softmax_lse=True,
+        block_sizes=block_sizes,
+        kv_cache_layout=kv_cache_layout,
+    )
+    out_pad, lse_pad = res[0], res[1]
+
+    # --- re-pack: token t of sequence seg sits at padded row
+    #     Lq - lq[seg] + (t - cu_q[seg]). ---
+    t = jnp.arange(total_q, dtype=jnp.int32)
+    seg = jnp.searchsorted(cu_q[1:], t, side="right").astype(jnp.int32)
+    seg = jnp.clip(seg, 0, b - 1)
+    row = t - jnp.take(cu_q, seg) + lq_max - jnp.take(seqlens_q, seg)
+    row = jnp.clip(row, 0, lq_max - 1)
+    out = out_pad.reshape(b * lq_max, hq, out_pad.shape[-1])[
+        seg * lq_max + row
+    ]
+    result = [out]
+    if return_softmax_lse:
+        # Packed LSE [Hq, total_q] (reference varlen convention).
+        lse = lse_pad[seg, :, row].T
+        result.append(lse)
+    if k is not None:
+        result.append((k_cache, v_cache))
     return result[0] if len(result) == 1 else tuple(result)
 
 

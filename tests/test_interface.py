@@ -245,3 +245,137 @@ def test_kvcache_decode_d128_gqa_folded_path():
             np.asarray(lse[i, :, 0]), np.asarray(ref_lse[0, :, 0]),
             atol=2e-5, rtol=1e-4, err_msg=f"lse batch {i}",
         )
+
+
+@pytest.mark.parametrize("causal", [False, True])
+def test_kvcache_varlen_q_matches_per_sequence(causal):
+    # Reference flash_attn_interface.py:688-861 varlen-q kvcache: packed
+    # q [total_q, H, D] + cu_seqlens_q, packed new k/v + cu_seqlens_k_new,
+    # per-sequence caches. Parity oracle: one fixed-shape kvcache call per
+    # sequence.
+    b, s_max, h, hk, d = 3, 64, 4, 2, 32
+    lq = [5, 1, 3]
+    lk = [4, 2, 3]
+    prefill = [10, 7, 4]
+    key = jax.random.PRNGKey(11)
+    ks = jax.random.split(key, 5)
+    total_q, total_k = sum(lq), sum(lk)
+    q = jax.random.normal(ks[0], (total_q, h, d), jnp.float32)
+    k_new = jax.random.normal(ks[1], (total_k, hk, d), jnp.float32)
+    v_new = jax.random.normal(ks[2], (total_k, hk, d), jnp.float32)
+    k_cache = jax.random.normal(ks[3], (b, s_max, hk, d), jnp.float32)
+    v_cache = jax.random.normal(ks[4], (b, s_max, hk, d), jnp.float32)
+    cu_q = jnp.asarray(np.cumsum([0] + lq), jnp.int32)
+    cu_k = jnp.asarray(np.cumsum([0] + lk), jnp.int32)
+    lens = jnp.asarray(prefill, jnp.int32)
+    out, lse, (kc2, vc2) = flash_attn_with_kvcache(
+        q[None].reshape(total_q, h, d),
+        k_cache,
+        v_cache,
+        k_new,
+        v_new,
+        cache_seqlens=lens,
+        cu_seqlens_q=cu_q,
+        cu_seqlens_k_new=cu_k,
+        max_seqlen_q=max(lq),
+        causal=causal,
+        return_softmax_lse=True,
+        block_sizes=BS,
+    )
+    assert out.shape == (total_q, h, d)
+    assert lse.shape == (h, total_q)
+    for i in range(b):
+        qi = q[int(cu_q[i]) : int(cu_q[i + 1])][None]
+        ki = k_new[int(cu_k[i]) : int(cu_k[i + 1])][None]
+        vi = v_new[int(cu_k[i]) : int(cu_k[i + 1])][None]
+        ref_out, ref_lse, (kci, vci) = flash_attn_with_kvcache(
+            qi,
+            k_cache[i : i + 1],
+            v_cache[i : i + 1],
+            ki,
+            vi,
+            cache_seqlens=prefill[i],
+            causal=causal,
+            return_softmax_lse=True,
+            block_sizes=BS,
+        )
+        lo, hi = int(cu_q[i]), int(cu_q[i + 1])
+        np.testing.assert_allclose(
+            np.asarray(out[lo:hi]),
+            np.asarray(ref_out[0]),
+            atol=3e-4,
+            err_msg=f"sequence {i}",
+        )
+        np.testing.assert_allclose(
+            np.asarray(lse[:, lo:hi]),
+            np.asarray(ref_lse[0]),
+            atol=3e-4,
+            err_msg=f"lse sequence {i}",
+        )
+        np.testing.assert_allclose(np.asarray(kc2[i]), np.asarray(kci[0]))
+        np.testing.assert_allclose(np.asarray(vc2[i]), np.asarray(vci[0]))
+
+
+def test_kvcache_varlen_q_paged_and_rotary():
+    # Varlen-q over a paged pool with rotary applied to q and new k.
+    b, psz, pages_per, h, hk, d = 2, 16, 4, 2, 2, 32
+    lq = [3, 2]
+    lk = [3, 2]
+    prefill = [9, 5]
+    npages = b * pages_per
+    key = jax.random.PRNGKey(7)
+    ks = jax.random.split(key, 6)
+    total_q, total_k = sum(lq), sum(lk)
+    q = jax.random.normal(ks[0], (total_q, h, d), jnp.float32)
+    k_new = jax.random.normal(ks[1], (total_k, hk, d), jnp.float32)
+    v_new = jax.random.normal(ks[2], (total_k, hk, d), jnp.float32)
+    k_pool = jax.random.normal(ks[3], (npages, psz, hk, d), jnp.float32)
+    v_pool = jax.random.normal(ks[4], (npages, psz, hk, d), jnp.float32)
+    ang = jax.random.uniform(ks[5], (64, d // 2), maxval=3.0)
+    cos, sin = jnp.cos(ang), jnp.sin(ang)
+    page_table = jnp.arange(npages, dtype=jnp.int32).reshape(b, pages_per)
+    cu_q = jnp.asarray(np.cumsum([0] + lq), jnp.int32)
+    cu_k = jnp.asarray(np.cumsum([0] + lk), jnp.int32)
+    lens = jnp.asarray(prefill, jnp.int32)
+    out, (kp2, vp2) = flash_attn_with_kvcache(
+        q,
+        k_pool,
+        v_pool,
+        k_new,
+        v_new,
+        rotary_cos=cos,
+        rotary_sin=sin,
+        cache_seqlens=lens,
+        page_table=page_table,
+        cu_seqlens_q=cu_q,
+        cu_seqlens_k_new=cu_k,
+        max_seqlen_q=max(lq),
+        causal=True,
+    )
+    for i in range(b):
+        qi = q[int(cu_q[i]) : int(cu_q[i + 1])][None]
+        ki = k_new[int(cu_k[i]) : int(cu_k[i + 1])][None]
+        vi = v_new[int(cu_k[i]) : int(cu_k[i + 1])][None]
+        ref_out, (kpi, vpi) = flash_attn_with_kvcache(
+            qi,
+            k_pool[i * pages_per : (i + 1) * pages_per],
+            v_pool[i * pages_per : (i + 1) * pages_per],
+            ki,
+            vi,
+            rotary_cos=cos,
+            rotary_sin=sin,
+            cache_seqlens=prefill[i],
+            page_table=jnp.arange(pages_per, dtype=jnp.int32)[None],
+            causal=True,
+        )
+        lo, hi = int(cu_q[i]), int(cu_q[i + 1])
+        np.testing.assert_allclose(
+            np.asarray(out[lo:hi]),
+            np.asarray(ref_out[0]),
+            atol=3e-4,
+            err_msg=f"sequence {i}",
+        )
+        np.testing.assert_allclose(
+            np.asarray(kp2[i * pages_per : (i + 1) * pages_per]),
+            np.asarray(kpi),
+        )
