@@ -108,11 +108,11 @@ def flash_attn_func(
       mask, in that order.
     """
     # Positional-parity arguments (reference
-    # flash_attn_interface.py:466-567). fp8 descales and attention_chunk
-    # are unsupported; scheduling hints (num_splits, pack_gqa, sm_margin)
-    # are Mosaic's job on TPU; kernels are always deterministic.
-    if attention_chunk:
-        raise NotImplementedError("attention_chunk is not supported")
+    # flash_attn_interface.py:466-567). fp8 descales are unsupported;
+    # scheduling hints (num_splits, pack_gqa, sm_margin) are Mosaic's
+    # job on TPU; kernels are always deterministic. attention_chunk
+    # (llama4-style chunked attention, reference mask.h:116-119) is
+    # forward-only, like the reference (FA3 backward asserts it == 0).
     assert q_descale is None and k_descale is None and v_descale is None, (
         "fp8 descales are not supported (bf16/f32 kernels)"
     )
@@ -141,6 +141,7 @@ def flash_attn_func(
             scale=softmax_scale,
             causal=causal,
             window=window,
+            attention_chunk=int(attention_chunk),
             softcap=softcap,
             block_sizes=bs,
             return_lse=True,
@@ -150,6 +151,9 @@ def flash_attn_func(
         )
         new_mask = None
     else:
+        assert not attention_chunk, (
+            "attention_chunk composes with the dense path only"
+        )
         assert qv is None, "qv (MLA) composes with the dense path only"
         assert dropout_p == 0.0, (
             "attention dropout is a training feature; the skip-masked "
@@ -331,10 +335,8 @@ def flash_attn_varlen_func(
     are compared on the packed axis, which equals the per-segment
     relative comparison iff q and k share the packing -- asserted.
     """
-    if qv is not None or attention_chunk:
-        raise NotImplementedError(
-            "qv-packed fp8 path / attention_chunk are not supported"
-        )
+    if qv is not None:
+        raise NotImplementedError("qv-packed fp8 path is not supported")
     assert q_descale is None and k_descale is None and v_descale is None, (
         "fp8 descales are not supported (bf16/f32 kernels)"
     )
@@ -375,7 +377,24 @@ def flash_attn_varlen_func(
     d_model = q.shape[-1]
     bs = block_sizes or get_block_sizes(d_model, q.dtype.itemsize)
     window = None if tuple(window_size) == (-1, -1) else tuple(window_size)
-    if causal or window is not None:
+    if attention_chunk:
+        # Chunked attention on packed sequences (reference
+        # mask.h:116-119 via the varlen fwd): with identical q/k packing
+        # the chunk-membership predicate
+        # ``floor(local_row/chunk) == floor(local_col/chunk)`` is pure
+        # segment algebra, so it folds into the EXISTING segment-id
+        # masking -- refine each token's segment id with its local chunk
+        # index (dead-row markers stay negative and unequal).
+        assert tq == tk, (
+            "attention_chunk varlen requires identical q/k packing"
+        )
+        chunk = int(attention_chunk)
+        mult = tq // chunk + 2
+        local_q = pos_q.astype(jnp.int32) - jnp.take(cu_seqlens_q, jnp.clip(seg_q, 0))
+        local_k = pos_k.astype(jnp.int32) - jnp.take(cu_seqlens_k, jnp.clip(seg_k, 0))
+        seg_q = jnp.where(seg_q < 0, seg_q, seg_q * mult + local_q // chunk)
+        seg_k = jnp.where(seg_k < 0, seg_k, seg_k * mult + local_k // chunk)
+    if causal or window is not None or attention_chunk:
         # Global-position causal/window + segment equality == the
         # segment-local predicate, provided q and k share the packing
         # (self-attention varlen). Cross-packing is not supported.
@@ -565,7 +584,13 @@ def flash_attn_with_kvcache(
     out (hopper/setup.py:47-68).
     """
     if attention_chunk:
-        raise NotImplementedError("attention_chunk is not supported")
+        # Chunked attention (reference mask.h:116-119): supported on the
+        # contiguous cache paths; page-table and split-KV composition is
+        # descoped (the reference's heuristics disable splits there too).
+        assert page_table is None and num_splits <= 1, (
+            "attention_chunk composes with the contiguous unsplit "
+            "cache path only"
+        )
     assert q_descale is None and k_descale is None and v_descale is None, (
         "fp8 descales are not supported (bf16/f32 kernels)"
     )
@@ -589,8 +614,9 @@ def flash_attn_with_kvcache(
             cache_seqlens, cache_batch_idx, cache_leftpad, page_table,
             cu_seqlens_q, cu_seqlens_k_new, max_seqlen_q,
             max_seqlen_k_new, rotary_seqlens, softmax_scale, causal,
-            window_size, softcap, rotary_interleaved, num_splits,
-            return_softmax_lse, block_sizes, kv_cache_layout,
+            window_size, attention_chunk, softcap, rotary_interleaved,
+            num_splits, return_softmax_lse, block_sizes,
+            kv_cache_layout,
         )
     if cu_seqlens_k_new is not None:
         raise NotImplementedError(
@@ -830,6 +856,14 @@ def flash_attn_with_kvcache(
         and v_cache.shape[-1] == d
         and qv is None
     ):
+        if attention_chunk:
+            # Single new token at position total-1: the chunk window
+            # [round_down(total-1, chunk), total) is a pure left bound,
+            # so it folds into the kernel's kv_low (cache_leftpad)
+            # predicate -- the packed-GQA row fold stays valid (packed
+            # rows are HEADS, not positions).
+            cstart = ((total - 1) // attention_chunk) * attention_chunk
+            kv_low = cstart if kv_low is None else jnp.maximum(kv_low, cstart)
         # PackGQA single-token decode (the reference's pack_gqa trick,
         # pack_gqa.h, TPU-style): fold the `group` query heads of each
         # KV head into the q-ROW dimension, so the kernel grid collapses
@@ -897,6 +931,7 @@ def flash_attn_with_kvcache(
             scale=softmax_scale,
             bound_causal=causal,
             window=window,
+            attention_chunk=int(attention_chunk),
             softcap=softcap,
             block_sizes=bs,
             return_lse=True,
@@ -939,6 +974,7 @@ def _kvcache_varlen_q(
     softmax_scale,
     causal,
     window_size,
+    attention_chunk,
     softcap,
     rotary_interleaved,
     num_splits,
@@ -1117,6 +1153,7 @@ def _kvcache_varlen_q(
         softmax_scale=softmax_scale,
         causal=causal,
         window_size=window_size,
+        attention_chunk=attention_chunk,
         softcap=softcap,
         num_splits=num_splits,
         return_softmax_lse=True,

@@ -100,6 +100,7 @@ def _fwd_kernel(
     bound_offset: int = 0,
     has_low: bool = False,
     window: "Optional[Tuple[int, int]]" = None,
+    attention_chunk: int = 0,
     softcap: float = 0.0,
     has_alibi: bool = False,
     kv_3d: bool = False,  # K/V blocks are (1, block_k, d) views of the
@@ -139,6 +140,25 @@ def _fwd_kernel(
         )
     else:
         should_run = True
+    if attention_chunk > 0 and not has_bound:
+        # Chunked attention block pruning (reference block.h via
+        # mask.h:116-119): a k-tile left of the FIRST row's chunk start,
+        # or right of the LAST row's chunk end, is fully dead. With a
+        # traced per-batch bound the positions are dynamic -- masked
+        # in-tile instead.
+        first_start = (
+            (qi * block_q + causal_offset) // attention_chunk
+        ) * attention_chunk
+        last_start = (
+            ((qi + 1) * block_q - 1 + causal_offset) // attention_chunk
+        ) * attention_chunk
+        should_run = jnp.logical_and(
+            should_run,
+            jnp.logical_and(
+                (ki + 1) * block_k - 1 >= first_start,
+                ki * block_k < last_start + attention_chunk,
+            ),
+        )
 
     # f32 inputs: force full-precision MXU passes (the default would
     # silently round through bf16). bf16 inputs accumulate in f32 anyway.
@@ -229,6 +249,7 @@ def _fwd_kernel(
             or has_bound
             or has_low
             or window is not None
+            or attention_chunk > 0
         ):
             col = (
                 jax.lax.broadcasted_iota(jnp.int32, (block_q, block_k), 1)
@@ -284,6 +305,22 @@ def _fwd_kernel(
                     valid = jnp.logical_and(valid, col >= pos - left)
                 if right >= 0:
                     valid = jnp.logical_and(valid, col <= pos + right)
+            if attention_chunk > 0:
+                # Chunked (llama4-style) attention, reference
+                # mask.h:116-119: each row attends only keys inside the
+                # chunk containing its bottom-right-aligned diagonal
+                # position; intersects causal/local limits.
+                if has_bound:
+                    cpos = row + (bound_ref[0, 0, 0] - bound_offset)
+                else:
+                    cpos = row + causal_offset
+                cstart = (cpos // attention_chunk) * attention_chunk
+                valid = jnp.logical_and(
+                    valid,
+                    jnp.logical_and(
+                        col >= cstart, col < cstart + attention_chunk
+                    ),
+                )
             s = jnp.where(valid, s, DEFAULT_MASK_VALUE)
 
         m_prev = m_scr[...]
@@ -368,6 +405,7 @@ def _flash_forward_impl(
     bound_causal: bool = False,
     kv_low: Optional[jax.Array] = None,
     window: Optional[Tuple[int, int]] = None,
+    attention_chunk: int = 0,
     softcap: float = 0.0,
     alibi_slopes: Optional[jax.Array] = None,
     kv_bshd: bool = False,
@@ -521,6 +559,7 @@ def _flash_forward_impl(
         bound_offset=sq,
         has_low=has_low,
         window=window,
+        attention_chunk=attention_chunk,
         softcap=softcap,
         has_alibi=has_alibi,
         kv_3d=kv_bshd,
@@ -725,6 +764,7 @@ def flash_attention(
         "return_lse",
         "interpret",
         "window",
+        "attention_chunk",
         "softcap",
         "dropout_p",
     ),
@@ -742,6 +782,7 @@ def flash_attention_masked(
     causal: bool = False,
     bound_causal: bool = False,
     window: Optional[Tuple[int, int]] = None,
+    attention_chunk: int = 0,
     softcap: float = 0.0,
     block_sizes: Optional[BlockSizes] = None,
     return_lse: bool = False,
@@ -770,13 +811,21 @@ def flash_attention_masked(
         scale = 1.0 / (q.shape[-1] ** 0.5)
     if dropout_p > 0.0 and dropout_seed is None:
         dropout_seed = jnp.int32(0)
-    if v.shape[-1] != q.shape[-1] or qv is not None:
-        assert dropout_p == 0.0, "MLA shapes are inference-only"
+    if (
+        v.shape[-1] != q.shape[-1]
+        or qv is not None
+        or attention_chunk > 0
+    ):
+        # MLA shapes and attention_chunk are forward-only (the reference
+        # FA3 backward asserts attention_chunk == 0,
+        # flash_attn_interface.py:239).
+        assert dropout_p == 0.0, "this configuration is inference-only"
         out, lse = _flash_forward_impl(
             q, k, v, scale, causal, block_sizes, interpret,
             q_segments=q_segments, kv_segments=kv_segments,
             kv_bound=kv_bound, bound_causal=bound_causal, kv_low=kv_low,
-            window=window, softcap=softcap, alibi_slopes=alibi_slopes,
+            window=window, attention_chunk=attention_chunk,
+            softcap=softcap, alibi_slopes=alibi_slopes,
             qv=qv,
         )
     else:

@@ -379,3 +379,98 @@ def test_kvcache_varlen_q_paged_and_rotary():
             np.asarray(kp2[i * pages_per : (i + 1) * pages_per]),
             np.asarray(kpi),
         )
+
+
+def _chunk_mask(sq, sk, chunk, causal):
+    # Reference mask.h:116-119: row's diagonal position is
+    # row + sk - sq; allowed cols are within that position's chunk,
+    # intersected with (bottom-right) causality.
+    row = np.arange(sq)[:, None]
+    col = np.arange(sk)[None, :]
+    diag = row + sk - sq
+    cstart = (diag // chunk) * chunk
+    m = (col >= cstart) & (col < cstart + chunk)
+    if causal:
+        m &= col <= diag
+    return m
+
+
+def _masked_ref(q, k, v, mask):
+    # q,k,v: [B,S,H,D]; mask: [Sq, Sk] bool.
+    s = jnp.einsum("bqhd,bkhd->bhqk", q, k) * (q.shape[-1] ** -0.5)
+    s = jnp.where(jnp.asarray(mask)[None, None], s, -jnp.inf)
+    p = jax.nn.softmax(s, axis=-1)
+    p = jnp.where(jnp.isnan(p), 0.0, p)
+    return jnp.einsum("bhqk,bkhd->bqhd", p, v)
+
+
+@pytest.mark.parametrize("causal", [False, True])
+@pytest.mark.parametrize("sq,sk", [(256, 256), (128, 384)])
+def test_attention_chunk_dense(causal, sq, sk):
+    b, h, d, chunk = 1, 2, 32, 96
+    q, k, v = _bshd(5, b, max(sq, sk), h, d)
+    q = q[:, :sq]
+    k, v = k[:, :sk], v[:, :sk]
+    out = flash_attn_func(
+        q, k, v, causal=causal, attention_chunk=chunk, block_sizes=BS
+    )
+    ref = _masked_ref(q, k, v, _chunk_mask(sq, sk, chunk, causal))
+    np.testing.assert_allclose(
+        np.asarray(out), np.asarray(ref), atol=3e-4
+    )
+
+
+@pytest.mark.parametrize("causal", [False, True])
+def test_attention_chunk_varlen(causal):
+    # Packed sequences: the chunk grid restarts at each sequence start.
+    lens = [130, 70, 56]
+    chunk = 64
+    total = sum(lens)
+    h, d = 2, 32
+    ks = jax.random.split(jax.random.PRNGKey(3), 3)
+    q = jax.random.normal(ks[0], (total, h, d), jnp.float32)
+    k = jax.random.normal(ks[1], (total, h, d), jnp.float32)
+    v = jax.random.normal(ks[2], (total, h, d), jnp.float32)
+    cu = jnp.asarray(np.cumsum([0] + lens), jnp.int32)
+    out = flash_attn_varlen_func(
+        q, k, v, cu, cu, max(lens), max(lens),
+        causal=causal, attention_chunk=chunk, block_sizes=BS,
+    )
+    for i, L in enumerate(lens):
+        lo = int(cu[i])
+        qi, ki, vi = (x[lo : lo + L][None] for x in (q, k, v))
+        ref = _masked_ref(qi, ki, vi, _chunk_mask(L, L, chunk, causal))
+        np.testing.assert_allclose(
+            np.asarray(out[lo : lo + L]),
+            np.asarray(ref[0]),
+            atol=3e-4,
+            err_msg=f"sequence {i}",
+        )
+
+
+def test_attention_chunk_kvcache():
+    # Append path (generic) and single-token decode (kv_low fold).
+    b, s_max, h, d, chunk = 2, 256, 2, 32, 64
+    prefill = [100, 37]
+    ks = jax.random.split(jax.random.PRNGKey(8), 5)
+    k_cache = jax.random.normal(ks[0], (b, s_max, h, d), jnp.float32)
+    v_cache = jax.random.normal(ks[1], (b, s_max, h, d), jnp.float32)
+    lens = jnp.asarray(prefill, jnp.int32)
+    for s_new in (1, 5):
+        q = jax.random.normal(ks[2], (b, s_new, h, d), jnp.float32)
+        out = flash_attn_with_kvcache(
+            q, k_cache, v_cache, cache_seqlens=lens, causal=True,
+            attention_chunk=chunk, block_sizes=BS,
+        )
+        for i, p in enumerate(prefill):
+            m = _chunk_mask(s_new, p, chunk, True)
+            ref = _masked_ref(
+                q[i : i + 1], k_cache[i : i + 1, :p],
+                v_cache[i : i + 1, :p], m,
+            )
+            np.testing.assert_allclose(
+                np.asarray(out[i]),
+                np.asarray(ref[0]),
+                atol=3e-4,
+                err_msg=f"batch {i} s_new={s_new}",
+            )
