@@ -132,6 +132,8 @@ def baichuan_config(dim=4096, num_layers=32, num_heads=32,
         use_alibi=not use_rotary, gated_mlp=True, use_rms_norm=True,
         attn_bias=False, mlp_bias=False,
         tie_embeddings=False,
+        eps=1e-6,  # HF rms_norm_eps (reference passes it through,
+        # models/baichuan.py:134)
     )
 
 

@@ -554,7 +554,17 @@ def remap_state_dict_hf_baichuan(
             },
         }
     t["ln_f_scale"] = sd["model.norm.weight"]
-    p["lm_head"] = {"kernel": lin("lm_head.weight")}
+    head = sd["lm_head.weight"]
+    if head.shape[0] > 70000:
+        # Baichuan v2 "norm head" (reference models/baichuan.py:120,
+        # gpt.py:657-663: F.normalize(lm_head.weight) every forward).
+        # The weights are frozen at inference, so normalizing once at
+        # remap time is exact; the same vocab-size inference hack picks
+        # v2 (v1 64k vocab, v2 128k).
+        head = head / np.maximum(
+            np.linalg.norm(head, axis=1, keepdims=True), 1e-12
+        )
+    p["lm_head"] = {"kernel": head.T}
     return {"params": p}
 
 

@@ -349,3 +349,113 @@ def test_btlm_remap_structure_and_forward():
     cfg2 = dc.replace(cfg, logits_multiplier=2 * cfg.logits_multiplier)
     logits2 = np.asarray(GPTLMHeadModel(cfg2).apply(params, ids))
     np.testing.assert_allclose(logits2, 2 * logits, rtol=1e-5)
+
+
+def _baichuan_toy_sd(dim, nl, vocab, ffn, seed=6):
+    rs = np.random.RandomState(seed)
+    sd = {"model.embed_tokens.weight": rs.randn(vocab, dim) * 0.02,
+          "model.norm.weight": 1 + 0.1 * rs.randn(dim),
+          "lm_head.weight": rs.randn(vocab, dim) * 0.02}
+    for i in range(nl):
+        pre = f"model.layers.{i}."
+        sd[pre + "self_attn.W_pack.weight"] = rs.randn(3 * dim, dim) * 0.02
+        sd[pre + "self_attn.o_proj.weight"] = rs.randn(dim, dim) * 0.02
+        sd[pre + "mlp.gate_proj.weight"] = rs.randn(ffn, dim) * 0.02
+        sd[pre + "mlp.up_proj.weight"] = rs.randn(ffn, dim) * 0.02
+        sd[pre + "mlp.down_proj.weight"] = rs.randn(dim, ffn) * 0.02
+        sd[pre + "input_layernorm.weight"] = 1 + 0.1 * rs.randn(dim)
+        sd[pre + "post_attention_layernorm.weight"] = 1 + 0.1 * rs.randn(dim)
+    return sd
+
+
+@pytest.mark.parametrize("use_rotary", [True, False])
+def test_baichuan_logit_parity_vendored(use_rotary):
+    """Logit parity against the vendored numpy re-implementation of HF
+    modeling_baichuan.py (tests/_hf_minimal.py) -- the offline stand-in
+    for the reference's live-HF test (flash_attn/models/baichuan.py;
+    trust_remote_code is unavailable offline). Covers the 7B rotary and
+    13B ALiBi variants."""
+    from tests._hf_minimal import baichuan_forward
+    from liteattention_tpu.models.configs import baichuan_config
+    from liteattention_tpu.utils.pretrained import (
+        remap_state_dict_hf_baichuan,
+    )
+
+    dim, nl, vocab = 64, 2, 128
+    cfg = baichuan_config(dim=dim, num_layers=nl, num_heads=2,
+                          vocab=vocab)
+    cfg = dataclasses.replace(
+        cfg, dtype=jnp.float32,
+        rotary_emb_dim=(dim // 2 if use_rotary else 0),
+        use_alibi=not use_rotary,
+    )
+    sd = _baichuan_toy_sd(dim, nl, vocab, cfg.ffn_dim)
+    params = remap_state_dict_hf_baichuan(sd, cfg)
+    ids_np = np.random.RandomState(7).randint(0, vocab, (2, 24))
+    ref = baichuan_forward(sd, ids_np, num_heads=2, num_layers=nl,
+                           use_rotary=use_rotary)
+    logits = np.asarray(
+        GPTLMHeadModel(cfg).apply(params, jnp.asarray(ids_np))
+    )
+    np.testing.assert_allclose(logits, ref, atol=2e-3, rtol=1e-3)
+
+
+def test_baichuan_v2_norm_head_remap():
+    """Vocab > 70k selects the v2 norm-head (reference
+    models/baichuan.py:120): remapped lm_head rows are L2-normalized."""
+    from liteattention_tpu.models.configs import baichuan_config
+    from liteattention_tpu.utils.pretrained import (
+        remap_state_dict_hf_baichuan,
+    )
+
+    dim, nl, vocab = 16, 1, 70080
+    cfg = baichuan_config(dim=dim, num_layers=nl, num_heads=2,
+                          vocab=vocab)
+    sd = _baichuan_toy_sd(dim, nl, vocab, cfg.ffn_dim)
+    params = remap_state_dict_hf_baichuan(sd, cfg)
+    head = params["params"]["lm_head"]["kernel"]  # [dim, vocab]
+    np.testing.assert_allclose(
+        np.linalg.norm(head, axis=0), np.ones(vocab), atol=1e-6
+    )
+
+
+def test_btlm_logit_parity_vendored():
+    """Logit parity against the vendored numpy re-implementation of HF
+    modeling_btlm.py (tests/_hf_minimal.py): muP embedding/output
+    scales, 1/d qk scaling, ALiBi, Conv1D SwiGLU."""
+    import dataclasses as dc
+
+    from tests._hf_minimal import btlm_forward
+    from liteattention_tpu.models.configs import btlm_config
+    from liteattention_tpu.utils.pretrained import remap_state_dict_hf_btlm
+
+    dim, nl, vocab, ffn = 64, 2, 128, 96
+    cfg = btlm_config(dim=dim, num_layers=nl, num_heads=2, vocab=vocab)
+    cfg = dc.replace(cfg, ffn_dim=ffn, dtype=jnp.float32)
+    rs = np.random.RandomState(8)
+    sd = {"transformer.wte.weight": rs.randn(vocab, dim) * 0.02,
+          "transformer.ln_f.weight": 1 + 0.1 * rs.randn(dim),
+          "transformer.ln_f.bias": 0.1 * rs.randn(dim)}
+    for i in range(nl):
+        pre = f"transformer.h.{i}."
+        sd[pre + "attn.c_attn.weight"] = rs.randn(dim, 3 * dim) * 0.02
+        sd[pre + "attn.c_attn.bias"] = 0.1 * rs.randn(3 * dim)
+        sd[pre + "attn.c_proj.weight"] = rs.randn(dim, dim) * 0.02
+        sd[pre + "attn.c_proj.bias"] = 0.1 * rs.randn(dim)
+        sd[pre + "mlp.c_fc.weight"] = rs.randn(dim, ffn) * 0.02
+        sd[pre + "mlp.c_fc.bias"] = 0.1 * rs.randn(ffn)
+        sd[pre + "mlp.c_fc2.weight"] = rs.randn(dim, ffn) * 0.02
+        sd[pre + "mlp.c_fc2.bias"] = 0.1 * rs.randn(ffn)
+        sd[pre + "mlp.c_proj.weight"] = rs.randn(ffn, dim) * 0.02
+        sd[pre + "mlp.c_proj.bias"] = 0.1 * rs.randn(dim)
+        sd[pre + "ln_1.weight"] = 1 + 0.1 * rs.randn(dim)
+        sd[pre + "ln_1.bias"] = 0.1 * rs.randn(dim)
+        sd[pre + "ln_2.weight"] = 1 + 0.1 * rs.randn(dim)
+        sd[pre + "ln_2.bias"] = 0.1 * rs.randn(dim)
+    params = remap_state_dict_hf_btlm(sd, cfg)
+    ids_np = np.random.RandomState(9).randint(0, vocab, (2, 24))
+    ref = btlm_forward(sd, ids_np, num_heads=2, num_layers=nl)
+    logits = np.asarray(
+        GPTLMHeadModel(cfg).apply(params, jnp.asarray(ids_np))
+    )
+    np.testing.assert_allclose(logits, ref, atol=2e-3, rtol=1e-3)
