@@ -39,6 +39,7 @@ import jax
 import jax.numpy as jnp
 
 from liteattention_tpu.ops.flash_fwd import flash_attention
+from liteattention_tpu.ops.kv_compact import compact_kv, kv_union_map
 from liteattention_tpu.ops.lite_flash_fwd import (
     VOTE_TILE,
     build_gather_schedule,
@@ -115,6 +116,7 @@ def lite_attention_step(
     schedule: Optional[Tuple[jax.Array, jax.Array, jax.Array]] = None,
     packed_kv: Optional[jax.Array] = None,
     seqlen_k: Optional[int] = None,
+    kv_map: Optional[jax.Array] = None,
 ):
     """One denoising-step attention call with skip-mask evolution.
 
@@ -150,6 +152,11 @@ def lite_attention_step(
         traffic). When given, ``k``/``v`` may be ``None`` (pass
         ``seqlen_k``); requires ``enable_skipping=True``.
       seqlen_k: unpadded key length when ``k`` is ``None``.
+      kv_map: optional fine-tile -> compact-position map
+        (:func:`liteattention_tpu.ops.kv_compact.kv_union_map`) when
+        ``packed_kv`` was union-compacted and ``schedule`` was packed
+        with ``pack_schedule(kv_map=...)`` -- the round-5 scattered-mask
+        fast path. Only the vote decode consumes it.
       emit_votes: when False, the kernel's vote chain is compiled out
         (~a full extra MXU pass per step saved) and the mask is carried
         over unchanged. The reference votes every step
@@ -211,6 +218,7 @@ def lite_attention_step(
             packed_schedule=packed,
             packed_kv=packed_kv,
             seqlen_k=seqlen_k,
+            kv_map=kv_map,
         )
         if emit_votes:
             votes = votes[
@@ -282,6 +290,14 @@ class LiteAttention:
         to the union-free (128, block_k) geometry for that mask epoch
         (re-evaluated at every recompaction; the kernel is specialized
         per geometry and jit-cached, so switching costs one compile).
+      kv_compact: stage K|V through a union-compacted buffer so
+        SCATTERED masks ride the kernel's contiguous-run DMA fast path
+        (round 5; see ops/kv_compact.py). The map is monotone, so it
+        never worsens a DMA pattern; cost is one tile-gather pass over
+        K|V per call (~0.9% at 73k tokens) against the scattered-step
+        descriptor cost on evolved masks. Auto-disabled when
+        ``seqlen_k % 128 != 0`` (the kernel's tail masking needs raw
+        fine indices).
     """
 
     def __init__(
@@ -293,6 +309,7 @@ class LiteAttention:
         vote_stride: int = 1,
         vote_backoff_cap: int = 0,
         adaptive_geometry: bool = False,
+        kv_compact: bool = True,
     ):
         self._state: Optional[SkipMaskState] = None
         self._last_key = None
@@ -312,6 +329,8 @@ class LiteAttention:
         self._last_vote_live = None
         self.adaptive_geometry = bool(adaptive_geometry)
         self._geom_bs: Optional[BlockSizes] = None
+        self.kv_compact = bool(kv_compact)
+        self._kv_maps = None  # (kv_map, inv) for the cached schedule
         self.set_threshold(threshold)
 
     # -- reference-parity helpers -------------------------------------
@@ -379,6 +398,7 @@ class LiteAttention:
         self._read_mask = None
         self._call_count = 0
         self._sched_cache = None
+        self._kv_maps = None
         self._cur_stride = self.vote_stride
         self._since_vote = 0
         self._last_vote_live = None
@@ -484,6 +504,21 @@ class LiteAttention:
                     bs = self._pick_geometry(state.do_mask, bs)
                 self._geom_bs = bs
                 bq, bk = effective_blocks(bs, q.shape[2], k.shape[2])
+                # Union-compact KV staging (round 5): the wire schedule
+                # is emitted in compact-buffer positions so scattered
+                # masks become contiguous runs; per-call K|V then passes
+                # through compact_kv below. Maps are per mask epoch.
+                use_compact = (
+                    self.kv_compact and k.shape[2] % VOTE_TILE == 0
+                )
+                kv_map = None
+                if use_compact:
+                    kv_map, inv, _ = kv_union_map(
+                        state.do_mask, hk=k.shape[1]
+                    )
+                    self._kv_maps = (kv_map, inv)
+                else:
+                    self._kv_maps = None
                 # One Pallas kernel replaces the XLA
                 # compact_mask_gather + build_gather_schedule pipeline
                 # (argsort + minor-dim gather + relayouts cost ~15 ms
@@ -494,6 +529,7 @@ class LiteAttention:
                     qsubs=bq // VOTE_TILE,
                     gsize=bk // VOTE_TILE,
                     seqlen_k=k.shape[2],
+                    kv_map=kv_map,
                 )
                 fidx, count, qbits = unpack_schedule(
                     packed, state.do_mask.shape[3], packed.shape[3] // 3
@@ -520,7 +556,16 @@ class LiteAttention:
             # writes the [B,S,H,D]->[B,H,S,D] transposes straight into
             # it and the kernel's in-call interleave (~2x KV bytes of
             # traffic) disappears.
-            kv_args = dict(packed_kv=pack_kv(k, v), seqlen_k=k.shape[2])
+            kvp = pack_kv(k, v)
+            kv_args = dict(packed_kv=kvp, seqlen_k=k.shape[2])
+            if self._kv_maps is not None:
+                # Relayout K|V into the union-compact order the cached
+                # schedule's positions address (KV data changes every
+                # denoising step, so this runs per call -- one
+                # tile-gather pass, ~2x KV bytes).
+                kv_map, inv = self._kv_maps
+                kv_args["packed_kv"] = compact_kv(kvp, inv)
+                kv_args["kv_map"] = kv_map
             k_in = v_in = None
         else:
             kv_args = {}

@@ -11,6 +11,7 @@ from liteattention_tpu.ops.flash_fwd import (
     flash_attention_masked,
 )
 from liteattention_tpu.ops.flash_bwd import flash_attention_bwd
+from liteattention_tpu.ops.kv_compact import compact_kv, kv_union_map
 from liteattention_tpu.ops.lite_flash_fwd import lite_flash_attention
 from liteattention_tpu.ops.mla import mla_decode
 from liteattention_tpu.ops.paged_attention import paged_attention
@@ -33,6 +34,8 @@ from liteattention_tpu.ops.tile_sizes import BlockSizes, get_block_sizes
 __all__ = [
     "pack_schedule",
     "unpack_schedule",
+    "compact_kv",
+    "kv_union_map",
     "attention_ref",
     "flash_attention_masked",
     "flash_attention_decode",

@@ -956,7 +956,7 @@ def _lite_gather_call(
     q, k, v, fidx, count, threshold, qbits,
     *, scale, block_q, gsize, interpret, emit_votes=True,
     packed_schedule=None, cross_prime=True, packed_kv=None,
-    seqlen_k=None,
+    seqlen_k=None, kv_map=None,
 ):
     """Host side of the gather schedule (see _lite_gather_kernel)."""
     b, h, sq, d = q.shape
@@ -1117,7 +1117,18 @@ def _lite_gather_call(
     ).astype(jnp.bfloat16)
     # onehot[j, f] = (fidx[j] == f); bf16 is exact here (0/1 entries,
     # f32 MXU accumulation, and the result is only tested > 0).
-    onehot = (fidx[..., :, None] == pos[None, :]).astype(jnp.bfloat16)
+    # Compact-KV schedules (round 5) carry COMPACT positions in fidx;
+    # the decode then compares against kv_map (fine tile -> compact
+    # position) instead of the raw fine iota -- same einsum, and tiles
+    # dead in the union (kv_map == -1) never match a schedule entry,
+    # so they keep the neutral vote 1.
+    if kv_map is not None:
+        if kv_map.shape[1] != h:
+            kv_map = jnp.repeat(kv_map, group, axis=1)
+        cmp = kv_map[:, :, None, None, :]  # [B, H, 1, 1, Ktf]
+    else:
+        cmp = pos[None, :]
+    onehot = (fidx[..., :, None] == cmp).astype(jnp.bfloat16)
     fine_do = jnp.einsum("bhqsj,bhqjf->bhqsf", do, onehot)
     fine_votes = jnp.where(fine_do > 0, 0, 1).astype(jnp.int32)
     votes = fine_votes.reshape(b, h, qt * qsubs, ktf)
@@ -1148,6 +1159,7 @@ def lite_flash_attention(
     cross_prime: bool = True,
     packed_kv: Optional[jax.Array] = None,
     seqlen_k: Optional[int] = None,
+    kv_map: Optional[jax.Array] = None,
 ) -> Tuple[jax.Array, jax.Array, Optional[jax.Array]]:
     """Sparse flash attention over a compacted skip mask, emitting votes.
 
@@ -1198,6 +1210,13 @@ def lite_flash_attention(
         ``seqlen_k`` for the unpadded key length; defaults to the
         packed row count).
       seqlen_k: unpadded key length when ``k`` is None (packed_kv path).
+      kv_map: gather path only. int32 ``[B, Hk, Ktf]`` fine-tile ->
+        compact-position map from
+        :func:`liteattention_tpu.ops.kv_compact.kv_union_map` when the
+        schedule was packed with ``pack_schedule(kv_map=...)`` and
+        ``packed_kv`` was relayouted with
+        :func:`~liteattention_tpu.ops.kv_compact.compact_kv`. Only the
+        vote decode consumes it (the kernel is index-space agnostic).
 
     Returns:
       out ``[B, H, Sq, D]``, lse fp32 ``[B, H, Sq]``,
@@ -1235,9 +1254,10 @@ def lite_flash_attention(
             scale=scale, block_q=block_q, gsize=block_k // VOTE_TILE,
             interpret=interpret, emit_votes=emit_votes,
             packed_schedule=packed_schedule, cross_prime=cross_prime,
-            packed_kv=packed_kv, seqlen_k=sk,
+            packed_kv=packed_kv, seqlen_k=sk, kv_map=kv_map,
         )
     assert packed_kv is None, "packed_kv is a gather-path argument"
+    assert kv_map is None, "kv_map is a gather-path argument"
     if kv_bits is None:
         qsubs = ksubs = 1
     else:

@@ -51,10 +51,7 @@ def _iota2(shape, dim):
 
 def _pack_kernel(
     mask_ref,
-    out_ref,
-    fidx_s,
-    qbits_s,
-    *,
+    *refs,
     qc: int,
     sub: int,
     qsubs: int,
@@ -63,6 +60,7 @@ def _pack_kernel(
     steps: int,
     sched_rows: int,
     tail_tile: bool,
+    has_kv_map: bool = False,
 ):
     """One program packs ``qc`` compute q-tiles of one (b, h).
 
@@ -70,7 +68,23 @@ def _pack_kernel(
     CONCATENATION of loop-carried vectors is not lowerable), and the
     wire rows are LANE-concatenated into one flat [qc, 3R*128] block
     (the host's reshape to [3R, 128] rows is layout-free).
+
+    ``has_kv_map`` (round 5, compact-KV layout): an extra per-(b, hk)
+    input row maps each fine tile index to its position in the
+    union-compacted KV buffer (see ``kv_union_map``/``compact_kv``).
+    The emitted fidx entries are then COMPACT positions -- and the run
+    flag, computed on them, detects contiguity in the compact buffer,
+    where any mask whose live set matches the cross-q-tile union is
+    fully contiguous. Requires no padded tail tile (the gather kernel
+    reconstructs tail columns from fidx, which compact positions no
+    longer encode).
     """
+    if has_kv_map:
+        kvmap_ref, out_ref, fidx_s, qbits_s = refs
+        assert not tail_tile, "compact-KV packing requires sk % 128 == 0"
+        kvmap_row = kvmap_ref[0, 0].astype(_F32)  # (1, ktf)
+    else:
+        out_ref, fidx_s, qbits_s = refs
     m = mask_ref[0, 0].astype(_F32)  # [qc, sub, ktf]
     m2 = m.reshape(qc * sub, ktf)
     rows = qc * sub
@@ -109,7 +123,11 @@ def _pack_kernel(
         rr = jnp.minimum(lane_f, cnt - 1.0)  # [1, ktf]
         e = jnp.where(rank_col - 1.0 == rr, live_col, 0.0)  # [ktf, ktf]
         rhs = jnp.concatenate(
-            [lane_f, bits[t : t + 1] * live[t : t + 1]], axis=0
+            [
+                kvmap_row if has_kv_map else lane_f,
+                bits[t : t + 1] * live[t : t + 1],
+            ],
+            axis=0,
         )  # [2, ktf]
         # HIGHEST: index VALUES ride this contraction (up to ktf-1 >
         # 256) and default f32 matmul precision rounds operands through
@@ -214,6 +232,7 @@ def pack_schedule(
     qsubs: int,
     gsize: int,
     seqlen_k: int,
+    kv_map: Optional[jax.Array] = None,
     interpret: Optional[bool] = None,
 ) -> jax.Array:
     """Fine mask -> packed wire-format gather schedule, in one kernel.
@@ -224,16 +243,23 @@ def pack_schedule(
       gsize: fine k-tiles per pipeline step (block_k // 128).
       seqlen_k: unpadded key length (decides the padded-tail-tile rule
         of the fully-live flag).
+      kv_map: optional int32[B, Hk, Ktf] fine-tile -> compact-KV
+        position map (``kv_union_map``): emitted fidx entries (and the
+        run-flag contiguity they encode) are then in compact-buffer
+        space; pair with ``compact_kv`` and pass the ORIGINAL
+        (un-mapped) indices to the vote decode. Requires
+        ``seqlen_k % 128 == 0``.
 
     Returns:
-      int32[B, H, Qt, 3 * sched_rows, 128] -- bit-identical to
+      int32[B, H, Qt, 3 * sched_rows, 128] -- without ``kv_map``,
+      bit-identical to
       ``build_gather_schedule(*compact_mask_gather(do_mask, qsubs),
       gsize=gsize, qsubs=qsubs, seqlen_k=seqlen_k)``.
     """
     if interpret is None:
         interpret = _default_interpret()
     return _pack_schedule(
-        do_mask, qsubs=qsubs, gsize=gsize, seqlen_k=seqlen_k,
+        do_mask, kv_map, qsubs=qsubs, gsize=gsize, seqlen_k=seqlen_k,
         interpret=interpret,
     )
 
@@ -243,6 +269,7 @@ def pack_schedule(
 )
 def _pack_schedule(
     do_mask: jax.Array,
+    kv_map: Optional[jax.Array],
     *,
     qsubs: int,
     gsize: int,
@@ -257,6 +284,22 @@ def _pack_schedule(
     qtp = _cdiv(qt, qc) * qc
     steps = _cdiv(ktf, gsize)
     sched_rows = _cdiv(1 + ktf + gsize, MIN_LANES)
+    has_kv_map = kv_map is not None
+    if has_kv_map:
+        assert seqlen_k % VOTE_TILE == 0, (
+            "compact-KV schedules require seqlen_k % 128 == 0 (the "
+            "gather kernel's tail masking reconstructs columns from "
+            "fidx, which compact positions no longer encode)")
+        assert kv_map.shape[0] == b and kv_map.shape[2] == ktf, (
+            kv_map.shape, (b, ktf))
+        if kv_map.shape[1] != h:
+            # Per-KV-head map shared across a GQA group: expand to the
+            # mask's q-head axis so the in_spec index map stays trivial.
+            group = h // kv_map.shape[1]
+            kv_map = jnp.repeat(kv_map, group, axis=1)
+        # [B, H, 1, Ktf]: (1, ktf) trailing block dims equal the array
+        # dims (the SMEM/VMEM last-two-dims rule; see CLAUDE.md).
+        kv_map = kv_map.reshape(b, h, 1, ktf).astype(jnp.int32)
 
     fine = jnp.pad(
         do_mask.astype(jnp.float32),
@@ -276,18 +319,28 @@ def _pack_schedule(
         steps=steps,
         sched_rows=sched_rows,
         tail_tile=seqlen_k % VOTE_TILE != 0,
+        has_kv_map=has_kv_map,
     )
     grid = (b, h, qtp // qc)
     row_lanes = 3 * sched_rows * MIN_LANES
+    in_specs = [
+        pl.BlockSpec(
+            (1, 1, qc, sub, ktf),
+            lambda bi, hi, qi: (bi, hi, qi, 0, 0),
+        )
+    ]
+    inputs = [fine]
+    if has_kv_map:
+        in_specs.append(
+            pl.BlockSpec(
+                (1, 1, 1, ktf), lambda bi, hi, qi: (bi, hi, 0, 0)
+            )
+        )
+        inputs.append(kv_map)
     packed = pl.pallas_call(
         kernel,
         grid=grid,
-        in_specs=[
-            pl.BlockSpec(
-                (1, 1, qc, sub, ktf),
-                lambda bi, hi, qi: (bi, hi, qi, 0, 0),
-            )
-        ],
+        in_specs=in_specs,
         out_specs=pl.BlockSpec(
             (1, 1, qc, row_lanes),
             lambda bi, hi, qi: (bi, hi, qi, 0),
@@ -303,7 +356,7 @@ def _pack_schedule(
             dimension_semantics=("parallel", "parallel", "parallel"),
         ),
         interpret=interpret,
-    )(fine)
+    )(*inputs)
     packed = packed.reshape(b, h, qtp, 3 * sched_rows, MIN_LANES)
     return packed[:, :, :qt]
 
