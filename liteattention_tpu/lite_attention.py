@@ -143,7 +143,11 @@ def lite_attention_step(
         ``(fidx, count, qbits, packed)`` where ``packed`` is the
         pre-assembled wire-format schedule from
         :func:`build_gather_schedule` (the stateful wrapper caches both
-        between vote steps).
+        between vote steps). A 6-tuple ``(..., packed, kv_map, inv)``
+        marks a UNION-COMPACT schedule (``pack_schedule(kv_map=...)``):
+        ``packed_kv`` is then relayouted through ``compact_kv(inv)``
+        in-call and the vote decode uses ``kv_map`` -- the fully-traced
+        form the denoise scan carries (models/pipeline.py).
       packed_kv: optional pre-interleaved K|V from
         :func:`~liteattention_tpu.ops.lite_flash_fwd.pack_kv`
         (``[B, Hk, Skp, 2Dp]``). Models with fused KV projections emit
@@ -195,7 +199,15 @@ def lite_attention_step(
         bq, bk = effective_blocks(bs, q.shape[2], sk)
         packed = None
         if schedule is not None:
-            if len(schedule) == 4:
+            if len(schedule) == 6:
+                fidx, count, qbits, packed, sched_kv_map, inv = schedule
+                assert packed_kv is not None, (
+                    "a compact (6-tuple) schedule implies the packed_kv "
+                    "hot path")
+                assert kv_map is None, "kv_map rides the 6-tuple here"
+                packed_kv = compact_kv(packed_kv, inv)
+                kv_map = sched_kv_map
+            elif len(schedule) == 4:
                 fidx, count, qbits, packed = schedule
             else:
                 fidx, count, qbits = schedule
@@ -513,10 +525,18 @@ class LiteAttention:
                 )
                 kv_map = None
                 if use_compact:
-                    kv_map, inv, _ = kv_union_map(
+                    kv_map, inv, ucount = kv_union_map(
                         state.do_mask, hk=k.shape[1]
                     )
-                    self._kv_maps = (kv_map, inv)
+                    # Identity map (mask fully live in the union, e.g.
+                    # the first epoch): the relayout would be a pure
+                    # copy -- skip it. Host readback, once per epoch
+                    # (same cost class as the backoff's sparsity read).
+                    if int(jnp.min(ucount)) == state.do_mask.shape[3]:
+                        kv_map = None
+                        self._kv_maps = None
+                    else:
+                        self._kv_maps = (kv_map, inv)
                 else:
                     self._kv_maps = None
                 # One Pallas kernel replaces the XLA

@@ -66,6 +66,7 @@ def denoise(
     image_ctx: Optional[jax.Array] = None,
     latent_cond: Optional[jax.Array] = None,
     vote_stride: int = 1,
+    kv_compact: bool = True,
 ) -> Tuple[jax.Array, Dict[str, Any]]:
     """Run the full denoising trajectory with LiteAttention state carry.
 
@@ -175,6 +176,7 @@ def denoise(
         # contiguous slices of it -- the whole vote cycle stays
         # on-device inside the scan.
         from liteattention_tpu.lite_attention import effective_blocks
+        from liteattention_tpu.ops.kv_compact import kv_union_map
         from liteattention_tpu.ops.lite_flash_fwd import VOTE_TILE
         from liteattention_tpu.ops.schedule_pack import (
             pack_schedule,
@@ -186,15 +188,26 @@ def denoise(
         bs = cfg.attn_block_sizes("lite")
         bq, bk = effective_blocks(bs, n_tok, n_tok)
         qsubs = bq // VOTE_TILE
+        # Union-compact schedules (round 5): the whole cycle is traced
+        # (no host readback for the identity-map skip the wrapper
+        # does), so compaction is gated statically; the first cycle's
+        # full masks pay one no-op relayout, scattered evolved masks
+        # ride the contiguous-DMA fast path every step after.
+        use_kvc = kv_compact and n_tok % VOTE_TILE == 0
 
         def compact_one(st):
+            kv_map = None
+            if use_kvc:
+                kv_map, inv, _ = kv_union_map(st.do_mask)
             packed = pack_schedule(
                 st.do_mask, qsubs=qsubs, gsize=bk // VOTE_TILE,
-                seqlen_k=n_tok,
+                seqlen_k=n_tok, kv_map=kv_map,
             )
             fidx, count, qbits = unpack_schedule(
                 packed, st.do_mask.shape[3], packed.shape[3] // 3
             )
+            if use_kvc:
+                return fidx, count, qbits, packed, kv_map, inv
             return fidx, count, qbits, packed
 
         def compact_states(states):

@@ -721,13 +721,13 @@ def _lite_gather_kernel(
             # everywhere, and dead tiles' votes are never read by the
             # host decode.
             if emit_votes:
-                votes_from(
-                    jnp.where(
-                        row_valid,
-                        s_masked - m_prev[:, :1],
-                        -jnp.inf,
-                    )
-                )
+                # The padded-row select only exists when q rows can be
+                # padding; at block-aligned seqlen_q it would be a pure
+                # extra full-width VPU pass on the vote hot path.
+                diff = s_masked - m_prev[:, :1]
+                if seqlen_q % block_q != 0:
+                    diff = jnp.where(row_valid, diff, -jnp.inf)
+                votes_from(diff)
             local_max = jnp.max(s_masked, axis=1, keepdims=True)
             m_next = jnp.maximum(m_prev, local_max)
             m_red = m_next[:, :1]

@@ -17,10 +17,18 @@ lane slice ``kv[:, :Dv]``. All query heads share the single latent head
 ``(Sq*Hq, D)`` block-row against each KV block: the MXU sees one wide
 matmul pair per block, no head loop.
 
-Contiguous caches are treated as paged with an identity page table, so
-one kernel serves both layouts (and the ``pages_per_step`` batching
-that keeps small pages from under-filling the DMA pipeline -- see
-ops/paged_attention.py -- comes for free).
+Round 5: the flash_mla 64-token page convention is DMA-descriptor-bound
+on TPU (one 72 KB copy per page issued from the scalar core ran at 19%
+of HBM peak; 256-token pages reached 52%). The kernel now hand-rolls
+its page fetches like the lite gather kernel: ``pages_per_step`` pages
+land in one ring slot per macro-step, and a per-step run check on the
+scalar-prefetched page table promotes PHYSICALLY-CONSECUTIVE pages
+(identity tables, sequential allocators -- the common serving layout)
+to ONE wide DMA per macro-step. Scattered tables degrade gracefully to
+per-page copies of the same macro-step. The per-step compute is one
+wide QK/PV matmul pair over the packed slot, and the dynamic
+``fori_loop`` stops at each sequence's real length instead of the
+padded page count.
 """
 
 import functools
@@ -38,36 +46,44 @@ from liteattention_tpu.ops.flash_fwd import (
     _default_interpret,
 )
 
+RING_SLOTS = 4
+
 
 def _mla_kernel(
     # scalar prefetch
     lengths_ref,  # SMEM [B] int32
-    tbl_ref,  # SMEM [B, P] int32 (consumed by the index maps)
+    tbl_ref,  # SMEM [B, P] int32
     # inputs
     q_ref,  # VMEM (1, rows_p, D)
-    *refs,  # pages_per_step kv page refs, then outs + scratch
+    kv_hbm,  # ANY [num_pages * page_size, D] (flat latent pages)
+    # outputs
+    o_ref,  # VMEM (1, rows_p, Dv)
+    lse_ref,  # VMEM (1, rows_p, 128)
+    # scratch
+    kvbuf,  # VMEM (RING_SLOTS, n*page_size, D)
+    dma_sems,  # DMA sems (RING_SLOTS,)
+    m_scr,
+    l_scr,
+    acc_scr,
+    *,
     scale: float,
     dv: int,
     page_size: int,
     pages_per_seq: int,
+    num_pages: int,
     hq: int,
     sq: int,
     causal: bool,
     pages_per_step: int,
 ):
     n = pages_per_step
-    kv_refs = refs[:n]
-    o_ref, lse_ref, m_scr, l_scr, acc_scr = refs[n:]
-    num_steps = (pages_per_seq + n - 1) // n
     b = pl.program_id(0)
-    j = pl.program_id(1)
     length = lengths_ref[b]
+    num_steps = pl.cdiv(pl.cdiv(length, page_size), n)
 
-    @pl.when(j == 0)
-    def _init():
-        m_scr[...] = jnp.full_like(m_scr, -jnp.inf)
-        l_scr[...] = jnp.zeros_like(l_scr)
-        acc_scr[...] = jnp.zeros_like(acc_scr)
+    m_scr[...] = jnp.full_like(m_scr, -jnp.inf)
+    l_scr[...] = jnp.zeros_like(l_scr)
+    acc_scr[...] = jnp.zeros_like(acc_scr)
 
     precision = (
         jax.lax.Precision.HIGHEST
@@ -75,72 +91,133 @@ def _mla_kernel(
         else jax.lax.Precision.DEFAULT
     )
 
-    for t in range(n):
-        page_idx = j * n + t
+    def page_at(j, t):
+        # Clamped table read: tail entries repeat the last valid page
+        # (their logical columns are >= length and masked from the
+        # scores; the duplicate fetch is one boundary step's waste).
+        col = jnp.minimum(j * n + t, pages_per_seq - 1)
+        return jnp.minimum(tbl_ref[b, col], num_pages - 1)
 
-        @pl.when(page_idx * page_size < length)
-        def _step(page_idx=page_idx, kv_ref=kv_refs[t]):
-            qb = q_ref[0]  # (rows_p, D)
-            kv = kv_ref[0]  # (page_size, D)
-            s = jax.lax.dot_general(
-                qb,
-                kv,
-                dimension_numbers=(((1,), (1,)), ((), ())),
-                preferred_element_type=jnp.float32,
-                precision=precision,
-            ) * (scale * LOG2E)
-            col = (
-                jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
-                + page_idx * page_size
-            )
-            if causal and sq > 1:
-                # Row r is (q position qi, head h) with r = qi*hq + h;
-                # bottom-right-aligned causality bounds row r's keys at
-                # length - sq + qi + 1 (padded tail rows are sliced off
-                # by the host, their mask value is irrelevant).
-                qi_row = (
-                    jax.lax.broadcasted_iota(jnp.int32, s.shape, 0) // hq
-                )
-                bound = length - sq + jnp.minimum(qi_row, sq - 1) + 1
-            else:
-                bound = length
-            s = jnp.where(col < bound, s, DEFAULT_MASK_VALUE)
-            m_prev = m_scr[...]
-            m_curr = jnp.max(s, axis=1, keepdims=True)
-            m_next = jnp.maximum(m_prev, m_curr)
-            alpha = jnp.exp2(m_prev[:, :1] - m_next[:, :1])
-            p = jnp.exp2(s - m_next[:, :1])
-            m_scr[...] = m_next
-            l_scr[...] = alpha * l_scr[...] + jnp.sum(
-                p, axis=1, keepdims=True
-            )
-            # V is the first dv lanes of the SAME block -- no second DMA.
-            v = kv[:, :dv]
-            acc_scr[...] = acc_scr[...] * alpha + jax.lax.dot(
-                p.astype(v.dtype),
-                v,
-                preferred_element_type=jnp.float32,
-                precision=precision,
+    def start_step(j, slot):
+        if n == 1:
+            run = jnp.bool_(True)
+        else:
+            run = jnp.bool_(True)
+            p_prev = page_at(j, 0)
+            for t in range(1, n):
+                p_t = page_at(j, t)
+                run = jnp.logical_and(run, p_t == p_prev + 1)
+                p_prev = p_t
+
+        @pl.when(run)
+        def _run():
+            p0 = page_at(j, 0)
+            pltpu.make_async_copy(
+                kv_hbm.at[pl.ds(p0 * page_size, n * page_size)],
+                kvbuf.at[slot],
+                dma_sems.at[slot],
+            ).start()
+
+        @pl.when(jnp.logical_not(run))
+        def _scatter():
+            for t in range(n):
+                p_t = page_at(j, t)
+                pltpu.make_async_copy(
+                    kv_hbm.at[pl.ds(p_t * page_size, page_size)],
+                    kvbuf.at[slot, pl.ds(t * page_size, page_size)],
+                    dma_sems.at[slot],
+                ).start()
+
+    def wait_step(slot):
+        # Both paths signalled n * page_size * D elements on the slot
+        # semaphore; wait on a fixed in-bounds descriptor of that size.
+        pltpu.make_async_copy(
+            kv_hbm.at[pl.ds(0, n * page_size)],
+            kvbuf.at[slot],
+            dma_sems.at[slot],
+        ).wait()
+
+    for i in range(RING_SLOTS - 1):
+        @pl.when(i < num_steps)
+        def _prime(i=i):
+            start_step(i, i % RING_SLOTS)
+
+    qb = q_ref[0]  # (rows_p, D)
+
+    def body(j, _):
+        slot = jax.lax.rem(j, RING_SLOTS)
+
+        @pl.when(j + RING_SLOTS - 1 < num_steps)
+        def _prefetch():
+            start_step(
+                j + RING_SLOTS - 1,
+                jax.lax.rem(j + RING_SLOTS - 1, RING_SLOTS),
             )
 
-    @pl.when(j == num_steps - 1)
-    def _store():
-        l = l_scr[:, :1]
-        m_col = m_scr[:, :1]
-        empty = m_col <= DEFAULT_MASK_VALUE * 0.5
-        l_inv = jnp.where(
-            jnp.logical_or(empty, l == 0.0),
-            0.0,
-            1.0 / jnp.maximum(l, 1e-37),
+        wait_step(slot)
+        kv = kvbuf[slot]  # (n * page_size, D)
+        s = jax.lax.dot_general(
+            qb,
+            kv,
+            dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+            precision=precision,
+        ) * (scale * LOG2E)
+        # Logical key positions are contiguous in table order no matter
+        # where the pages physically live.
+        col = (
+            jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
+            + j * n * page_size
         )
-        o_ref[0] = (acc_scr[...] * l_inv).astype(o_ref.dtype)
-        lse = jnp.where(
-            jnp.logical_or(empty, l == 0.0),
-            -jnp.inf,
-            m_col * 0.6931471805599453
-            + jnp.log(jnp.maximum(l, 1e-37)),
+        if causal and sq > 1:
+            # Row r is (q position qi, head h) with r = qi*hq + h;
+            # bottom-right-aligned causality bounds row r's keys at
+            # length - sq + qi + 1 (padded tail rows are sliced off
+            # by the host, their mask value is irrelevant).
+            qi_row = (
+                jax.lax.broadcasted_iota(jnp.int32, s.shape, 0) // hq
+            )
+            bound = length - sq + jnp.minimum(qi_row, sq - 1) + 1
+        else:
+            bound = length
+        s = jnp.where(col < bound, s, DEFAULT_MASK_VALUE)
+        m_prev = m_scr[...]
+        m_curr = jnp.max(s, axis=1, keepdims=True)
+        m_next = jnp.maximum(m_prev, m_curr)
+        alpha = jnp.exp2(m_prev[:, :1] - m_next[:, :1])
+        p = jnp.exp2(s - m_next[:, :1])
+        m_scr[...] = m_next
+        l_scr[...] = alpha * l_scr[...] + jnp.sum(
+            p, axis=1, keepdims=True
         )
-        lse_ref[0] = jnp.broadcast_to(lse, lse_ref.shape[-2:])
+        # V is the first dv lanes of the SAME block -- no second DMA.
+        v = kv[:, :dv]
+        acc_scr[...] = acc_scr[...] * alpha + jax.lax.dot(
+            p.astype(v.dtype),
+            v,
+            preferred_element_type=jnp.float32,
+            precision=precision,
+        )
+        return 0
+
+    jax.lax.fori_loop(0, num_steps, body, 0)
+
+    l = l_scr[:, :1]
+    m_col = m_scr[:, :1]
+    empty = m_col <= DEFAULT_MASK_VALUE * 0.5
+    l_inv = jnp.where(
+        jnp.logical_or(empty, l == 0.0),
+        0.0,
+        1.0 / jnp.maximum(l, 1e-37),
+    )
+    o_ref[0] = (acc_scr[...] * l_inv).astype(o_ref.dtype)
+    lse = jnp.where(
+        jnp.logical_or(empty, l == 0.0),
+        -jnp.inf,
+        m_col * 0.6931471805599453
+        + jnp.log(jnp.maximum(l, 1e-37)),
+    )
+    lse_ref[0] = jnp.broadcast_to(lse, lse_ref.shape[-2:])
 
 
 @functools.partial(
@@ -175,6 +252,9 @@ def mla_decode(
       cache_seqlens: ``[B]`` int32 valid lengths.
       head_dim_v: the value dim (kv_lora_rank), ``% 128 == 0``.
       causal: bottom-right-aligned causality for ``Sq > 1``.
+      pages_per_step: pages fetched per ring macro-step (default
+        targets a ~512 KB slot). Consecutive pages in the table move as
+        ONE wide DMA per macro-step (see module docstring).
 
     Returns ``out [B, Sq, Hq, head_dim_v]`` (``[B, Hq, dv]`` if q was
     rank-3), plus natural-log LSE ``[B, Hq, Sq]`` if ``return_lse``.
@@ -225,25 +305,19 @@ def mla_decode(
     num_pages = kv_pages.shape[0]
 
     if pages_per_step is None:
-        # Same ~512 KB/step stream target as paged_attention: small MLA
-        # pages (page_size 64 at D=576 is 72 KB) under-fill one DMA
-        # stream's pipeline.
+        # ~512 KB ring slots: small MLA pages (page_size 64 at D=576 is
+        # 72 KB) issued one descriptor each were scalar-core-bound at
+        # 19% of HBM peak; consecutive pages now ride one wide copy.
         page_bytes = page_size * d * kv_pages.dtype.itemsize
         pages_per_step = max(1, min(8, (512 * 1024) // max(page_bytes, 1)))
-    pages_per_step = max(1, min(pages_per_step, pages_per_seq))
-    num_steps = -(-pages_per_seq // pages_per_step)
+    # num_pages bound: the fixed-size wait descriptor slices
+    # [0, pages_per_step * page_size) of the flat pool.
+    pages_per_step = max(1, min(pages_per_step, pages_per_seq, num_pages))
 
     # q rows ordered (qi, head): row r = qi*hq + h.
     qr = q.reshape(b, rows, d)
     if rows_p != rows:
         qr = jnp.pad(qr, ((0, 0), (0, rows_p - rows), (0, 0)))
-
-    def kv_map_t(t):
-        def kv_map(bi, j, lens, tbl):
-            col = jnp.minimum(j * pages_per_step + t, pages_per_seq - 1)
-            return (jnp.minimum(tbl[bi, col], num_pages - 1), 0, 0)
-
-        return kv_map
 
     kernel = functools.partial(
         _mla_kernel,
@@ -251,36 +325,39 @@ def mla_decode(
         dv=dv,
         page_size=page_size,
         pages_per_seq=pages_per_seq,
+        num_pages=num_pages,
         hq=hq,
         sq=sq,
         causal=causal,
         pages_per_step=pages_per_step,
     )
-    page_spec = [
-        pl.BlockSpec((1, page_size, d), kv_map_t(t))
-        for t in range(pages_per_step)
-    ]
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
-        grid=(b, num_steps),
+        grid=(b,),
         in_specs=[
-            pl.BlockSpec((1, rows_p, d), lambda bi, j, lens, tbl: (bi, 0, 0)),
-            *page_spec,
+            pl.BlockSpec((1, rows_p, d), lambda bi, lens, tbl: (bi, 0, 0)),
+            pl.BlockSpec(memory_space=pl.ANY),
         ],
         out_specs=[
             pl.BlockSpec(
-                (1, rows_p, dv), lambda bi, j, lens, tbl: (bi, 0, 0)
+                (1, rows_p, dv), lambda bi, lens, tbl: (bi, 0, 0)
             ),
             pl.BlockSpec(
-                (1, rows_p, MIN_LANES), lambda bi, j, lens, tbl: (bi, 0, 0)
+                (1, rows_p, MIN_LANES), lambda bi, lens, tbl: (bi, 0, 0)
             ),
         ],
         scratch_shapes=[
+            pltpu.VMEM(
+                (RING_SLOTS, pages_per_step * page_size, d),
+                kv_pages.dtype,
+            ),
+            pltpu.SemaphoreType.DMA((RING_SLOTS,)),
             pltpu.VMEM((rows_p, MIN_LANES), jnp.float32),
             pltpu.VMEM((rows_p, MIN_LANES), jnp.float32),
             pltpu.VMEM((rows_p, dv), jnp.float32),
         ],
     )
+    kv_flat = kv_pages.reshape(num_pages * page_size, d)
     out_r, lse_r = pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
@@ -289,11 +366,11 @@ def mla_decode(
             jax.ShapeDtypeStruct((b, rows_p, MIN_LANES), jnp.float32),
         ],
         compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("parallel", "arbitrary"),
+            dimension_semantics=("arbitrary",),
         ),
         interpret=interpret,
     )(cache_seqlens.astype(jnp.int32), page_table.astype(jnp.int32), qr,
-      *([kv_pages] * pages_per_step))
+      kv_flat)
 
     out = out_r[:, :rows].reshape(b, sq, hq, dv)
     if decode_rank:
