@@ -40,7 +40,6 @@ import jax.numpy as jnp
 import numpy as np
 
 from liteattention_tpu.ops.flash_fwd import flash_attention
-from liteattention_tpu.ops.kv_compact import compact_kv, kv_union_map
 from liteattention_tpu.ops.lite_flash_fwd import (
     build_gather_schedule,
     lite_flash_attention,
@@ -149,25 +148,6 @@ def main():
         )
         return fidx, count, qbits, packed
 
-    @jax.jit
-    def compact_c(do_mask):
-        # Round 5 (engine default kv_compact=True): the schedule is
-        # emitted in union-compact KV positions, so scattered masks
-        # ride the kernel's contiguous-run DMA fast path; per-step K|V
-        # passes through compact_kv (KV data changes every denoising
-        # step). Maps are per mask epoch, cached with the schedule.
-        kv_map, inv, _ = kv_union_map(do_mask)
-        packed = pack_schedule(
-            do_mask, qsubs=qsubs, gsize=lite_bs.block_k // 128,
-            seqlen_k=s, kv_map=kv_map,
-        )
-        fidx, count, qbits = unpack_schedule(
-            packed, do_mask.shape[3], packed.shape[3] // 3
-        )
-        return fidx, count, qbits, packed, kv_map, inv
-
-    compact_kv_j = jax.jit(compact_kv)
-
     def make_step(thr, emit_votes=True):
         # Steady-state engine step (LiteAttention wrapper semantics):
         # the compacted schedule is CACHED between vote steps (the mask
@@ -179,13 +159,12 @@ def main():
         # HBM-traffic floor per call).
         @jax.jit
         def lite_step(sched, do_mask, q, kvp):
-            fidx, count, qbits, packed = sched[:4]
-            kv_map = sched[4] if len(sched) > 4 else None
+            fidx, count, qbits, packed = sched
             out, lse, votes = lite_flash_attention(
                 q, None, None, fidx, count, jnp.float32(thr),
                 kv_bits=qbits, block_sizes=lite_bs, fine_schedule=True,
                 emit_votes=emit_votes, packed_schedule=packed,
-                packed_kv=kvp, seqlen_k=s, kv_map=kv_map,
+                packed_kv=kvp, seqlen_k=s,
             )
             if not emit_votes:
                 return out, do_mask
@@ -242,40 +221,30 @@ def main():
         for _ in range(3):
             mask = evolve(mask, q, k, v, jnp.float32(thr))
         sparsity = 1.0 - float(jnp.mean(mask.astype(jnp.float32)))
-        # Engine default path (round 5): union-compact staging. The
-        # relayout runs per STEP (KV changes each denoising step); the
-        # schedule/map build runs per vote cycle.
-        sched = jax.block_until_ready(compact_c(mask))
-        inv = sched[5]
-        kvpc = jax.block_until_ready(compact_kv_j(kvp, inv))
-        union = float(jnp.mean((sched[4] >= 0).astype(jnp.float32)))
-        t_compact = _timeit(compact_c, mask)
-        t_kvc = _timeit(compact_kv_j, kvp, inv)
-        t_vote = _timeit(step, sched, mask, q, kvpc)
-        t_nv = _timeit(step_nv, sched, mask, q, kvpc)
+        sched = jax.block_until_ready(compact(mask))
+        t_compact = _timeit(compact, mask)
+        t_vote = _timeit(step, sched, mask, q, kvp)
+        t_nv = _timeit(step_nv, sched, mask, q, kvp)
         # Steady-state engine cost under the adaptive vote cadence
         # (round 3): one voting step + one schedule compaction per
         # (VOTE_STRIDE - 1) no-vote steps once backoff has reached its
-        # cap, plus the per-step KV relayout. The reference votes every
-        # step; stride-1 (vote + compact every step) is also recorded,
-        # as is the stride-4 point the backoff passes through while the
-        # mask still evolves.
+        # cap. The reference votes every step; stride-1 (vote + compact
+        # every step) is also recorded, as is the stride-4 point the
+        # backoff passes through while the mask still evolves.
         t_lite = (
             t_vote + (VOTE_STRIDE - 1) * t_nv + t_compact
-        ) / VOTE_STRIDE + t_kvc
-        t_stride1 = t_vote + t_compact + t_kvc
-        t_stride4 = (t_vote + 3 * t_nv + t_compact) / 4 + t_kvc
+        ) / VOTE_STRIDE
+        t_stride1 = t_vote + t_compact
+        t_stride4 = (t_vote + 3 * t_nv + t_compact) / 4
         curve.append(
             dict(
                 threshold=thr,
                 sparsity=round(sparsity, 4),
-                union_density=round(union, 4),
                 lite_ms=round(t_lite * 1e3, 3),
                 lite_stride4_ms=round(t_stride4 * 1e3, 3),
                 lite_vote_ms=round(t_vote * 1e3, 3),
                 lite_novote_ms=round(t_nv * 1e3, 3),
                 compact_ms=round(t_compact * 1e3, 3),
-                kv_relayout_ms=round(t_kvc * 1e3, 3),
                 vote_stride=VOTE_STRIDE,
                 speedup=round(t_dense / t_lite, 4),
                 speedup_stride1=round(t_dense / t_stride1, 4),

@@ -302,12 +302,14 @@ class LiteAttention:
         to the union-free (128, block_k) geometry for that mask epoch
         (re-evaluated at every recompaction; the kernel is specialized
         per geometry and jit-cached, so switching costs one compile).
-      kv_compact: stage K|V through a union-compacted buffer so
-        SCATTERED masks ride the kernel's contiguous-run DMA fast path
-        (round 5; see ops/kv_compact.py). The map is monotone, so it
-        never worsens a DMA pattern; cost is one tile-gather pass over
-        K|V per call (~0.9% at 73k tokens) against the scattered-step
-        descriptor cost on evolved masks. Auto-disabled when
+      kv_compact: stage K|V through a union-compacted buffer when the
+        mask's cross-q-tile union leaves real holes, so those masks
+        ride the kernel's contiguous-run DMA fast path (round 5; see
+        ops/kv_compact.py). Gated per mask epoch on measured union
+        density < 0.75: evolved video self-attention masks measure
+        union density 1.0 (compaction would be a pure relayout cost),
+        while per-head localized masks (e.g. windowed or must-skip
+        structured) are the win case. Auto-disabled when
         ``seqlen_k % 128 != 0`` (the kernel's tail masking needs raw
         fine indices).
     """
@@ -528,11 +530,19 @@ class LiteAttention:
                     kv_map, inv, ucount = kv_union_map(
                         state.do_mask, hk=k.shape[1]
                     )
-                    # Identity map (mask fully live in the union, e.g.
-                    # the first epoch): the relayout would be a pure
-                    # copy -- skip it. Host readback, once per epoch
-                    # (same cost class as the backoff's sparsity read).
-                    if int(jnp.min(ucount)) == state.do_mask.shape[3]:
+                    # Union-density gate (host readback, once per mask
+                    # epoch -- same cost class as the backoff's
+                    # sparsity read): the relayout pays off only when
+                    # the cross-q-tile union leaves real holes.
+                    # Measured on chip: evolved video self-attention
+                    # masks have union density 1.0 (every k-tile is
+                    # live for SOME q-tile), where compaction is a pure
+                    # ~8 ms/73k-call cost; per-head localized masks
+                    # (sparse unions) are the win case.
+                    density = float(jnp.mean(ucount)) / float(
+                        state.do_mask.shape[3]
+                    )
+                    if density >= 0.75:
                         kv_map = None
                         self._kv_maps = None
                     else:

@@ -66,7 +66,7 @@ def denoise(
     image_ctx: Optional[jax.Array] = None,
     latent_cond: Optional[jax.Array] = None,
     vote_stride: int = 1,
-    kv_compact: bool = True,
+    kv_compact: bool = False,
 ) -> Tuple[jax.Array, Dict[str, Any]]:
     """Run the full denoising trajectory with LiteAttention state carry.
 
@@ -189,10 +189,13 @@ def denoise(
         bq, bk = effective_blocks(bs, n_tok, n_tok)
         qsubs = bq // VOTE_TILE
         # Union-compact schedules (round 5): the whole cycle is traced
-        # (no host readback for the identity-map skip the wrapper
-        # does), so compaction is gated statically; the first cycle's
-        # full masks pay one no-op relayout, scattered evolved masks
-        # ride the contiguous-DMA fast path every step after.
+        # (no host readback for the union-density gate the wrapper
+        # does), so compaction is gated statically. Default OFF:
+        # measured on chip, self-attention video masks have union
+        # density 1.0 (every fine k-tile is live for SOME q-tile --
+        # /tmp/compact_probe round 5), making the relayout a pure
+        # ~8 ms/call cost. Enable only for workloads with per-head
+        # localized masks whose cross-q-tile union is sparse.
         use_kvc = kv_compact and n_tok % VOTE_TILE == 0
 
         def compact_one(st):

@@ -277,7 +277,8 @@ def _paged_folded_kernel(
     # scalar prefetch
     lengths_ref,  # SMEM [B] int32
     page_tbl_ref,  # SMEM [B, P] int32 (used by the index maps)
-    # inputs: qbd, then pages_per_step k page refs, then as many v refs
+    # inputs: qbd, [qrs when int8-MMA], pages_per_step k page refs,
+    # then as many v refs
     qbd_ref,  # VMEM (1, 1, 128, L) block-diagonal packed q
     *refs,
     scale: float,
@@ -287,6 +288,7 @@ def _paged_folded_kernel(
     seqlen_q: int,
     causal: bool,
     pages_per_step: int,
+    int8_mma: bool = False,
 ):
     """Head-folded paged decode step (see flash_fwd._decode_folded_kernel
     for the block-diagonal trick; reference paged_kv.h + pack_gqa.h).
@@ -302,6 +304,9 @@ def _paged_folded_kernel(
     stream's pipeline, so batching pages per step amortizes the per-step
     fixed cost and keeps more DMAs in flight."""
     n = pages_per_step
+    if int8_mma:
+        qrs_ref = refs[0]  # VMEM (1, 1, 128, 128) per-row q scales
+        refs = refs[1:]
     k_refs = refs[:n]
     v_refs = refs[n : 2 * n]
     o_ref, lse_ref, m_scr, l_scr, acc_scr = refs[2 * n :]
@@ -329,18 +334,37 @@ def _paged_folded_kernel(
         def _step(page_idx=page_idx, k_ref=k_refs[t], v_ref=v_refs[t]):
             q = qbd_ref[0, 0]
             k = k_ref[0]
-            if k.dtype == jnp.int8:
-                # int8-quantized pool (ops/kv_quant.quantize_kv_pages):
-                # global per-(head, channel) scales fold into q / the
-                # output on the host; the page DMA moved half the bytes.
-                k = k.astype(q.dtype)
-            s = jax.lax.dot_general(
-                q,
-                k,
-                dimension_numbers=(((1,), (1,)), ((), ())),
-                preferred_element_type=jnp.float32,
-                precision=precision,
-            ) * (scale * LOG2E)
+            if int8_mma:
+                # int8 x int8 MXU contraction (round 5): the previous
+                # int8 path dequantized k AND v to bf16 in-kernel --
+                # two full-width VPU cast passes that cost about as
+                # much as the matmuls themselves, capping the halved
+                # DMA stream at ~48% of HBM peak (VERDICT weak #6).
+                # q rides pre-quantized per-ROW int8 (host side, block
+                # -diag zeros stay exact); the int32 product is exact
+                # and the row scale folds into the f32 score.
+                s = jax.lax.dot_general(
+                    q,
+                    k,
+                    dimension_numbers=(((1,), (1,)), ((), ())),
+                    preferred_element_type=jnp.int32,
+                ).astype(jnp.float32) * (
+                    qrs_ref[0, 0][:, :1] * (scale * LOG2E)
+                )
+            else:
+                if k.dtype == jnp.int8:
+                    # int8-quantized pool (kv_quant.quantize_kv_pages):
+                    # global per-(head, channel) scales fold into q /
+                    # the output on the host; the page DMA moved half
+                    # the bytes.
+                    k = k.astype(q.dtype)
+                s = jax.lax.dot_general(
+                    q,
+                    k,
+                    dimension_numbers=(((1,), (1,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                    precision=precision,
+                ) * (scale * LOG2E)
             col = (
                 jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
                 + page_idx * page_size
@@ -363,18 +387,39 @@ def _paged_folded_kernel(
             alpha = jnp.exp2(m_prev[:, :1] - m_next[:, :1])
             p = jnp.exp2(s - m_next[:, :1])
             m_scr[...] = m_next
-            l_scr[...] = alpha * l_scr[...] + jnp.sum(
-                p, axis=1, keepdims=True
-            )
             v = v_ref[0]
-            if v.dtype == jnp.int8:
-                v = v.astype(q.dtype)
-            acc_scr[...] = acc_scr[...] * alpha + jax.lax.dot(
-                p.astype(v.dtype),
-                v,
-                preferred_element_type=jnp.float32,
-                precision=precision,
-            )
+            if int8_mma:
+                # Quantize the softmax weights (in [0, 1]) to int8 on
+                # the SMALL (rows, page) tile and keep v int8: the PV
+                # contraction runs int8 x int8 -> int32 exactly, and
+                # l sums the weights ACTUALLY used so the p-hat
+                # rounding cancels in out = acc / l. f32->int8 routes
+                # via int32 (Mosaic has no direct float->int8 cast;
+                # round-3 gotcha class).
+                p_i8 = (p * 127.0 + 0.5).astype(jnp.int32).astype(
+                    jnp.int8
+                )
+                p_f = p_i8.astype(jnp.float32) * (1.0 / 127.0)
+                l_scr[...] = alpha * l_scr[...] + jnp.sum(
+                    p_f, axis=1, keepdims=True
+                )
+                acc_scr[...] = acc_scr[...] * alpha + jax.lax.dot(
+                    p_i8,
+                    v,
+                    preferred_element_type=jnp.int32,
+                ).astype(jnp.float32) * (1.0 / 127.0)
+            else:
+                l_scr[...] = alpha * l_scr[...] + jnp.sum(
+                    p, axis=1, keepdims=True
+                )
+                if v.dtype == jnp.int8:
+                    v = v.astype(q.dtype)
+                acc_scr[...] = acc_scr[...] * alpha + jax.lax.dot(
+                    p.astype(v.dtype),
+                    v,
+                    preferred_element_type=jnp.float32,
+                    precision=precision,
+                )
 
     @pl.when(j == num_steps - 1)
     def _store():
@@ -399,7 +444,8 @@ def _paged_folded_kernel(
 @functools.partial(
     jax.jit,
     static_argnames=(
-        "scale", "causal", "return_lse", "interpret", "pages_per_step"
+        "scale", "causal", "return_lse", "interpret", "pages_per_step",
+        "int8_mma",
     ),
 )
 def paged_attention_folded(
@@ -415,6 +461,7 @@ def paged_attention_folded(
     k_scale: Optional[jax.Array] = None,
     v_scale: Optional[jax.Array] = None,
     pages_per_step: Optional[int] = None,
+    int8_mma: bool = True,
 ):
     """Head-folded paged decode over the NATIVE page-pool layout.
 
@@ -430,6 +477,16 @@ def paged_attention_folded(
     and the extracted output (v scales), as in
     ``flash_fwd._decode_folded``. The page stream moves half the HBM
     bytes.
+
+    ``int8_mma`` (round 5, int8 pools only): run both contractions as
+    int8 x int8 -> int32 on the MXU instead of dequantizing k/v to
+    bf16 in-kernel (two full-width VPU passes that capped the halved
+    stream at ~48% of HBM peak). q is quantized per-row host-side and
+    the softmax weights per-step in-kernel; both scales fold exactly
+    into f32, adding ~1/254 relative rounding on q and p on TOP of the
+    pool's own int8 error (same error class; the fp8 descale analog of
+    the reference, SURVEY section 2.2). Set False for the bit-legacy
+    dequant path.
     """
     if interpret is None:
         interpret = _default_interpret()
@@ -467,6 +524,19 @@ def paged_attention_folded(
     # ordering; row j*rows_per_head + g*sq + qi owns lane block j.
     qh = jnp.transpose(q, (0, 2, 1, 3))  # [B, Hq, Sq, D]
     qbd = fold_q_blockdiag(qh, nslab, slab, rows_per_head, d)
+    use_i8mma = int8_mma and k_pages.dtype == jnp.int8
+    if use_i8mma:
+        # Per-row int8 quantization of the folded q (block-diag zeros
+        # quantize exactly); the row scale re-enters the f32 score
+        # in-kernel. See the int8_mma docstring note.
+        qf32 = qbd.astype(jnp.float32)
+        qrs = jnp.maximum(
+            jnp.max(jnp.abs(qf32), axis=-1, keepdims=True), 1e-30
+        ) / 127.0
+        qbd = jnp.round(qf32 / qrs).astype(jnp.int8)
+        qrs_in = jnp.broadcast_to(
+            qrs, (*qrs.shape[:-1], MIN_LANES)
+        ).astype(jnp.float32)
 
     kf = k_pages.reshape(num_pages, page_size, hk * d)
     vf = v_pages.reshape(num_pages, page_size, hk * d)
@@ -513,11 +583,22 @@ def paged_attention_folded(
         seqlen_q=sq,
         causal=causal,
         pages_per_step=pages_per_step,
+        int8_mma=use_i8mma,
     )
     page_spec = [
         pl.BlockSpec((1, page_size, lanes), kv_map_t(t))
         for t in range(pages_per_step)
     ]
+    qrs_spec = (
+        [
+            pl.BlockSpec(
+                (1, 1, 128, MIN_LANES),
+                lambda bi, ni, j, lens, tbl: (bi, ni, 0, 0),
+            )
+        ]
+        if use_i8mma
+        else []
+    )
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
         grid=(b, nslab, num_steps),
@@ -526,6 +607,7 @@ def paged_attention_folded(
                 (1, 1, 128, lanes),
                 lambda bi, ni, j, lens, tbl: (bi, ni, 0, 0),
             ),
+            *qrs_spec,
             *page_spec,
             *page_spec,
         ],
@@ -557,6 +639,7 @@ def paged_attention_folded(
         ),
         interpret=interpret,
     )(lengths.astype(jnp.int32), page_indices.astype(jnp.int32), qbd,
+      *([qrs_in] if use_i8mma else []),
       *([kf] * pages_per_step), *([vf] * pages_per_step))
 
     o = unfold_output_diag(out_bd, slab, rows_per_head, d)

@@ -182,10 +182,11 @@ def test_int8_paged_decode_matches_dequantized_pool():
     kd = pool.k.astype(jnp.float32) * pool.k_scale
     vd = pool.v.astype(jnp.float32) * pool.v_scale
 
+    # Legacy dequant path (int8_mma=False): scale folding is EXACT.
     out_i8, lse_i8 = paged_attention_folded(
         q, pool.k, pool.v, lengths, table,
         k_scale=pool.k_scale, v_scale=pool.v_scale,
-        return_lse=True, interpret=True,
+        return_lse=True, interpret=True, int8_mma=False,
     )
     out_ref, lse_ref = paged_attention_folded(
         q, kd, vd, lengths, table, return_lse=True, interpret=True
@@ -203,6 +204,23 @@ def test_int8_paged_decode_matches_dequantized_pool():
         np.linalg.norm(np.asarray(out_f))
     )
     assert rel < 2e-2, rel
+
+    # Default int8-MMA path (round 5): adds per-row q / per-step p
+    # int8 rounding (~1/254 each) on top of the pool error -- must stay
+    # inside the same quality budget vs the float pool and track the
+    # dequant path closely.
+    out_mma = paged_attention_folded(
+        q, pool.k, pool.v, lengths, table,
+        k_scale=pool.k_scale, v_scale=pool.v_scale, interpret=True,
+    )
+    rel_mma = np.linalg.norm(
+        np.asarray(out_mma) - np.asarray(out_f)
+    ) / np.linalg.norm(np.asarray(out_f))
+    assert rel_mma < 2e-2, rel_mma
+    rel_pair = np.linalg.norm(
+        np.asarray(out_mma) - np.asarray(out_i8)
+    ) / np.linalg.norm(np.asarray(out_i8))
+    assert rel_pair < 1.5e-2, rel_pair
 
 
 def test_interface_int8_paged_routing():

@@ -123,7 +123,7 @@ def main():
         sparsity = 1.0 - float(jnp.mean(mask.astype(jnp.float32)))
         sp = jax.block_until_ready(sched_plain(mask))
         sc = jax.block_until_ready(sched_compact(mask))
-        inv = sc[6]
+        inv = sc[5]
         kvpc = jax.block_until_ready(compact_kv_j(kvp, inv))
         # Correctness spot-check on chip: same outputs both ways.
         o1 = np.asarray(step_nv(sp[:4], q, kvp)).astype(np.float32)
