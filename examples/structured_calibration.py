@@ -115,6 +115,18 @@ def main():
                     help="target row entropy in nats (~ln(support))")
     ap.add_argument("--tile-reg", type=float, default=0.0)
     ap.add_argument("--probe-rows", type=int, default=64)
+    # Round 5 (VERDICT items 3+6): schedule-transfer check across
+    # workload scales, and an organic E2E speed row on the calibrated
+    # trained proxy (at 16k tokens the proxy is ~93% attention FLOPs,
+    # so its lite-vs-dense wall clock is a legitimate organic E2E
+    # measurement, unlike random-init weights whose masks are
+    # degenerate).
+    ap.add_argument("--eval-schedule", default=None,
+                    help="CALIBRATION.json whose calibrated schedule "
+                    "is re-evaluated on THIS workload (transfer check)")
+    ap.add_argument("--e2e", action="store_true",
+                    help="time dense vs calibrated-lite denoising")
+    ap.add_argument("--e2e-vote-stride", type=int, default=8)
     args = ap.parse_args()
 
     cfg = small_config(args.size)
@@ -270,6 +282,105 @@ def main():
         f"rel_l2={sched['relative_l2']:.4f}"
     )
 
+    transfer = None
+    if args.eval_schedule:
+        # Scale-transfer check: does the OTHER workload's calibrated
+        # schedule keep sparsity and quality in band here? Schedules
+        # are per-step threshold curves; resample by step fraction if
+        # the step counts differ.
+        from liteattention_tpu.models.eval import (
+            evaluate_sparsity_quality,
+        )
+
+        with open(args.eval_schedule) as f:
+            src_art = json.load(f)
+        src_sched = np.asarray(
+            src_art["calibrated"]["schedule"], np.float32
+        )
+        if src_sched.shape[0] != args.eval_steps:
+            xi = np.linspace(0.0, 1.0, args.eval_steps)
+            xs = np.linspace(0.0, 1.0, src_sched.shape[0])
+            src_sched = np.interp(xi, xs, src_sched).astype(np.float32)
+        tr = evaluate_sparsity_quality(
+            model, params, eval_noise, eval_text,
+            num_steps=args.eval_steps,
+            thresholds=jnp.asarray(src_sched),
+        )
+        transfer = {
+            "source": args.eval_schedule,
+            "source_tokens": src_art["workload"]["tokens"],
+            "mean_sparsity": float(tr["mean_sparsity"]),
+            "final_sparsity": float(tr["final_sparsity"]),
+            "relative_l2": float(tr["relative_l2"]),
+            "psnr_db": float(tr["psnr_db"]),
+        }
+        print(
+            f"transfer({src_art['workload']['tokens']} tok -> {tokens}"
+            f" tok): sparsity={transfer['mean_sparsity']:.3f} "
+            f"rel_l2={transfer['relative_l2']:.4f}"
+        )
+
+    e2e = None
+    if args.e2e:
+        from liteattention_tpu.models.pipeline import denoise
+
+        def _sync(x):
+            np.asarray(
+                jnp.sum(
+                    jax.tree_util.tree_leaves(x)[0].astype(jnp.float32)
+                )
+            )
+
+        attn_core = 4.0 * cfg.dim * tokens * tokens
+        linear = (
+            6.0 * tokens * cfg.dim * cfg.dim
+            + 4.0 * tokens * cfg.dim * cfg.ffn_dim
+        )
+        frac = attn_core / (attn_core + linear)
+        sched_arr = jnp.asarray(np.asarray(schedule, np.float32))
+        dense_fn = jax.jit(
+            lambda p, n, t: denoise(
+                model, p, n, t, num_steps=args.eval_steps,
+                enable_skipping=False,
+            )
+        )
+        lite_fn = jax.jit(
+            lambda p, n, t, thr: denoise(
+                model, p, n, t, num_steps=args.eval_steps,
+                thresholds=thr, enable_skipping=True,
+                vote_stride=args.e2e_vote_stride,
+            )
+        )
+
+        def _time(fn, *a):
+            _sync(fn(*a))  # compile + mask warmup
+            best = np.inf
+            for _ in range(3):
+                t0 = time.time()
+                out = fn(*a)
+                _sync(out)
+                best = min(best, (time.time() - t0) / args.eval_steps)
+            return best
+
+        dense_s = _time(dense_fn, params, eval_noise, eval_text)
+        lite_s = _time(lite_fn, params, eval_noise, eval_text, sched_arr)
+        _, tel = lite_fn(params, eval_noise, eval_text, sched_arr)
+        e2e = {
+            "tokens": tokens,
+            "attention_flop_fraction": round(frac, 4),
+            "dense_ms_per_step": round(dense_s * 1e3, 2),
+            "lite_ms_per_step": round(lite_s * 1e3, 2),
+            "e2e_speedup": round(dense_s / lite_s, 3),
+            "vote_stride": args.e2e_vote_stride,
+            "final_sparsity": float(tel["final_sparsity"]),
+        }
+        print(
+            f"organic E2E at {tokens} tok (attn {frac:.0%}): dense "
+            f"{dense_s*1e3:.1f} -> lite {lite_s*1e3:.1f} ms/step = "
+            f"{dense_s/lite_s:.2f}x at "
+            f"{e2e['final_sparsity']:.1%} final sparsity"
+        )
+
     artifact = {
         "workload": {
             "tokens": tokens,
@@ -312,6 +423,10 @@ def main():
         },
         "budget_rel_l2": args.rel_l2_budget,
     }
+    if transfer is not None:
+        artifact["transfer"] = transfer
+    if e2e is not None:
+        artifact["e2e"] = e2e
     with open(args.out, "w") as f:
         json.dump(artifact, f, indent=1)
     print(f"wrote {args.out}")

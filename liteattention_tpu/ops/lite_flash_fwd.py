@@ -575,12 +575,17 @@ def _lite_gather_kernel(
             dma_sems.at[slot],
         )
 
-    def kv_run_copy(step, slot, buf=None, kvh=None):
-        idx0 = sched_at_buf(par if buf is None else buf, 1 + step * gsize)
+    def kv_run_copy(step, slot, buf=None, kvh=None, g0=0, blk=None):
+        # Contiguous copy of ``blk`` tiles starting at schedule entry
+        # g0 of the step (the whole step by default).
+        blk = gsize if blk is None else blk
+        idx0 = sched_at_buf(
+            par if buf is None else buf, 1 + step * gsize + g0
+        )
         return pltpu.make_async_copy(
             kv_hbm.at[b, hk if kvh is None else kvh,
-                      pl.ds(idx0 * VOTE_TILE, gsize * VOTE_TILE)],
-            kvbuf.at[slot],
+                      pl.ds(idx0 * VOTE_TILE, blk * VOTE_TILE)],
+            kvbuf.at[slot, pl.ds(g0 * VOTE_TILE, blk * VOTE_TILE)],
             dma_sems.at[slot],
         )
 
@@ -593,8 +598,38 @@ def _lite_gather_kernel(
 
         @pl.when((fl & 1) == 0)
         def _scatter():
-            for g in range(gsize):
-                kv_copy(step, g, slot, buf, kvh).start()
+            # Sub-run buddy decomposition (round 5): a non-run step
+            # still usually contains CONSECUTIVE stretches (evolved
+            # masks are clumpy); the host flags, per power-of-two
+            # sub-block, whether its entries are internally
+            # consecutive (bits from _subrun_bits), and each flagged
+            # sub-block moves as ONE wide copy. Worst case falls back
+            # to per-tile copies; every path signals the same
+            # gsize*128-row byte count on the slot semaphore.
+            def emit(blk, g0, base):
+                # Flag bit for this sub-block: base bit of its level
+                # plus its group index (see _subrun_bits).
+                if blk == 1:
+                    kv_copy(step, g0, slot, buf, kvh).start()
+                    return
+                bit = base + g0 // blk
+
+                @pl.when(((fl >> bit) & 1) == 1)
+                def _sub():
+                    kv_run_copy(step, slot, buf, kvh, g0, blk).start()
+
+                @pl.when(((fl >> bit) & 1) == 0)
+                def _split():
+                    emit(blk // 2, g0, base + gsize // blk)
+                    emit(blk // 2, g0 + blk // 2, base + gsize // blk)
+
+            if gsize >= 4:
+                half = gsize // 2
+                emit(half, 0, 2)
+                emit(half, half, 2)
+            else:
+                for g in range(gsize):
+                    kv_copy(step, g, slot, buf, kvh).start()
 
     def wait_step(step, slot):
         # Either path signalled exactly gsize * 128 * 2D elements on
@@ -846,6 +881,27 @@ def _pad_seq(x: jax.Array, block: int) -> jax.Array:
     return x
 
 
+def _subrun_levels(gsize: int):
+    """Bit layout of the scattered-step buddy decomposition flags.
+
+    Returns ``[(base_bit, blk)]`` per power-of-two sub-block level:
+    the flag bit of the sub-block covering step entries
+    ``[g0, g0 + blk)`` is ``base_bit + g0 // blk`` and means "these
+    ``blk`` schedule entries are consecutive fine indices -> one wide
+    DMA". Levels run from ``gsize // 2`` down to 2 (bit 0 already
+    covers the full step, singles need no flag). For gsize = 8:
+    halves ride bits 2-3, pairs bits 4-7.
+    """
+    levels = []
+    base = 2
+    blk = gsize // 2
+    while blk >= 2:
+        levels.append((base, blk))
+        base += gsize // blk
+        blk //= 2
+    return levels
+
+
 @functools.partial(
     jax.jit, static_argnames=("gsize", "qsubs", "seqlen_k")
 )
@@ -877,6 +933,12 @@ def build_gather_schedule(
                     q-row group is live, and no entry touches the
                     padded tail tile -> the kernel skips sub-masking
                     entirely and consumes the raw score tile.
+      bits 2+ (sub-runs, round 5): per power-of-two sub-block of a
+                    NON-run step, "internally consecutive" -> the
+                    kernel's buddy decomposition moves that sub-block
+                    as one wide DMA (see ``_subrun_levels``); evolved
+                    masks are clumpy, so scattered steps usually decay
+                    to 2-4 descriptors instead of gsize.
     """
     b, h, qt, ktf = fidx.shape
     sched_rows = -(-(1 + ktf + gsize) // MIN_LANES)
@@ -917,6 +979,13 @@ def build_gather_schedule(
             fullflag, jnp.all(fpad != ktf - 1, axis=-1)
         )
     flags = runflag.astype(jnp.int32) + 2 * fullflag.astype(jnp.int32)
+    # Sub-run bits: consec[..., i] marks entry i+1 consecutive with i.
+    consec = fpad[..., 1:] == fpad[..., :-1] + 1
+    for base, blk in _subrun_levels(gsize):
+        for gi in range(gsize // blk):
+            g0 = gi * blk
+            sub = jnp.all(consec[..., g0 : g0 + blk - 1], axis=-1)
+            flags = flags + (1 << (base + gi)) * sub.astype(jnp.int32)
     return jnp.concatenate(
         [
             section(count, fidx),

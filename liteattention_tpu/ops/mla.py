@@ -273,7 +273,23 @@ def mla_decode(
         kv_cache = kv_cache[:, :, 0]
     dv = head_dim_v
     assert dv % MIN_LANES == 0 and dv <= d
-    assert kv_cache.shape[-1] == d
+    assert kv_cache.shape[-1] >= d
+    # Lane-aligned latent layout: the ring DMAs slice raw rows, whose
+    # minor dim Mosaic requires 128-aligned (the flash_mla 576 =
+    # 512 + 64 shape is not). The kernel's NATIVE cache layout is the
+    # next 128 multiple (640 for DeepSeek); a cache already allocated
+    # at that width (extra lanes may hold garbage -- q's zero pad
+    # nullifies them in QK, and V reads only the first dv lanes) rides
+    # free. A tight-576 cache is padded here, which costs one extra
+    # pass over the cache per call -- serving stacks should store the
+    # padded layout.
+    d_pad = -(-kv_cache.shape[-1] // MIN_LANES) * MIN_LANES
+    if kv_cache.shape[-1] != d_pad:
+        kv_cache = jnp.pad(
+            kv_cache,
+            ((0, 0),) * (kv_cache.ndim - 1)
+            + ((0, d_pad - kv_cache.shape[-1]),),
+        )
     rows = sq * hq
     assert rows <= 128, f"Sq*Hq = {rows} > 128 (decode kernel)"
     rows_p = max(8, -(-rows // 8) * 8)
@@ -293,7 +309,7 @@ def mla_decode(
             kv_cache = jnp.pad(kv_cache, ((0, 0), (0, pad), (0, 0)))
             s += pad
         pages_per_seq = s // page_size
-        kv_pages = kv_cache.reshape(b * pages_per_seq, page_size, d)
+        kv_pages = kv_cache.reshape(b * pages_per_seq, page_size, d_pad)
         page_table = (
             jnp.arange(b * pages_per_seq, dtype=jnp.int32)
             .reshape(b, pages_per_seq)
@@ -305,19 +321,22 @@ def mla_decode(
     num_pages = kv_pages.shape[0]
 
     if pages_per_step is None:
-        # ~512 KB ring slots: small MLA pages (page_size 64 at D=576 is
-        # 72 KB) issued one descriptor each were scalar-core-bound at
+        # ~512 KB ring slots: small MLA pages (page_size 64 at D=640 is
+        # 80 KB) issued one descriptor each were scalar-core-bound at
         # 19% of HBM peak; consecutive pages now ride one wide copy.
-        page_bytes = page_size * d * kv_pages.dtype.itemsize
+        page_bytes = page_size * d_pad * kv_pages.dtype.itemsize
         pages_per_step = max(1, min(8, (512 * 1024) // max(page_bytes, 1)))
     # num_pages bound: the fixed-size wait descriptor slices
     # [0, pages_per_step * page_size) of the flat pool.
     pages_per_step = max(1, min(pages_per_step, pages_per_seq, num_pages))
 
-    # q rows ordered (qi, head): row r = qi*hq + h.
+    # q rows ordered (qi, head): row r = qi*hq + h; lanes zero-padded
+    # to the cache's aligned width (zeros nullify pad/garbage k lanes).
     qr = q.reshape(b, rows, d)
-    if rows_p != rows:
-        qr = jnp.pad(qr, ((0, 0), (0, rows_p - rows), (0, 0)))
+    if rows_p != rows or d_pad != d:
+        qr = jnp.pad(
+            qr, ((0, 0), (0, rows_p - rows), (0, d_pad - d))
+        )
 
     kernel = functools.partial(
         _mla_kernel,
@@ -335,7 +354,7 @@ def mla_decode(
         num_scalar_prefetch=2,
         grid=(b,),
         in_specs=[
-            pl.BlockSpec((1, rows_p, d), lambda bi, lens, tbl: (bi, 0, 0)),
+            pl.BlockSpec((1, rows_p, d_pad), lambda bi, lens, tbl: (bi, 0, 0)),
             pl.BlockSpec(memory_space=pl.ANY),
         ],
         out_specs=[
@@ -348,7 +367,7 @@ def mla_decode(
         ],
         scratch_shapes=[
             pltpu.VMEM(
-                (RING_SLOTS, pages_per_step * page_size, d),
+                (RING_SLOTS, pages_per_step * page_size, d_pad),
                 kv_pages.dtype,
             ),
             pltpu.SemaphoreType.DMA((RING_SLOTS,)),
@@ -357,7 +376,7 @@ def mla_decode(
             pltpu.VMEM((rows_p, dv), jnp.float32),
         ],
     )
-    kv_flat = kv_pages.reshape(num_pages * page_size, d)
+    kv_flat = kv_pages.reshape(num_pages * page_size, d_pad)
     out_r, lse_r = pl.pallas_call(
         kernel,
         grid_spec=grid_spec,

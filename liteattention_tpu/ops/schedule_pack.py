@@ -170,6 +170,29 @@ def _pack_kernel(
         jnp.dot(consec, gg_inner, preferred_element_type=_F32)
         == float(gsize - 1)
     )
+    # Sub-run buddy flags (round 5; bit layout = _subrun_levels): one
+    # inner-position selector matmul per (level, group) counts unit
+    # increments inside the sub-block [g0, g0 + blk) of each step.
+    subrun_flags = jnp.zeros((qc, pl_lanes), _F32)
+    base = 2
+    blk = gsize // 2
+    while blk >= 2:
+        for gi in range(gsize // blk):
+            g0 = gi * blk
+            sel = (
+                (j_i > p_i * gsize + g0)
+                & (j_i < p_i * gsize + g0 + blk)
+                & valid_p
+            ).astype(_F32)
+            sub = (
+                jnp.dot(consec, sel, preferred_element_type=_F32)
+                == float(blk - 1)
+            )
+            subrun_flags = subrun_flags + float(
+                1 << (base + gi)
+            ) * sub.astype(_F32)
+        base += gsize // blk
+        blk //= 2
     full_qb = float((1 << qsubs) - 1)
     fullcnt = jnp.dot(
         (qbits_all == full_qb).astype(_F32), gg,
@@ -186,7 +209,11 @@ def _pack_kernel(
             preferred_element_type=_F32,
         )
         fullflag = jnp.logical_and(fullflag, touch == 0.0)
-    flags_all = runflag.astype(_F32) + 2.0 * fullflag.astype(_F32)
+    flags_all = (
+        runflag.astype(_F32)
+        + 2.0 * fullflag.astype(_F32)
+        + subrun_flags
+    )
 
     # Wire packing: section body [head, body..., 0...] viewed as
     # [sched_rows, 128] -- i.e. row s, lane l holds body[s*128 + l - 1].

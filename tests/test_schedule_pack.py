@@ -90,3 +90,56 @@ def test_pack_banded_runs():
     # sanity: at least one step carries the run flag
     flags = np.asarray(got)[:, :, :, 2 * (got.shape[3] // 3) :, :]
     assert (flags & 1).sum() > 0
+
+
+def test_subrun_flags_numpy_oracle():
+    """Sub-run buddy bits (round 5) vs a direct numpy recomputation --
+    independent of BOTH schedule builders (they are cross-checked
+    against each other, so a shared flag bug would slip through)."""
+    from liteattention_tpu.ops.lite_flash_fwd import _subrun_levels
+
+    key = jax.random.PRNGKey(21)
+    b, h, qtf, ktf, qsubs, gsize = 1, 2, 16, 32, 4, 8
+    mask = jax.random.uniform(key, (b, h, qtf, ktf)) < 0.4
+    seqlen_k = ktf * 128
+    packed = np.asarray(
+        pack_schedule(
+            mask, qsubs=qsubs, gsize=gsize, seqlen_k=seqlen_k,
+            interpret=True,
+        )
+    )
+    sched_rows = packed.shape[3] // 3
+    fidx, count, _ = unpack_schedule(
+        jnp.asarray(packed), ktf, sched_rows
+    )
+    fidx, count = np.asarray(fidx), np.asarray(count)
+    flags_rows = packed[:, :, :, 2 * sched_rows :].reshape(
+        b, h, fidx.shape[2], -1
+    )
+    steps = -(-ktf // gsize)
+    flags = flags_rows[..., 1 : 1 + steps]
+    levels = _subrun_levels(gsize)
+    for bi in range(b):
+        for hi in range(h):
+            for qi in range(fidx.shape[2]):
+                row = fidx[bi, hi, qi]
+                for p in range(steps):
+                    ent = row[p * gsize : (p + 1) * gsize]
+                    if ent.shape[0] < gsize:  # edge-pad like builders
+                        ent = np.pad(ent, (0, gsize - ent.shape[0]),
+                                     mode="edge")
+                    fl = int(flags[bi, hi, qi, p])
+                    run = all(
+                        ent[i + 1] == ent[i] + 1
+                        for i in range(gsize - 1)
+                    )
+                    assert bool(fl & 1) == run, (p, ent, fl)
+                    for base, blk in levels:
+                        for gi in range(gsize // blk):
+                            g0 = gi * blk
+                            sub = all(
+                                ent[i + 1] == ent[i] + 1
+                                for i in range(g0, g0 + blk - 1)
+                            )
+                            got = bool((fl >> (base + gi)) & 1)
+                            assert got == sub, (p, ent, base, gi, fl)
