@@ -842,21 +842,12 @@ def flash_attention_masked(
 
 def _decode_folded_kernel(
     qbd_ref,  # VMEM (1, 1, 128, L) block-diagonal packed q
-    k_ref,  # VMEM (1, chunk, L) full-lane cache stream
-    v_ref,  # VMEM (1, chunk, L)
-    bound_ref,  # VMEM (1, 1, chunk) int32 broadcast per-batch key end
-    # (the proven has_bound pattern of _flash_forward_impl)
-    low_ref,  # VMEM (1, 1, chunk) int32 per-batch first valid key
-    o_ref,  # VMEM (1, 1, 128, L)
-    lse_ref,  # VMEM (1, 1, 128, 128) f32 (lane 0 meaningful)
-    m_scr,
-    l_scr,
-    acc_scr,
-    *,
+    *refs,  # [qrs when int8-MMA], k, v, bound, low, outs, scratch
     scale: float,
     kt: int,
     chunk: int,
     softcap: float,
+    int8_mma: bool = False,
 ):
     """Head-folded decode step: all ``slab`` KV heads of this program are
     reduced by ONE wide matmul pair per cache chunk.
@@ -871,6 +862,11 @@ def _decode_folded_kernel(
     peak). PV likewise: garbage lanes of each row are sliced off on the
     host.
     """
+    if int8_mma:
+        qrs_ref = refs[0]  # VMEM (1, 1, 128, 128) per-row q scales
+        refs = refs[1:]
+    (k_ref, v_ref, bound_ref, low_ref, o_ref, lse_ref,
+     m_scr, l_scr, acc_scr) = refs
     ci = pl.program_id(2)
 
     @pl.when(ci == 0)
@@ -886,19 +882,32 @@ def _decode_folded_kernel(
     )
     q = qbd_ref[0, 0]
     k = k_ref[0]
-    if k.dtype == jnp.int8:
-        # int8-quantized cache (per-channel scales folded into q / the
-        # output on the host -- exact): the DMA moved half the bytes;
-        # the cast back to the compute dtype is a VPU pass, ~10x faster
-        # than the HBM stream it replaces.
-        k = k.astype(q.dtype)
-    raw = jax.lax.dot_general(
-        q,
-        k,
-        dimension_numbers=(((1,), (1,)), ((), ())),
-        preferred_element_type=jnp.float32,
-        precision=precision,
-    )
+    if int8_mma:
+        # int8 x int8 -> int32 MXU QK (round 5): removes the in-kernel
+        # k dequant cast -- a full-width VPU pass that rivals the
+        # matmul on the halved stream (same rationale as
+        # paged_attention's int8_mma). The per-row q scale re-enters
+        # the f32 score exactly.
+        raw = jax.lax.dot_general(
+            q,
+            k,
+            dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.int32,
+        ).astype(jnp.float32) * qrs_ref[0, 0][:, :1]
+    else:
+        if k.dtype == jnp.int8:
+            # int8-quantized cache (per-channel scales folded into q /
+            # the output on the host -- exact): the DMA moved half the
+            # bytes; the cast back to the compute dtype is a VPU pass,
+            # ~10x faster than the HBM stream it replaces.
+            k = k.astype(q.dtype)
+        raw = jax.lax.dot_general(
+            q,
+            k,
+            dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+            precision=precision,
+        )
     if softcap > 0.0:
         s = softcap * jnp.tanh(raw * scale / softcap) * LOG2E
     else:
@@ -921,7 +930,11 @@ def _decode_folded_kernel(
     l_scr[...] = alpha * l_scr[...] + l_curr
     v = v_ref[0]
     if v.dtype == jnp.int8:
-        v = v.astype(q.dtype)
+        # PV stays on the dequant cast: quantizing the softmax weights
+        # was tried (round 5) and is UNBOUNDED on diffuse rows -- tail
+        # mass below the 1/254 step silently drops (7% rel-L2 measured
+        # on random inputs) -- so only QK rides the int8 MXU.
+        v = v.astype(jnp.bfloat16 if int8_mma else q.dtype)
     acc_scr[...] = acc_scr[...] * alpha + jax.lax.dot(
         p.astype(v.dtype),
         v,
@@ -1010,6 +1023,7 @@ def _decode_folded(
     interpret: bool,
     k_scale: Optional[jax.Array] = None,
     v_scale: Optional[jax.Array] = None,
+    int8_mma: bool = False,
 ):
     """Host side of the head-folded decode (see _decode_folded_kernel).
 
@@ -1047,6 +1061,18 @@ def _decode_folded(
     lanes = slab * d
     rows = slab * rows_per_head
     qbd = fold_q_blockdiag(q, nslab, slab, rows_per_head, d)
+    use_i8mma = int8_mma and k_cache.dtype == jnp.int8
+    if use_i8mma:
+        # Per-row int8 q for the int8 x int8 MXU path (block-diag
+        # zeros quantize exactly); see _decode_folded_kernel.
+        qf32 = qbd.astype(jnp.float32)
+        qrs = jnp.maximum(
+            jnp.max(jnp.abs(qf32), axis=-1, keepdims=True), 1e-30
+        ) / 127.0
+        qbd = jnp.round(qf32 / qrs).astype(jnp.int8)
+        qrs_in = jnp.broadcast_to(
+            qrs, (*qrs.shape[:-1], MIN_LANES)
+        ).astype(jnp.float32)
 
     pad_s = (-s) % chunk
     if pad_s:
@@ -1078,8 +1104,19 @@ def _decode_folded(
         kt=kt,
         chunk=chunk,
         softcap=softcap,
+        int8_mma=use_i8mma,
     )
     grid = (b, nslab, kt)
+    qrs_spec = (
+        [
+            pl.BlockSpec(
+                (1, 1, 128, MIN_LANES),
+                lambda bi, ni, ci: (bi, ni, 0, 0),
+            )
+        ]
+        if use_i8mma
+        else []
+    )
     out_bd, lse_bd = pl.pallas_call(
         kernel,
         grid=grid,
@@ -1087,6 +1124,7 @@ def _decode_folded(
             pl.BlockSpec(
                 (1, 1, 128, lanes), lambda bi, ni, ci: (bi, ni, 0, 0)
             ),
+            *qrs_spec,
             pl.BlockSpec(
                 (1, chunk, lanes), lambda bi, ni, ci: (bi, ci, ni)
             ),
@@ -1121,7 +1159,7 @@ def _decode_folded(
             dimension_semantics=("parallel", "parallel", "arbitrary"),
         ),
         interpret=interpret,
-    )(qbd, kf, vf, bound, low)
+    )(qbd, *([qrs_in] if use_i8mma else []), kf, vf, bound, low)
 
     o = unfold_output_diag(out_bd, slab, rows_per_head, d)
     if v_scale is not None:
@@ -1140,6 +1178,7 @@ def _decode_folded(
         "block_sizes",
         "interpret",
         "folded",
+        "int8_mma",
     ),
 )
 def flash_attention_decode(
@@ -1155,6 +1194,7 @@ def flash_attention_decode(
     folded: bool = True,
     k_scale: Optional[jax.Array] = None,
     v_scale: Optional[jax.Array] = None,
+    int8_mma: bool = False,
 ):
     """Bandwidth-optimal single-token decode against a KV cache.
 
@@ -1164,7 +1204,12 @@ def flash_attention_decode(
     bytes -- decode is bandwidth-bound, so this approaches a 2x step
     speedup (or 2x context at equal latency) -- while the scales fold
     exactly into q and the output (see :func:`_decode_folded`).
-    int8 requires the folded path.
+    int8 requires the folded path. ``int8_mma=True`` (round-5 default
+    for int8 caches) additionally runs the QK contraction int8 x int8
+    on the MXU, removing the in-kernel k dequant cast at the cost of
+    ~1/254 relative rounding on the logits (same error class as the
+    cache quantization itself); set False for the exact scale-folding
+    dequant path.
 
     ``q`` is ``[B, H, Sq, D]`` with small Sq (packed GQA rows and/or a
     few query tokens); ``k_cache``/``v_cache`` stay in the CACHE layout
@@ -1210,6 +1255,7 @@ def flash_attention_decode(
         return _decode_folded(
             q, k_cache, v_cache, kv_bound, kv_low, scale, softcap,
             chunk, interpret, k_scale=k_scale, v_scale=v_scale,
+            int8_mma=int8_mma,
         )
     return _flash_forward_impl(
         q,

@@ -549,6 +549,9 @@ def _lite_gather_kernel(
     )
     rsub = jax.lax.broadcasted_iota(jnp.int32, (block_q, 1), 0) // vq
     lane = jax.lax.broadcasted_iota(jnp.int32, (1, MIN_LANES), 1)
+    lane_all = jax.lax.broadcasted_iota(
+        jnp.int32, (1, gsize * VOTE_TILE), 1
+    )
     if emit_votes:
         # Per-fine-tile vote machinery (hoisted; loop-invariant).
         # Votes ride ONE packed (1, 128) row per step: lane qs*gsize+g =
@@ -778,13 +781,6 @@ def _lite_gather_kernel(
             )
             l_scr[...] = alpha * l_scr[...] + l_curr
 
-        def slice_g(s_all, g):
-            return (
-                s_all[:, g * VOTE_TILE : (g + 1) * VOTE_TILE]
-                if gsize > 1
-                else s_all
-            )
-
         @pl.when((flags_at(j) & 2) == 2)
         def _full():
             # Fully-live step (the common case on evolved video masks):
@@ -794,38 +790,43 @@ def _lite_gather_kernel(
 
         @pl.when((flags_at(j) & 2) == 0)
         def _masked():
+            # Partially-live step. Round-5 rework: the old form sliced
+            # the score tile per 128-column group, masked each slice,
+            # and re-concatenated -- ~3 extra full-width VPU passes per
+            # step that made low-coherence masks (thr=-6-class) pay
+            # ~17% over equal-sparsity coherent ones (the ACTUAL
+            # scattered-step cost; the DMA-descriptor theory measured
+            # out at ~1.85 descriptors/step). Now the per-entry qbits/
+            # fidx scalars are painted onto ONE (1, gW) lane row
+            # (trivial width-128 selects), and the whole tile is
+            # masked by a single broadcast shift-and + select.
             s_all = qk_all()
-            cols = []
+            lane_g = lane_all // VOTE_TILE  # (1, gW) group index
+            qb_row = jnp.zeros((1, gsize * VOTE_TILE), jnp.int32)
             for g in range(gsize):
                 pos = j * gsize + g
-                fidx = sched_at(1 + pos)
-                qb = qbits_at(1 + pos)
-                valid_entry = pos < count
-                s_g = slice_g(s_all, g)
-                live_col = jnp.logical_and(
-                    (
-                        jax.lax.shift_right_logical(
-                            jnp.broadcast_to(qb, (block_q, 1)), rsub
-                        )
-                        & 1
-                    )
-                    == 1,
-                    valid_entry,
+                # Dead/phantom entries paint qbits 0 -> every q-row
+                # group masked, subsuming the valid_entry check.
+                qb = jnp.where(pos < count, qbits_at(1 + pos), 0)
+                qb_row = jnp.where(lane_g == g, qb, qb_row)
+            live = (
+                jax.lax.shift_right_logical(
+                    jnp.broadcast_to(qb_row, (block_q, gsize * VOTE_TILE)),
+                    rsub,
                 )
-                s_g = jnp.where(live_col, s_g, DEFAULT_MASK_VALUE)
-                if seqlen_k % VOTE_TILE != 0:
-                    col = (
-                        jax.lax.broadcasted_iota(
-                            jnp.int32, (block_q, VOTE_TILE), 1
-                        )
-                        + fidx * VOTE_TILE
-                    )
-                    s_g = jnp.where(
-                        col < seqlen_k, s_g, DEFAULT_MASK_VALUE
-                    )
-                cols.append(s_g)
+                & 1
+            ) == 1
+            if seqlen_k % VOTE_TILE != 0:
+                col_row = jnp.zeros((1, gsize * VOTE_TILE), jnp.int32)
+                for g in range(gsize):
+                    fi = sched_at(1 + j * gsize + g)
+                    col_row = jnp.where(lane_g == g, fi, col_row)
+                col_row = (
+                    col_row * VOTE_TILE + lane_all % VOTE_TILE
+                )
+                live = jnp.logical_and(live, col_row < seqlen_k)
             emit(
-                jnp.concatenate(cols, axis=1) if gsize > 1 else cols[0],
+                jnp.where(live, s_all, DEFAULT_MASK_VALUE),
                 m_scr[...],
             )
 

