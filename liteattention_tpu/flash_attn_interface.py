@@ -524,6 +524,7 @@ def flash_attn_with_kvcache(
     k_cache_scale: Optional[jax.Array] = None,
     v_cache_scale: Optional[jax.Array] = None,
     max_seqlen_k_new: Optional[int] = None,
+    int8_mma: bool = False,
 ):
     """Decode/append attention against a fixed-capacity KV cache.
 
@@ -581,7 +582,11 @@ def flash_attn_with_kvcache(
     .quantize_kv_append`` BEFORE the call). Decode is HBM-bound, so
     halving the cache bytes approaches a 2x step speedup; this is the
     functional analog of the fp8 descale path the reference compiles
-    out (hopper/setup.py:47-68).
+    out (hopper/setup.py:47-68). ``int8_mma=True`` (opt-in) further
+    runs the QK contraction int8 x int8 on the MXU -- a reduced-
+    precision mode with percent-class logit rounding, the accuracy
+    class of the reference's fp8 attention; the default dequant path
+    is exact w.r.t. the quantized cache.
     """
     if attention_chunk:
         # Chunked attention (reference mask.h:116-119): supported on the
@@ -749,6 +754,7 @@ def flash_attn_with_kvcache(
                 return_lse=return_softmax_lse,
                 k_scale=k_cache_scale,
                 v_scale=v_cache_scale,
+                int8_mma=int8_mma,
             )
         else:
             kp = jnp.transpose(k_cache, (2, 0, 1, 3))  # [Hk, pages, psz, D]
@@ -918,6 +924,7 @@ def flash_attn_with_kvcache(
                 block_sizes=block_sizes,
                 k_scale=k_cache_scale,
                 v_scale=v_cache_scale,
+                int8_mma=int8_mma,
             )
         out = out_p.reshape(b_, hq, 1, dd_)
         lse = lse_p.reshape(b_, hq, 1)

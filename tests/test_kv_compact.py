@@ -175,3 +175,34 @@ def test_wrapper_compact_matches_plain():
     assert outs[True][1] == outs[False][1] and outs[True][1] > 0.0
     for a, bb in zip(outs[False][0], outs[True][0]):
         np.testing.assert_array_equal(a, bb)
+
+
+def test_wrapper_union_sparse_gate_engages():
+    """must_skip ranges make the cross-q-tile union sparse, so the
+    wrapper's density gate ENGAGES the compact relayout -- outputs must
+    still match the kv_compact=False path exactly."""
+    from liteattention_tpu.lite_attention import LiteAttention
+
+    key = jax.random.PRNGKey(11)
+    kq, kk, kv = jax.random.split(key, 3)
+    b, s, h, d = 1, 2048, 2, 128
+    q = jax.random.normal(kq, (b, s, h, d), jnp.float32)
+    k = jax.random.normal(kk, (b, s, h, d), jnp.float32)
+    v = jax.random.normal(kv, (b, s, h, d), jnp.float32)
+    # Pre-skip the back half of the keys: union density 0.5 < 0.75.
+    must_skip = [s - 1, s // 2]
+
+    outs = {}
+    for flag in (False, True):
+        attn = LiteAttention(
+            threshold=-10.0, kv_compact=flag,
+            block_sizes=BlockSizes(512, 256),
+        )
+        step_outs = [
+            np.asarray(attn(q, k, v, must_skip_list=must_skip))
+            for _ in range(2)
+        ]
+        outs[flag] = (step_outs, attn._kv_maps is not None)
+    assert outs[True][1] and not outs[False][1]  # gate engaged
+    for a, bb in zip(outs[False][0], outs[True][0]):
+        np.testing.assert_array_equal(a, bb)

@@ -224,3 +224,21 @@ def test_mla_decode_matches_shared_cache_kvcache_api():
     np.testing.assert_allclose(
         np.asarray(fast), np.asarray(generic), atol=2e-5
     )
+
+
+def test_mla_padded_lane_layout_matches_tight():
+    """A cache stored at the kernel's NATIVE 640-lane stride (tail
+    lanes garbage) must decode identically to the tight-576 cache
+    (q's zero pad nullifies the garbage in QK; V reads only dv)."""
+    d, dv, hq, b, s = 576, 512, 8, 2, 256
+    ks = jax.random.split(jax.random.PRNGKey(5), 3)
+    q = jax.random.normal(ks[0], (b, 1, hq, d), jnp.float32)
+    kv = jax.random.normal(ks[1], (b, s, d), jnp.float32)
+    lens = jnp.array([s, 200], jnp.int32)
+    out_tight = mla_decode(q, kv, lens, dv, causal=True, interpret=True)
+    garbage = jax.random.normal(ks[2], (b, s, 64), jnp.float32) * 50.0
+    kv_pad = jnp.concatenate([kv, garbage], axis=-1)
+    out_pad = mla_decode(q, kv_pad, lens, dv, causal=True, interpret=True)
+    np.testing.assert_array_equal(
+        np.asarray(out_tight), np.asarray(out_pad)
+    )
