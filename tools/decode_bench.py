@@ -240,6 +240,18 @@ def main():
     # report() assumes 2-byte elements; halve the head count to get the
     # int8 byte count right.
     report("decode_gqa_int8", tk, traw, hk / 2)
+
+    def step_q_mma(q, kci, vci, ksc, vsc, sl):
+        return flash_attn_with_kvcache(
+            q, kci, vci, cache_seqlens=sl, causal=True,
+            k_cache_scale=ksc, v_cache_scale=vsc, int8_mma=True,
+        )
+
+    tk, traw = timeit_marginal(
+        step_q_mma, q, cache_q.k, cache_q.v, cache_q.k_scale,
+        cache_q.v_scale, seqlens,
+    )
+    report("decode_gqa_int8_mma", tk, traw, hk / 2)
     if "decode_gqa" in results:
         sp = results["decode_gqa"]["ms"] / results["decode_gqa_int8"]["ms"]
         results["decode_gqa_int8"]["speedup_vs_bf16"] = round(sp, 3)
@@ -282,6 +294,21 @@ def main():
         table, seqlens,
     )
     report("decode_paged_int8", tk, traw, hk / 2)
+
+    # Opt-in int8-MMA QK (round 5): removes the in-kernel k dequant
+    # cast at percent-class logit rounding (the fp8-precision-mode
+    # analog; see paged_attention_folded docstring).
+    def step_paged_q_mma(q, kpi, vpi, ksc, vsc, tbl, sl):
+        return flash_attn_with_kvcache(
+            q, kpi, vpi, cache_seqlens=sl, page_table=tbl, causal=True,
+            k_cache_scale=ksc, v_cache_scale=vsc, int8_mma=True,
+        )
+
+    tk, traw = timeit_marginal(
+        step_paged_q_mma, q, pool.k, pool.v, pool.k_scale,
+        pool.v_scale, table, seqlens,
+    )
+    report("decode_paged_int8_mma", tk, traw, hk / 2)
 
     # Absorbed-MLA decode (DeepSeek shape: one latent KV head, K = the
     # full 576-dim latent row, V = its first 512 channels; reference
