@@ -58,14 +58,28 @@ from liteattention_tpu.ops.tile_sizes import BlockSizes
 
 TARGET_SPARSITY = 0.42
 V5E_PEAK_BF16 = 197e12
-# Reference ablation (README.md:79-87), as (sparsity, speedup-vs-dense).
-REF_CURVE = [(0.0, 1.0), (0.21, 695 / 573), (0.42, 695 / 418),
-             (0.57, 695 / 308), (0.77, 695 / 163)]
+# Reference ablation (README.md:79-87), as (sparsity, runtime seconds).
+# The published table is a RUNTIME curve ("runtime-saved ~= sparsity",
+# slightly sub-linear at every point: 21%->18% saved, 42%->40%,
+# 57%->56%), so interpolation happens in runtime space -- the measured
+# quantity. Interpolating the derived speedups linearly instead (the
+# round-1..4 form, kept as ref_speedup_gspace) is convex-biased and
+# credits the reference with SUPER-sparsity savings between its own
+# published points (e.g. 48.8% saved at 49.3% sparsity, above every
+# pattern it reports).
+REF_CURVE_T = [(0.0, 695.0), (0.21, 573.0), (0.42, 418.0),
+               (0.57, 308.0), (0.77, 163.0)]
 
 
 def ref_speedup_at(s):
-    xs = [p[0] for p in REF_CURVE]
-    ys = [p[1] for p in REF_CURVE]
+    xs = [p[0] for p in REF_CURVE_T]
+    ts = [p[1] for p in REF_CURVE_T]
+    return float(695.0 / np.interp(s, xs, ts))
+
+
+def ref_speedup_gspace_at(s):
+    xs = [p[0] for p in REF_CURVE_T]
+    ys = [695.0 / p[1] for p in REF_CURVE_T]
     return float(np.interp(s, xs, ys))
 
 
@@ -249,6 +263,9 @@ def main():
                 speedup=round(t_dense / t_lite, 4),
                 speedup_stride1=round(t_dense / t_stride1, 4),
                 ref_speedup=round(ref_speedup_at(sparsity), 4),
+                ref_speedup_gspace=round(
+                    ref_speedup_gspace_at(sparsity), 4
+                ),
             )
         )
 
@@ -262,6 +279,7 @@ def main():
     nearest42 = min(curve, key=lambda r: abs(r["sparsity"] - 0.42))
     speedup = headline["speedup"]
     vs_baseline = speedup / headline["ref_speedup"]
+    vs_baseline_gspace = speedup / headline["ref_speedup_gspace"]
 
     ablation = {
         "dense_ms": round(t_dense * 1e3, 3),
@@ -296,6 +314,10 @@ def main():
                     "lite_ms": headline["lite_ms"],
                     "vote_stride": VOTE_STRIDE,
                     "speedup_stride1": headline["speedup_stride1"],
+                    "ref_interp": "runtime-space (see REF_CURVE_T "
+                    "note); geometric-space kept as "
+                    "vs_baseline_gspace",
+                    "vs_baseline_gspace": round(vs_baseline_gspace, 4),
                     "nearest42": {
                         "sparsity": nearest42["sparsity"],
                         "speedup": nearest42["speedup"],
