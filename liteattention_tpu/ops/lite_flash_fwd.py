@@ -1106,11 +1106,18 @@ def _lite_gather_call(
         jax.ShapeDtypeStruct((b, h, sq_p, d_p), q.dtype),
         jax.ShapeDtypeStruct((b, sq_p, h), jnp.float32),
     ]
+    # Ring depth adapts to slot footprint: 4-deep at the default
+    # (<= 512 KB slots), 2-deep (classic double buffer) for wide
+    # block_k tiles whose 4-deep ring blew the scoped-VMEM budget
+    # (round-4: (1024, 2048) failed to allocate). Depth was measured
+    # insensitive at the default geometry (round 2).
+    slot_bytes = gsize * VOTE_TILE * 2 * d_p * kvp.dtype.itemsize
+    nslots = RING_SLOTS if slot_bytes <= (512 << 10) else 2
     scratch = [
         pltpu.SMEM((2, _pow2(3 * sched_rows), MIN_LANES), jnp.int32),
         pltpu.SemaphoreType.DMA((2,)),
-        pltpu.VMEM((RING_SLOTS, gsize * VOTE_TILE, 2 * d_p), kvp.dtype),
-        pltpu.SemaphoreType.DMA((RING_SLOTS,)),
+        pltpu.VMEM((nslots, gsize * VOTE_TILE, 2 * d_p), kvp.dtype),
+        pltpu.SemaphoreType.DMA((nslots,)),
     ]
     if emit_votes:
         out_specs.append(

@@ -375,3 +375,27 @@ def test_update_mask_anchor_guard():
     np.testing.assert_array_equal(
         np.asarray(st.do_mask), [[[[False, True, False, False]]]]
     )
+
+
+def test_gather_wide_k_gsize16_matches_oracle():
+    """gsize=16 ((*, 2048) tiles): the 2-deep adaptive ring and the
+    16-entry sub-run flag tree (bits 2..15) against the fine oracle."""
+    from liteattention_tpu.ops.mask import compact_mask_gather
+
+    b, h, s, d = 1, 1, 4096, 64
+    q, k, v = _qkv(31, b, h, s, d)
+    qtf = ktf = s // 128
+    mask = _random_fine_mask(32, b, h, qtf, ktf, keep_prob=0.45)
+    bq, bk = 512, 2048
+    fidx, count, qbits = compact_mask_gather(mask, bq // 128)
+    out, lse, _ = lite_flash_attention(
+        q, k, v, fidx, count, jnp.float32(-10.0), kv_bits=qbits,
+        block_sizes=BlockSizes(bq, bk), fine_schedule=True,
+    )
+    ref, ref_lse = attention_ref(
+        q, k, v, tile_mask=mask, block_q=128, block_k=128
+    )
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-4)
+    np.testing.assert_allclose(
+        np.asarray(lse), np.asarray(ref_lse), atol=2e-4
+    )

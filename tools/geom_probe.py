@@ -111,8 +111,8 @@ def main():
 
         return f
 
-    geoms = [BlockSizes(1024, 1024), BlockSizes(512, 1024),
-             BlockSizes(256, 1024)]
+    geoms = [BlockSizes(1024, 1024), BlockSizes(1024, 2048),
+             BlockSizes(512, 1024), BlockSizes(256, 1024)]
     mask_full = jnp.ones((b, h, ktf, ktf), bool)
     rows = {"full": {}, "thr-6": {}, "thr-3.5": {}, "union": {}}
     masks = {}
