@@ -199,3 +199,35 @@ def test_threshold_calibration():
     )
     assert info0["loosen_delta"] == 0.0
     assert float(sched0[-1]) == pytest.approx(info0["threshold"])
+
+
+def test_denoise_kv_compact_scan_matches_plain():
+    """The fully-traced compact-schedule path (denoise(kv_compact=True,
+    vote_stride>1): 6-tuple schedules through the scan carry +
+    compact_kv in lite_attention_step) must reproduce the plain path's
+    outputs and sparsity trace exactly."""
+    cfg = WanConfig.tiny()
+    model = WanModel(cfg)
+    b, f, h, w = 1, 8, 8, 16
+    noise = jax.random.normal(
+        jax.random.PRNGKey(3), (b, f, h, w, cfg.in_channels)
+    ).astype(jnp.bfloat16)
+    text = jax.random.normal(
+        jax.random.PRNGKey(4), (b, cfg.text_len, cfg.text_dim)
+    ).astype(jnp.bfloat16)
+    t0 = jnp.full((b,), 999.0, jnp.float32)
+    params = jax.jit(model.init)(jax.random.PRNGKey(5), noise, t0, text)
+    thrs = jnp.array([float("inf")] * 4)
+
+    outs = {}
+    for flag in (False, True):
+        out, tel = jax.jit(
+            lambda p, n, t, kvc=flag: denoise(
+                model, p, n, t, num_steps=4, thresholds=thrs,
+                vote_stride=2, kv_compact=kvc,
+            )
+        )(params, noise, text)
+        outs[flag] = (np.asarray(out, np.float32),
+                      np.asarray(tel["sparsity_per_step"]))
+    np.testing.assert_array_equal(outs[True][0], outs[False][0])
+    np.testing.assert_array_equal(outs[True][1], outs[False][1])
