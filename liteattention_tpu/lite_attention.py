@@ -619,18 +619,26 @@ class LiteAttention:
         if self.enable_skipping:
             self._state = new_state
             if emit:
-                # the mask may have shrunk; recompact on next call
-                self._sched_cache = None
+                # Change detection (round 5): update_mask is a monotone
+                # AND, so an unchanged skipped-tile COUNT implies an
+                # unchanged mask -- the cached schedule is still exact
+                # and recompaction is skipped (the reference's skip-list
+                # writer likewise does no work when no tile dies,
+                # mainloop_fwd...hpp:121-192). The readback rides the
+                # same host sync the telemetry below already pays.
+                live = float(sparsity(new_state.do_mask))
+                if live != self._last_vote_live:
+                    # the mask shrank; recompact on next call
+                    self._sched_cache = None
                 self._since_vote = 0
                 if self.vote_backoff_cap > 0:
-                    live = float(sparsity(new_state.do_mask))
                     if live == self._last_vote_live:
                         self._cur_stride = min(
                             self._cur_stride * 2, self.vote_backoff_cap
                         )
                     else:
                         self._cur_stride = self.vote_stride
-                    self._last_vote_live = live
+                self._last_vote_live = live
             self._last_percentage = float(sparsity(self._read_mask))
             if os.getenv("LITE_ATTENTION_VERBOSE", "FALSE") != "FALSE":
                 print(

@@ -144,3 +144,43 @@ def test_wrapper_vote_backoff():
     for step in range(4):
         legacy(q, k, v)
     assert legacy._cur_stride == 2
+
+
+def test_sched_cache_survives_unchanged_vote():
+    """Round-5 change detection: a vote step that leaves the mask
+    unchanged (monotone AND => equal live count => equal mask) keeps the
+    cached packed schedule instead of recompacting -- the reference's
+    skip-list writer likewise does nothing when no tile dies. A vote
+    that DOES shrink the mask must still drop the cache."""
+    rng = np.random.RandomState(5)
+    b, s, h, d = 1, 1024, 2, 64
+    q = jnp.asarray(rng.randn(b, s, h, d), jnp.float32)
+    k = jnp.asarray(rng.randn(b, s, h, d), jnp.float32)
+    v = jnp.asarray(rng.randn(b, s, h, d), jnp.float32)
+    bs = BlockSizes(512, 1024)
+    eng = LiteAttention(threshold=-1.0, block_sizes=bs, vote_stride=1)
+
+    out0 = eng(q, k, v)  # first vote: mask may shrink -> cache dropped
+    caches = []
+    outs = []
+    for _ in range(3):
+        outs.append(eng(q, k, v))
+        caches.append(eng._sched_cache)
+    # Fixed inputs converge the mask after the first vote; later votes
+    # leave it unchanged, so the cache object must be REUSED (identity).
+    assert caches[1] is caches[0] and caches[2] is caches[0], (
+        "unchanged-mask vote dropped the schedule cache"
+    )
+    for o in outs[1:]:
+        np.testing.assert_array_equal(np.asarray(o), np.asarray(outs[0]))
+
+    # A threshold change makes the next vote shrink the mask again ->
+    # the cache must be rebuilt, not reused stale.
+    eng.set_threshold(-3.0)
+    before = float(sparsity(eng.state.do_mask))
+    eng(q, k, v)
+    after = float(sparsity(eng.state.do_mask))
+    if after != before:
+        assert eng._sched_cache is None or (
+            eng._sched_cache is not caches[0]
+        )
