@@ -711,7 +711,14 @@ def _lite_gather_kernel(
             # the running max (lane-segment reduce FIRST) re-measured
             # as a 2x kernel slowdown on chip -- the full-width
             # lane-group reduction is the expensive shape regardless of
-            # what reuses it. Do not reorder.
+            # what reuses it. Round 5 re-derivations, both MEASURED
+            # SLOWER or unlowerable -- do not re-dig: (a) compare-first
+            # + boolean reduction: Mosaic cannot lower i1 shape-casts /
+            # vreg bitcasts (chip-only compile failure; interpret
+            # passes); (b) 0/1 f32 indicator reduced by a tiny
+            # (qsubs, block_q) selector MATMUL: +2.3 ms/call vote tax
+            # vs this form at 73k (tiny-M matmuls underutilize the MXU
+            # and the indicator select is a full pass anyway).
             rg = jnp.max(
                 diff.reshape(qsubs, vq, gsize * VOTE_TILE), axis=1
             )  # (qsubs, gW)
@@ -875,6 +882,355 @@ def _lite_gather_kernel(
         votes_ref[0, 0, 0] = votes_scr[...]
 
 
+def _lite_gather_kernel_hfold(
+    # inputs
+    thr_ref,  # SMEM (1, 1) float32
+    sched_hbm,  # HBM [B, H, Qt, 3R, 128] int32
+    q_ref,  # VMEM (1, hc, block_q, D)
+    kv_hbm,  # ANY  [B, Hk, Skp, 2D]
+    # outputs: o (1, hc, block_q, D), lse (1, 1, block_q, hc),
+    #   votes (1, 1, hc, steps8, 128) when emit_votes
+    # scratch: sched_smem (2, pow2(3R), 128), sched_sem (2,),
+    #   kvbuf (NSLOT, gsize*128, 2D), dma_sems (NSLOT,),
+    #   [votes_scr (steps8, 128)], m_scr, l_scr, acc_scr
+    *refs,
+    scale: float,
+    group: int,
+    num_heads: int,
+    hc: int,
+    block_q: int,
+    seqlen_q: int,
+    seqlen_k: int,
+    qsubs: int,
+    gsize: int,
+    sched_rows: int,
+    emit_votes: bool,
+):
+    """Head-folded gather kernel (round 5): one grid cell runs ``hc``
+    heads of a (b, q-tile) in an in-kernel ``fori_loop``.
+
+    Measured motive (tools/cell_overhead_probe.py, v5e, 73k tokens,
+    (1024, 1024) tiles): per-step cost is affine in steps-per-cell with
+    a 13.2 us FIXED cost per grid cell (Mosaic cell sequencing +
+    ring/schedule ramp + epilogue) -- 7.6 ms total across the 576 cells
+    of grid (B, Qt, H), and the entire residual of the lite kernel over
+    the linear sparsity ideal (the mask's steps were censused 99.97%
+    contiguous single-descriptor runs, so there is no scatter cost to
+    cut). Folding H amortizes that fixed cost 8x; the inner loop keeps
+    the round-3/4 overlap tricks in their natural form: head h+1's
+    schedule row DMAs in while head h computes, and h+1's first ring
+    slots are pre-issued from h's drained ring before h's epilogue.
+
+    Compute order per (head, step) is IDENTICAL to the unfolded kernel
+    -- outputs are bit-exact against it (test_hfold_matches_unfolded).
+    """
+    if emit_votes:
+        (o_ref, lse_ref, votes_ref, sched_smem, sched_sem, kvbuf,
+         dma_sems, votes_scr, m_scr, l_scr, acc_scr) = refs
+    else:
+        (o_ref, lse_ref, sched_smem, sched_sem, kvbuf,
+         dma_sems, m_scr, l_scr, acc_scr) = refs
+    b = pl.program_id(0)
+    qi = pl.program_id(1)
+    ci = pl.program_id(2)
+    h0 = ci * hc
+    thr = thr_ref[0, 0]
+    vq = block_q // qsubs
+    nslot = kvbuf.shape[0]
+
+    def sched_row_copy(g, buf):
+        return pltpu.make_async_copy(
+            sched_hbm.at[b, g, qi],
+            sched_smem.at[buf, pl.ds(0, sched_hbm.shape[3])],
+            sched_sem.at[buf],
+        )
+
+    def sched_at_buf(buf, i):
+        return sched_smem[buf, i // 128, i % 128]
+
+    def qbits_at_buf(buf, i):
+        return sched_smem[buf, sched_rows + i // 128, i % 128]
+
+    def flags_at_buf(buf, step):
+        i = 1 + step
+        return sched_smem[buf, 2 * sched_rows + i // 128, i % 128]
+
+    precision = (
+        jax.lax.Precision.HIGHEST
+        if q_ref.dtype == jnp.float32
+        else jax.lax.Precision.DEFAULT
+    )
+    row_valid = (
+        jax.lax.broadcasted_iota(jnp.int32, (block_q, 1), 0)
+        + qi * block_q
+        < seqlen_q
+    )
+    rsub = jax.lax.broadcasted_iota(jnp.int32, (block_q, 1), 0) // vq
+    lane = jax.lax.broadcasted_iota(jnp.int32, (1, MIN_LANES), 1)
+    lane_all = jax.lax.broadcasted_iota(
+        jnp.int32, (1, gsize * VOTE_TILE), 1
+    )
+    if emit_votes:
+        assert qsubs * gsize <= MIN_LANES
+        g0lane = (lane % gsize) == 0 if gsize > 1 else lane >= 0
+        lane_in_g = lane < gsize
+    head_col = jax.lax.broadcasted_iota(jnp.int32, (block_q, hc), 1)
+
+    def kv_copy(step, g, slot, buf, kvh):
+        idx = sched_at_buf(buf, 1 + step * gsize + g)
+        return pltpu.make_async_copy(
+            kv_hbm.at[b, kvh, pl.ds(idx * VOTE_TILE, VOTE_TILE)],
+            kvbuf.at[slot, pl.ds(g * VOTE_TILE, VOTE_TILE)],
+            dma_sems.at[slot],
+        )
+
+    def kv_run_copy(step, slot, buf, kvh, g0=0, blk=None):
+        blk = gsize if blk is None else blk
+        idx0 = sched_at_buf(buf, 1 + step * gsize + g0)
+        return pltpu.make_async_copy(
+            kv_hbm.at[b, kvh, pl.ds(idx0 * VOTE_TILE, blk * VOTE_TILE)],
+            kvbuf.at[slot, pl.ds(g0 * VOTE_TILE, blk * VOTE_TILE)],
+            dma_sems.at[slot],
+        )
+
+    def start_step(step, slot, buf, kvh):
+        fl = flags_at_buf(buf, step)
+
+        @pl.when((fl & 1) == 1)
+        def _run():
+            kv_run_copy(step, slot, buf, kvh).start()
+
+        @pl.when((fl & 1) == 0)
+        def _scatter():
+            def emit_dma(blk, g0, base):
+                if blk == 1:
+                    kv_copy(step, g0, slot, buf, kvh).start()
+                    return
+                bit = base + g0 // blk
+
+                @pl.when(((fl >> bit) & 1) == 1)
+                def _sub():
+                    kv_run_copy(step, slot, buf, kvh, g0, blk).start()
+
+                @pl.when(((fl >> bit) & 1) == 0)
+                def _split():
+                    emit_dma(blk // 2, g0, base + gsize // blk)
+                    emit_dma(blk // 2, g0 + blk // 2, base + gsize // blk)
+
+            if gsize >= 4:
+                half = gsize // 2
+                emit_dma(half, 0, 2)
+                emit_dma(half, half, 2)
+            else:
+                for g in range(gsize):
+                    kv_copy(step, g, slot, buf, kvh).start()
+
+    def wait_step(slot):
+        gw = gsize * VOTE_TILE
+        pltpu.make_async_copy(
+            kv_hbm.at[b, 0, pl.ds(0, gw)],
+            kvbuf.at[slot],
+            dma_sems.at[slot],
+        ).wait()
+
+    # First head's schedule; later heads are prefetched inside the loop.
+    sched_row_copy(h0, 0).start()
+
+    def head_body(hl, _):
+        g_h = h0 + hl
+        par = jax.lax.rem(hl, 2)
+        kvh = g_h // group
+
+        @pl.when(hl == 0)
+        def _wait_own():
+            sched_row_copy(g_h, par).wait()
+
+        @pl.when(hl + 1 < hc)
+        def _next_sched():
+            sched_row_copy(g_h + 1, jax.lax.rem(hl + 1, 2)).start()
+
+        count = sched_at_buf(par, 0)
+        num_steps = pl.cdiv(count, gsize)
+
+        if emit_votes:
+            votes_scr[...] = jnp.ones_like(votes_scr)
+        m_scr[...] = jnp.full_like(m_scr, -jnp.inf)
+        l_scr[...] = jnp.zeros_like(l_scr)
+        acc_scr[...] = jnp.zeros_like(acc_scr)
+
+        # Only the chain's first head cold-primes its ring; later heads
+        # were pre-primed from the previous head's drained ring (below).
+        for i in range(nslot - 1):
+            @pl.when(jnp.logical_and(hl == 0, i < num_steps))
+            def _prime(i=i):
+                start_step(i, i % nslot, par, kvh)
+
+        q = q_ref[0, hl]
+        d_pk = q_ref.shape[-1]
+
+        def body(j, _):
+            slot = jax.lax.rem(j, nslot)
+
+            @pl.when(j + nslot - 1 < num_steps)
+            def _prefetch():
+                start_step(
+                    j + nslot - 1, jax.lax.rem(j + nslot - 1, nslot),
+                    par, kvh,
+                )
+
+            wait_step(slot)
+
+            def qk_all():
+                return (
+                    jax.lax.dot_general(
+                        q,
+                        kvbuf[slot][:, :d_pk],
+                        dimension_numbers=(((1,), (1,)), ((), ())),
+                        preferred_element_type=jnp.float32,
+                        precision=precision,
+                    )
+                    * (scale * LOG2E)
+                )
+
+            def votes_from(diff):
+                # Two-stage max; see the unfolded kernel's reduction-
+                # order note (do not reorder).
+                rg = jnp.max(
+                    diff.reshape(qsubs, vq, gsize * VOTE_TILE), axis=1
+                )
+                rgm = jnp.max(
+                    rg.reshape(qsubs, gsize, VOTE_TILE), axis=2
+                )
+                rgm = jnp.pad(
+                    rgm,
+                    ((0, 0), (0, MIN_LANES - gsize)),
+                    constant_values=-jnp.inf,
+                )
+                vote_row = jnp.zeros((1, MIN_LANES), jnp.int32)
+                for qs in range(qsubs):
+                    any_qs = rgm[qs : qs + 1] > thr
+                    vote_qs = jnp.where(
+                        jnp.logical_and(
+                            lane_in_g, jnp.logical_not(any_qs)
+                        ),
+                        jnp.int32(1),
+                        jnp.int32(0),
+                    )
+                    vote_row = vote_row | (
+                        pltpu.roll(vote_qs, qs * gsize, 1)
+                        if qs
+                        else vote_qs
+                    )
+                vote_row = jnp.where(
+                    jnp.logical_and(j == 0, g0lane),
+                    jnp.int32(0),
+                    vote_row,
+                )
+                votes_scr[pl.ds(j, 1), :] = vote_row
+
+            def emit(s_masked, m_prev):
+                if emit_votes:
+                    diff = s_masked - m_prev[:, :1]
+                    if seqlen_q % block_q != 0:
+                        diff = jnp.where(row_valid, diff, -jnp.inf)
+                    votes_from(diff)
+                local_max = jnp.max(s_masked, axis=1, keepdims=True)
+                m_next = jnp.maximum(m_prev, local_max)
+                m_red = m_next[:, :1]
+                alpha = jnp.exp2(m_prev[:, :1] - m_red)
+                m_scr[...] = m_next
+                p = jnp.exp2(s_masked - m_red)
+                l_curr = jnp.sum(p, axis=1, keepdims=True)
+                acc_scr[...] = acc_scr[...] * alpha + jax.lax.dot(
+                    p.astype(kvbuf.dtype),
+                    kvbuf[slot][:, d_pk:],
+                    preferred_element_type=jnp.float32,
+                    precision=precision,
+                )
+                l_scr[...] = alpha * l_scr[...] + l_curr
+
+            @pl.when((flags_at_buf(par, j) & 2) == 2)
+            def _full():
+                emit(qk_all(), m_scr[...])
+
+            @pl.when((flags_at_buf(par, j) & 2) == 0)
+            def _masked():
+                s_all = qk_all()
+                lane_g = lane_all // VOTE_TILE
+                qb_row = jnp.zeros((1, gsize * VOTE_TILE), jnp.int32)
+                for g in range(gsize):
+                    pos = j * gsize + g
+                    qb = jnp.where(
+                        pos < count, qbits_at_buf(par, 1 + pos), 0
+                    )
+                    qb_row = jnp.where(lane_g == g, qb, qb_row)
+                live = (
+                    jax.lax.shift_right_logical(
+                        jnp.broadcast_to(
+                            qb_row, (block_q, gsize * VOTE_TILE)
+                        ),
+                        rsub,
+                    )
+                    & 1
+                ) == 1
+                if seqlen_k % VOTE_TILE != 0:
+                    col_row = jnp.zeros(
+                        (1, gsize * VOTE_TILE), jnp.int32
+                    )
+                    for g in range(gsize):
+                        fi = sched_at_buf(par, 1 + j * gsize + g)
+                        col_row = jnp.where(lane_g == g, fi, col_row)
+                    col_row = (
+                        col_row * VOTE_TILE + lane_all % VOTE_TILE
+                    )
+                    live = jnp.logical_and(live, col_row < seqlen_k)
+                emit(
+                    jnp.where(live, s_all, DEFAULT_MASK_VALUE),
+                    m_scr[...],
+                )
+
+            return 0
+
+        jax.lax.fori_loop(0, num_steps, body, 0)
+
+        # Pre-prime the NEXT head: this head's ring is fully drained
+        # (every issued DMA was waited in the loop) and head hl+1's
+        # schedule copy has long landed -- wait it (the one wait for
+        # that copy) and issue hl+1's first ring slots so they overlap
+        # this head's epilogue.
+        @pl.when(hl + 1 < hc)
+        def _preprime_next():
+            par2 = jax.lax.rem(hl + 1, 2)
+            sched_row_copy(g_h + 1, par2).wait()
+            steps2 = pl.cdiv(sched_at_buf(par2, 0), gsize)
+            kvh2 = (g_h + 1) // group
+            for i in range(nslot - 1):
+                @pl.when(i < steps2)
+                def _pp(i=i):
+                    start_step(i, i % nslot, par2, kvh2)
+
+        l = l_scr[:, :1]
+        m_col = m_scr[:, :1]
+        empty = m_col <= DEFAULT_MASK_VALUE * 0.5
+        l_inv = jnp.where(
+            jnp.logical_or(empty, l == 0.0),
+            0.0,
+            1.0 / jnp.maximum(l, 1e-37),
+        )
+        o_ref[0, hl] = (acc_scr[...] * l_inv).astype(o_ref.dtype)
+        lse = jnp.where(
+            jnp.logical_or(empty, l == 0.0),
+            -jnp.inf,
+            m_col * LN2 + jnp.log(jnp.maximum(l, 1e-37)),
+        )
+        lse_ref[0, 0] = jnp.where(head_col == hl, lse, lse_ref[0, 0])
+        if emit_votes:
+            votes_ref[0, 0, hl] = votes_scr[...]
+        return 0
+
+    jax.lax.fori_loop(0, hc, head_body, 0)
+
+
 def _pad_seq(x: jax.Array, block: int) -> jax.Array:
     pad = (-x.shape[2]) % block
     if pad:
@@ -1026,11 +1382,18 @@ def _lite_gather_call(
     q, k, v, fidx, count, threshold, qbits,
     *, scale, block_q, gsize, interpret, emit_votes=True,
     packed_schedule=None, cross_prime=True, packed_kv=None,
-    seqlen_k=None, kv_map=None,
+    seqlen_k=None, kv_map=None, fold_h=None,
 ):
     """Host side of the gather schedule (see _lite_gather_kernel)."""
     b, h, sq, d = q.shape
     qsubs = block_q // VOTE_TILE
+    # Head folding (round 5): run up to ``fold_h`` heads per grid cell
+    # to amortize the measured ~13 us fixed cost per Mosaic grid cell
+    # (see _lite_gather_kernel_hfold). hc must divide h; fall back to
+    # the largest divisor <= fold_h.
+    hc = max(1, min(int(fold_h or 1), h))
+    while h % hc:
+        hc -= 1
 
     qp = _pad_seq(q, block_q)
     d_pad = (-d) % MIN_LANES
@@ -1081,31 +1444,63 @@ def _lite_gather_call(
         schedule.shape, (b, h, qt, 3 * sched_rows, MIN_LANES))
 
     thr = jnp.reshape(threshold.astype(jnp.float32), (1, 1))
-    kernel = functools.partial(
-        _lite_gather_kernel,
-        scale=scale,
-        group=group,
-        num_heads=h,
-        block_q=block_q,
-        seqlen_q=sq,
-        seqlen_k=sk,
-        qsubs=qsubs,
-        gsize=gsize,
-        sched_rows=sched_rows,
-        emit_votes=emit_votes,
-        cross_prime=cross_prime,
-    )
-    grid = (b, qt, h)
-    out_specs = [
-        pl.BlockSpec(
-            (1, 1, block_q, d_p), lambda bi, qi, hi: (bi, hi, qi, 0)
-        ),
-        pl.BlockSpec((1, block_q, h), lambda bi, qi, hi: (bi, qi, 0)),
-    ]
-    out_shape = [
-        jax.ShapeDtypeStruct((b, h, sq_p, d_p), q.dtype),
-        jax.ShapeDtypeStruct((b, sq_p, h), jnp.float32),
-    ]
+    if hc > 1:
+        kernel = functools.partial(
+            _lite_gather_kernel_hfold,
+            scale=scale,
+            group=group,
+            num_heads=h,
+            hc=hc,
+            block_q=block_q,
+            seqlen_q=sq,
+            seqlen_k=sk,
+            qsubs=qsubs,
+            gsize=gsize,
+            sched_rows=sched_rows,
+            emit_votes=emit_votes,
+        )
+        grid = (b, qt, h // hc)
+        out_specs = [
+            pl.BlockSpec(
+                (1, hc, block_q, d_p), lambda bi, qi, ci: (bi, ci, qi, 0)
+            ),
+            # lse rides [B, H/hc, Sq_p, hc] so the block's minor dim
+            # equals an array dim (the last-two-dims rule); the host
+            # transposes back to [B, H, Sq] below.
+            pl.BlockSpec(
+                (1, 1, block_q, hc), lambda bi, qi, ci: (bi, ci, qi, 0)
+            ),
+        ]
+        out_shape = [
+            jax.ShapeDtypeStruct((b, h, sq_p, d_p), q.dtype),
+            jax.ShapeDtypeStruct((b, h // hc, sq_p, hc), jnp.float32),
+        ]
+    else:
+        kernel = functools.partial(
+            _lite_gather_kernel,
+            scale=scale,
+            group=group,
+            num_heads=h,
+            block_q=block_q,
+            seqlen_q=sq,
+            seqlen_k=sk,
+            qsubs=qsubs,
+            gsize=gsize,
+            sched_rows=sched_rows,
+            emit_votes=emit_votes,
+            cross_prime=cross_prime,
+        )
+        grid = (b, qt, h)
+        out_specs = [
+            pl.BlockSpec(
+                (1, 1, block_q, d_p), lambda bi, qi, hi: (bi, hi, qi, 0)
+            ),
+            pl.BlockSpec((1, block_q, h), lambda bi, qi, hi: (bi, qi, 0)),
+        ]
+        out_shape = [
+            jax.ShapeDtypeStruct((b, h, sq_p, d_p), q.dtype),
+            jax.ShapeDtypeStruct((b, sq_p, h), jnp.float32),
+        ]
     # Ring depth adapts to slot footprint: 4-deep at the default
     # (<= 512 KB slots), 2-deep (classic double buffer) for wide
     # block_k tiles whose 4-deep ring blew the scoped-VMEM budget
@@ -1120,12 +1515,20 @@ def _lite_gather_call(
         pltpu.SemaphoreType.DMA((nslots,)),
     ]
     if emit_votes:
-        out_specs.append(
-            pl.BlockSpec(
-                (1, 1, 1, steps8, MIN_LANES),
-                lambda bi, qi, hi: (bi, qi, hi, 0, 0),
+        if hc > 1:
+            out_specs.append(
+                pl.BlockSpec(
+                    (1, 1, hc, steps8, MIN_LANES),
+                    lambda bi, qi, ci: (bi, qi, ci, 0, 0),
+                )
             )
-        )
+        else:
+            out_specs.append(
+                pl.BlockSpec(
+                    (1, 1, 1, steps8, MIN_LANES),
+                    lambda bi, qi, hi: (bi, qi, hi, 0, 0),
+                )
+            )
         out_shape.append(
             jax.ShapeDtypeStruct((b, qt, h, steps8, MIN_LANES), jnp.int32)
         )
@@ -1135,6 +1538,29 @@ def _lite_gather_call(
         pltpu.VMEM((block_q, MIN_LANES), jnp.float32),
         pltpu.VMEM((block_q, d_p), jnp.float32),
     ]
+    if hc > 1:
+        q_spec = pl.BlockSpec(
+            (1, hc, block_q, d_p), lambda bi, qi, ci: (bi, ci, qi, 0)
+        )
+        semantics = ("parallel", "parallel", "parallel")
+    else:
+        q_spec = pl.BlockSpec(
+            (1, 1, block_q, d_p), lambda bi, qi, hi: (bi, hi, qi, 0)
+        )
+        semantics = ("parallel", "parallel", "arbitrary")
+    if hc > 1:
+        # The folded cell's q/o blocks (hc * block_q rows each, double-
+        # buffered by Mosaic) overflow the default 16 MB scoped-VMEM
+        # budget by a couple of MB at (1024, 1024) x hc=8; raise the
+        # limit (v5e has 128 MB of VMEM).
+        compiler_params = pltpu.CompilerParams(
+            dimension_semantics=semantics,
+            vmem_limit_bytes=64 * 1024 * 1024,
+        )
+    else:
+        compiler_params = pltpu.CompilerParams(
+            dimension_semantics=semantics,
+        )
     results = pl.pallas_call(
         kernel,
         grid=grid,
@@ -1143,22 +1569,24 @@ def _lite_gather_call(
                 (1, 1), lambda bi, qi, hi: (0, 0), memory_space=pltpu.SMEM
             ),
             pl.BlockSpec(memory_space=pltpu.HBM),
-            pl.BlockSpec(
-                (1, 1, block_q, d_p), lambda bi, qi, hi: (bi, hi, qi, 0)
-            ),
+            q_spec,
             pl.BlockSpec(memory_space=pl.ANY),
         ],
         out_specs=out_specs,
         out_shape=out_shape,
         scratch_shapes=scratch,
-        compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("parallel", "parallel", "arbitrary"),
-        ),
+        compiler_params=compiler_params,
         interpret=interpret,
     )(thr, schedule, qp, kvp)
     out, lse = results[0], results[1]
     out = out[:, :, :sq, :d]
-    lse = jnp.transpose(lse[:, :sq, :], (0, 2, 1))
+    if hc > 1:
+        # [B, H/hc, Sq_p, hc] -> [B, H, Sq]
+        lse = jnp.transpose(lse, (0, 1, 3, 2)).reshape(b, h, sq_p)[
+            :, :, :sq
+        ]
+    else:
+        lse = jnp.transpose(lse[:, :sq, :], (0, 2, 1))
     if not emit_votes:
         return out, lse, None
     votes = results[2]
@@ -1216,7 +1644,7 @@ def _lite_gather_call(
     jax.jit,
     static_argnames=(
         "scale", "block_sizes", "fine_schedule", "interpret", "emit_votes",
-        "cross_prime", "seqlen_k",
+        "cross_prime", "seqlen_k", "fold_h",
     ),
 )
 def lite_flash_attention(
@@ -1237,6 +1665,7 @@ def lite_flash_attention(
     packed_kv: Optional[jax.Array] = None,
     seqlen_k: Optional[int] = None,
     kv_map: Optional[jax.Array] = None,
+    fold_h: Optional[int] = None,
 ) -> Tuple[jax.Array, jax.Array, Optional[jax.Array]]:
     """Sparse flash attention over a compacted skip mask, emitting votes.
 
@@ -1332,6 +1761,7 @@ def lite_flash_attention(
             interpret=interpret, emit_votes=emit_votes,
             packed_schedule=packed_schedule, cross_prime=cross_prime,
             packed_kv=packed_kv, seqlen_k=sk, kv_map=kv_map,
+            fold_h=fold_h,
         )
     assert packed_kv is None, "packed_kv is a gather-path argument"
     assert kv_map is None, "kv_map is a gather-path argument"

@@ -399,3 +399,43 @@ def test_gather_wide_k_gsize16_matches_oracle():
     np.testing.assert_allclose(
         np.asarray(lse), np.asarray(ref_lse), atol=2e-4
     )
+
+
+@pytest.mark.parametrize("hc,hk", [(4, 4), (2, 2)])
+def test_hfold_matches_unfolded(hc, hk):
+    """Round-5 head folding: the hfold kernel (several heads per grid
+    cell, in-kernel head loop) is bit-exact against the unfolded kernel
+    on out/lse/votes, including GQA and the packed-KV/packed-schedule
+    hot path."""
+    from liteattention_tpu.ops.lite_flash_fwd import pack_kv
+    from liteattention_tpu.ops.mask import compact_mask_gather
+    from liteattention_tpu.ops.schedule_pack import (
+        pack_schedule,
+        unpack_schedule,
+    )
+
+    b, h, s, d = 1, 4, 2048, 64
+    q, _, _ = _qkv(41, b, h, s, d)
+    _, k, v = _qkv(42, b, hk, s, d)
+    qtf = ktf = s // 128
+    mask = _random_fine_mask(43, b, h, qtf, ktf, keep_prob=0.55)
+    bs = BlockSizes(512, 1024)
+    kvp = pack_kv(k, v)
+    packed = pack_schedule(mask, qsubs=4, gsize=8, seqlen_k=s)
+    fidx, count, qbits = unpack_schedule(
+        packed, ktf, packed.shape[3] // 3
+    )
+    thr = jnp.float32(-2.0)
+    kw = dict(
+        kv_bits=qbits, block_sizes=bs, fine_schedule=True,
+        packed_schedule=packed, packed_kv=kvp, seqlen_k=s,
+    )
+    o1, l1, v1 = lite_flash_attention(
+        q, None, None, fidx, count, thr, **kw
+    )
+    o2, l2, v2 = lite_flash_attention(
+        q, None, None, fidx, count, thr, fold_h=hc, **kw
+    )
+    np.testing.assert_array_equal(np.asarray(o1), np.asarray(o2))
+    np.testing.assert_array_equal(np.asarray(l1), np.asarray(l2))
+    np.testing.assert_array_equal(np.asarray(v1), np.asarray(v2))
