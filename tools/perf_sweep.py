@@ -28,14 +28,18 @@ def sync(x):
     np.asarray(jnp.sum(jax.tree_util.tree_leaves(x)[0].astype(jnp.float32)))
 
 
-def timeit(fn, *args, iters=8, warmup=2, chunk=4):
+def timeit(fn, *args, iters=8, warmup=2, chunk=16):
     """Median per-call seconds, measured over pipelined-dispatch chunks.
 
     Each remote call through the axon tunnel carries a ~30 ms
     round-trip latency floor (measured: a trivial mask op times at
     30 ms standalone); dispatching ``chunk`` calls back-to-back and
     syncing once amortizes it away so small kernels aren't charged
-    the tunnel's latency as if it were compute.
+    the tunnel's latency as if it were compute. Round 5: chunk=4
+    still left a ~5 ms/call non-overlapped residue (additive per
+    call, so it taxed sparse/short calls relatively hardest);
+    chunk=16 is within ~1 ms of the asymptote
+    (tools/dispatch_probe.py).
     """
     for _ in range(warmup):
         sync(fn(*args))
