@@ -62,6 +62,13 @@ class WanConfig:
     eps: float = 1e-6
     dtype: Any = jnp.bfloat16
     block_sizes: Optional[BlockSizes] = None
+    # Wan2.1-I2V decoupled image cross-attention: image tokens get their
+    # own K/V projections (``k_img``/``v_img`` + ``norm_k_img``) and the
+    # cross-attention output is attn(q, text) + attn(q, img) -- the
+    # WanI2VCrossAttention layout of Wan-Video/Wan2.1
+    # wan/modules/model.py. False = Wan2.2-style shared context (image
+    # tokens concatenated in front of the text tokens).
+    i2v_decoupled: bool = False
     # Recompute block activations in backward (jax.checkpoint); see
     # GPTConfig.remat. Training-only knob.
     remat: bool = False
@@ -312,33 +319,52 @@ class WanSelfAttention(nn.Module):
 
 class WanCrossAttention(nn.Module):
     """Text cross-attention -- always dense (reference README.md:227-263:
-    only v2v self-attention is skipped)."""
+    only v2v self-attention is skipped).
+
+    ``cfg.i2v_decoupled`` adds the Wan2.1-I2V image branch
+    (WanI2VCrossAttention, Wan-Video/Wan2.1 wan/modules/model.py):
+    image tokens ride separate ``k_img``/``v_img`` projections (with
+    ``norm_k_img`` under qk_norm) and the branch outputs SUM before the
+    output projection -- checkpoint-parity for decoupled I2V weights."""
 
     cfg: WanConfig
 
     @nn.compact
-    def __call__(self, x, ctx):
+    def __call__(self, x, ctx, ctx_img=None):
         cfg = self.cfg
         dense = functools.partial(
             nn.Dense, use_bias=True, dtype=cfg.dtype, param_dtype=jnp.float32
         )
         inner = cfg.num_heads * cfg.head_dim
-        q = dense(inner, name="q")(x)
-        k = dense(inner, name="k")(ctx)
-        v = dense(inner, name="v")(ctx)
         b, n, _ = x.shape
+        q = dense(inner, name="q")(x)
         if cfg.qk_norm:
             # Full-dim RMSNorm pre-head-split (see WanSelfAttention).
             q = RMSNorm(inner, cfg.eps, cfg.dtype, name="q_norm")(q)
-            k = RMSNorm(inner, cfg.eps, cfg.dtype, name="k_norm")(k)
-        q = q.reshape(b, n, cfg.num_heads, cfg.head_dim)
-        k = k.reshape(b, ctx.shape[1], cfg.num_heads, cfg.head_dim)
-        oh = flash_attention(
-            q.transpose(0, 2, 1, 3),
-            k.transpose(0, 2, 1, 3),
-            _attn_bhsd(v, cfg.num_heads),
-            block_sizes=cfg.attn_block_sizes("dense"),
+        qh = q.reshape(b, n, cfg.num_heads, cfg.head_dim).transpose(
+            0, 2, 1, 3
         )
+
+        def branch(tokens, k_name, v_name, norm_name):
+            k = dense(inner, name=k_name)(tokens)
+            v = dense(inner, name=v_name)(tokens)
+            if cfg.qk_norm:
+                k = RMSNorm(inner, cfg.eps, cfg.dtype, name=norm_name)(k)
+            k = k.reshape(b, tokens.shape[1], cfg.num_heads, cfg.head_dim)
+            return flash_attention(
+                qh,
+                k.transpose(0, 2, 1, 3),
+                _attn_bhsd(v, cfg.num_heads),
+                block_sizes=cfg.attn_block_sizes("dense"),
+            )
+
+        oh = branch(ctx, "k", "v", "k_norm")
+        if cfg.i2v_decoupled:
+            assert ctx_img is not None, (
+                "i2v_decoupled WanCrossAttention needs the image tokens "
+                "(pass image_ctx to WanModel)"
+            )
+            oh = oh + branch(ctx_img, "k_img", "v_img", "k_img_norm")
         return dense(cfg.dim, name="o")(_attn_bnhd(oh))
 
 
@@ -354,7 +380,7 @@ class WanBlock(nn.Module):
     @nn.compact
     def __call__(
         self, x, ctx, t_mod, freqs, state=None, threshold=-10.0,
-        emit_votes=True, schedule=None,
+        emit_votes=True, schedule=None, ctx_img=None,
     ):
         cfg = self.cfg
         # Per-block learned modulation bias added to the shared time
@@ -397,6 +423,7 @@ class WanBlock(nn.Module):
                 name="norm3",
             )(x),
             ctx,
+            ctx_img,
         )
         h_ffn = _modulate(ln(name="norm2")(x), sh2, sc2)
         h_ffn = nn.Dense(cfg.ffn_dim, dtype=cfg.dtype, name="ffn_up")(h_ffn)
@@ -452,12 +479,22 @@ class WanModel(nn.Module):
             x.astype(cfg.dtype)
         )
 
-        # Conditioning context: text, plus (I2V) CLIP image tokens
-        # prepended through a second instance of the same projection.
+        # Conditioning context: text, plus (I2V) CLIP image tokens --
+        # prepended into the shared context (Wan2.2 style) or kept
+        # separate for the decoupled image-K/V branch (Wan2.1-I2V,
+        # cfg.i2v_decoupled).
         ctx = CtxProj(cfg.dim, cfg.dtype, name="text_proj")(text)
+        ctx_img = None
         if image_ctx is not None:
             img = ImgProj(cfg.dim, cfg.dtype, name="img_proj")(image_ctx)
-            ctx = jnp.concatenate([img, ctx], axis=1)
+            if cfg.i2v_decoupled:
+                ctx_img = img
+            else:
+                ctx = jnp.concatenate([img, ctx], axis=1)
+        elif cfg.i2v_decoupled:
+            raise ValueError(
+                "cfg.i2v_decoupled=True requires image_ctx"
+            )
 
         # Time embedding -> shared 6 x dim modulation.
         te = timestep_embedding(t, cfg.freq_dim)
@@ -482,7 +519,8 @@ class WanModel(nn.Module):
             st = skip_states.get(i) if skip_states is not None else None
             sched = schedules.get(i) if schedules is not None else None
             x, st_new = block_cls(cfg, name=f"block_{i}")(
-                x, ctx, t_mod, freqs, st, threshold, emit_votes, sched
+                x, ctx, t_mod, freqs, st, threshold, emit_votes, sched,
+                ctx_img,
             )
             if st_new is not None:
                 new_states[i] = st_new

@@ -142,17 +142,21 @@ def remap_state_dict_wan(
     patch-embedding Conv3d kernel (out, in, kt, kh, kw) is permuted to
     match the model's patchify feature order (pt, ph, pw, c).
 
-    I2V checkpoints with decoupled image K/V (``cross_attn.k_img`` etc.)
-    are rejected: this port routes image tokens through the shared
-    cross-attention context instead (documented deviation).
+    I2V checkpoints with decoupled image K/V (``cross_attn.k_img``,
+    ``v_img``, ``norm_k_img`` -- the Wan2.1-I2V WanI2VCrossAttention
+    layout) remap onto the model's decoupled branch; construct it with
+    ``WanConfig(i2v_decoupled=True)`` (round 5; the concat-context form
+    stays the default for Wan2.2-style checkpoints).
     """
     sd = {k: _np(v) for k, v in state_dict.items()}
-    unsupported = [k for k in sd if "k_img" in k or "v_img" in k
-                   or "norm_k_img" in k]
-    if unsupported:
-        raise NotImplementedError(
-            "decoupled I2V image K/V is not supported; offending keys: "
-            f"{unsupported[:4]}..."
+    has_img_kv = any("k_img" in k for k in sd)
+    if has_img_kv != bool(getattr(cfg, "i2v_decoupled", False)):
+        raise ValueError(
+            "checkpoint/config mismatch: decoupled image-K/V keys "
+            f"{'present' if has_img_kv else 'absent'} but "
+            f"cfg.i2v_decoupled={getattr(cfg, 'i2v_decoupled', False)}; "
+            "construct WanConfig(i2v_decoupled="
+            f"{has_img_kv}) for this checkpoint"
         )
 
     def lin(prefix):
@@ -203,6 +207,14 @@ def remap_state_dict_wan(
         if prefix + ".norm_q.weight" in sd:
             out["q_norm"] = {"scale": sd[prefix + ".norm_q.weight"]}
             out["k_norm"] = {"scale": sd[prefix + ".norm_k.weight"]}
+        if prefix + ".k_img.weight" in sd:
+            # Wan2.1-I2V decoupled image branch (WanI2VCrossAttention).
+            out["k_img"] = lin(prefix + ".k_img")
+            out["v_img"] = lin(prefix + ".v_img")
+            if prefix + ".norm_k_img.weight" in sd:
+                out["k_img_norm"] = {
+                    "scale": sd[prefix + ".norm_k_img.weight"]
+                }
         return out
 
     for i in range(cfg.num_layers):

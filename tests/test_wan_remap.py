@@ -144,16 +144,94 @@ def test_wan_remap_patchify_matches_conv3d():
     )
 
 
-def test_wan_remap_rejects_decoupled_i2v_kv():
-    cfg = WanConfig.tiny()
-    sd = _synthetic_wan_state_dict(cfg)
-    sd["blocks.0.cross_attn.k_img.weight"] = np.zeros(
-        (cfg.dim, cfg.dim), np.float32
-    )
+def _add_decoupled_i2v_keys(sd, cfg, rng):
+    for i in range(cfg.num_layers):
+        pre = f"blocks.{i}.cross_attn."
+        for w in ("k_img", "v_img"):
+            sd[pre + w + ".weight"] = (
+                rng.randn(cfg.dim, cfg.dim).astype(np.float32) * 0.02
+            )
+            sd[pre + w + ".bias"] = (
+                rng.randn(cfg.dim).astype(np.float32) * 0.02
+            )
+        sd[pre + "norm_k_img.weight"] = np.ones(cfg.dim, np.float32)
+
+
+def test_wan_remap_decoupled_i2v_kv():
+    """Wan2.1-I2V decoupled image-K/V checkpoints (round 5): the
+    ``k_img``/``v_img``/``norm_k_img`` keys load onto the model's
+    decoupled branch with exact tree/shape parity, and the branch is
+    semantically the SUM of two cross-attentions (zero image K/V =>
+    identical output to the text-only path up to the o-projection
+    bias double-count, so compare against an explicit two-branch
+    reference instead)."""
     import pytest
 
-    with pytest.raises(NotImplementedError):
-        remap_state_dict_wan(sd, cfg)
+    rng = np.random.RandomState(11)
+    cfg = dataclasses.replace(WanConfig.tiny(), i2v_decoupled=True)
+    sd = _synthetic_wan_state_dict(cfg, i2v=True)
+    _add_decoupled_i2v_keys(sd, cfg, rng)
+    params = remap_state_dict_wan(sd, cfg)
+
+    model = WanModel(cfg)
+    b, f, hh, ww = 1, 4, 8, 8
+    lat = jax.random.normal(
+        jax.random.PRNGKey(0), (b, f, hh, ww, cfg.in_channels)
+    ).astype(jnp.bfloat16)
+    text = jax.random.normal(
+        jax.random.PRNGKey(1), (b, cfg.text_len, cfg.text_dim)
+    ).astype(jnp.bfloat16)
+    img = jax.random.normal(jax.random.PRNGKey(2), (b, 4, 64)).astype(
+        jnp.bfloat16
+    )
+    t = jnp.asarray([500.0])
+    ref_params = jax.jit(
+        lambda k: model.init(k, lat, t, text, image_ctx=img)
+    )(jax.random.PRNGKey(3))
+    assert jax.tree_util.tree_structure(
+        _tree_shapes(ref_params)
+    ) == jax.tree_util.tree_structure(_tree_shapes(params))
+    ca = params["params"]["block_0"]["cross_attn"]
+    assert set(ca) >= {"k_img", "v_img", "k_img_norm"}
+
+    out, _ = model.apply(params, lat, t, text, image_ctx=img)
+    assert np.isfinite(np.asarray(out, np.float32)).all()
+
+    # Zeroed image V and zero image tokens => the image branch
+    # contributes exactly nothing: output must match the same weights
+    # run through the concat-free text-only math. Build that reference
+    # by zeroing v_img (softmax weights then multiply a zero V).
+    p0 = jax.tree_util.tree_map(lambda x: x, params)
+    import flax
+
+    flat = flax.traverse_util.flatten_dict(p0["params"])
+    for key in list(flat):
+        if "v_img" in key and key[-1] == "kernel":
+            flat[key] = np.zeros_like(flat[key])
+        if "v_img" in key and key[-1] == "bias":
+            flat[key] = np.zeros_like(flat[key])
+    p0 = {"params": flax.traverse_util.unflatten_dict(flat)}
+    out0, _ = model.apply(p0, lat, t, text, image_ctx=img)
+
+    cfg_txt = dataclasses.replace(cfg, i2v_decoupled=False)
+    sd_txt = {
+        k: v for k, v in sd.items()
+        if "k_img" not in k and "v_img" not in k
+        and "img_emb" not in k
+    }
+    params_txt = remap_state_dict_wan(sd_txt, cfg_txt)
+    out_txt, _ = WanModel(cfg_txt).apply(params_txt, lat, t, text)
+    np.testing.assert_allclose(
+        np.asarray(out0, np.float32),
+        np.asarray(out_txt, np.float32),
+        atol=2e-2, rtol=2e-2,
+    )
+
+    # Mismatched config/checkpoint pairs are rejected loudly.
+    with pytest.raises(ValueError):
+        remap_state_dict_wan(sd, cfg_txt)
+    with pytest.raises(ValueError):
+        remap_state_dict_wan(sd_txt, cfg)
 
 
 def test_wan_remap_i2v_img_proj():
