@@ -25,13 +25,18 @@ def gpt2_config(dim=768, num_layers=12, num_heads=12, vocab=50257,
 
 
 def opt_config(dim=768, num_layers=12, num_heads=12, vocab=50272,
-               max_pos=2048) -> GPTConfig:
+               max_pos=2048, word_embed_proj_dim=None,
+               prenorm=True) -> GPTConfig:
     """OPT (reference models/opt.py): learned positions, ReLU-family MLP
-    geometry, tied embeddings."""
+    geometry, tied embeddings. The 350m layout sets
+    ``word_embed_proj_dim`` (projected embeddings) and
+    ``prenorm=False`` (do_layer_norm_before=False, no final norm) --
+    reference opt_config_to_gpt2_config."""
     return GPTConfig(
         vocab_size=vocab, max_position_embeddings=max_pos, dim=dim,
         num_layers=num_layers, num_heads=num_heads, tie_embeddings=True,
-        mlp_relu=True,
+        mlp_relu=True, word_embed_proj_dim=word_embed_proj_dim,
+        prenorm=prenorm,
     )
 
 

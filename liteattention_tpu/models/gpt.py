@@ -53,6 +53,16 @@ class GPTConfig:
     rotary_emb_interleaved: bool = False
     # OPT uses ReLU in the MLP (reference models/opt.py).
     mlp_relu: bool = False
+    # OPT-350m layout (reference models/opt.py
+    # opt_config_to_gpt2_config + modules/embedding.py:29-55): token
+    # embeddings live at word_embed_proj_dim and are projected in/out
+    # of the hidden size by bias-free linears; the tied LM head reads
+    # the proj-dim table.
+    word_embed_proj_dim: Optional[int] = None
+    # do_layer_norm_before=False (OPT-350m): post-norm blocks, and NO
+    # final layer norm (reference gpt.py creates ln_f only when
+    # prenorm).
+    prenorm: bool = True
     # GPT-J's untied lm_head carries a bias (reference models/gptj.py).
     lm_head_bias: bool = False
     gated_mlp: bool = False  # LLaMA-style SwiGLU
@@ -129,13 +139,23 @@ class GPTModel(nn.Module):
         cfg = self.cfg
         x = nn.Embed(
             cfg.vocab_size,
-            cfg.dim,
+            cfg.word_embed_proj_dim or cfg.dim,
             dtype=cfg.dtype,
             param_dtype=jnp.float32,
             name="wte",
         )(input_ids)
         if cfg.embeddings_multiplier != 1.0:
             x = x * cfg.embeddings_multiplier
+        if cfg.word_embed_proj_dim:
+            # OPT-350m: bias-free projection into the hidden size,
+            # BEFORE the (hidden-sized) position table is added.
+            x = nn.Dense(
+                cfg.dim,
+                use_bias=False,
+                dtype=cfg.dtype,
+                param_dtype=jnp.float32,
+                name="project_in",
+            )(x)
         if cfg.max_position_embeddings:
             offset = (
                 inference_params.seqlen_offset if inference_params else 0
@@ -209,11 +229,11 @@ class GPTModel(nn.Module):
             if cfg.remat and inference_params is None:
                 # deterministic (arg 3) is a Python bool -> static.
                 block_cls = nn.remat(Block, static_argnums=(3,))
-            x, residual = block_cls(
+            blk = block_cls(
                 dim=cfg.dim,
                 mixer=mixer,
                 mlp=mlp,
-                prenorm=True,
+                prenorm=cfg.prenorm,
                 parallel_block=cfg.parallel_block,
                 parallel_block_tied_norm=cfg.parallel_block_tied_norm,
                 resid_dropout1=cfg.dropout,
@@ -223,13 +243,28 @@ class GPTModel(nn.Module):
                 eps=cfg.eps,
                 dtype=cfg.dtype,
                 name=f"block_{i}",
-            )(
-                x,
-                residual,
-                deterministic,
-                inference_params=inference_params,
             )
+            if cfg.prenorm:
+                x, residual = blk(
+                    x,
+                    residual,
+                    deterministic,
+                    inference_params=inference_params,
+                )
+            else:
+                # Post-norm (OPT do_layer_norm_before=False): the norm
+                # closes each residual add, no separate stream.
+                x = blk(
+                    x,
+                    None,
+                    deterministic,
+                    inference_params=inference_params,
+                )
 
+        if not cfg.prenorm:
+            # Reference gpt.py creates ln_f only when prenorm; the
+            # post-norm stack ends normalized already.
+            return x
         final = (x.astype(jnp.float32) + residual).astype(cfg.dtype)
         w = self.param("ln_f_scale", nn.initializers.ones, (cfg.dim,))
         if cfg.use_rms_norm:
@@ -253,6 +288,17 @@ class GPTLMHeadModel(nn.Module):
         hidden = GPTModel(self.cfg, name="transformer")(
             input_ids, inference_params, deterministic
         )
+        if self.cfg.word_embed_proj_dim:
+            # OPT-350m: bias-free projection back to the embedding dim
+            # before the (proj-dim) tied head (reference
+            # gpt.py:590-595).
+            hidden = nn.Dense(
+                self.cfg.word_embed_proj_dim,
+                use_bias=False,
+                dtype=self.cfg.dtype,
+                param_dtype=jnp.float32,
+                name="project_out",
+            )(hidden)
         if self.cfg.tie_embeddings:
             wte = self.variables["params"]["transformer"]["wte"]["embedding"]
             logits = hidden @ wte.T.astype(hidden.dtype)
@@ -350,6 +396,10 @@ def gpt_tp_apply(
 
     assert cfg.rotary_emb_dim == 0, "TP path: learned positions only"
     assert not cfg.use_alibi
+    assert cfg.prenorm and cfg.word_embed_proj_dim is None, (
+        "TP path: the OPT-350m post-norm/projected-embedding layout "
+        "is not plumbed (use the single-device model)"
+    )
     p = params["params"]
     t = p["transformer"]
     tp = jax.lax.axis_size(axis_name)

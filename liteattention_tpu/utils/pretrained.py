@@ -358,9 +358,11 @@ def remap_state_dict_hf_opt(
     flash_attn/models/opt.py:14-74). OPT's learned position table
     carries a +2 offset (HF ``OPTLearnedPositionalEmbedding``); rows
     [2:] are the real positions. Separate biased q/k/v projections fuse
-    into Wqkv; the MLP is ReLU; embeddings are tied. Variants with
-    ``word_embed_proj_dim != hidden_size`` (350m) or
-    ``do_layer_norm_before=False`` are rejected.
+    into Wqkv; the MLP is ReLU; embeddings are tied. The 350m layout
+    (``word_embed_proj_dim != hidden_size`` project_in/out +
+    ``do_layer_norm_before=False`` post-norm, no final norm) remaps
+    onto ``GPTConfig(word_embed_proj_dim=..., prenorm=False)``
+    (reference models/opt.py:22-28 + modules/embedding.py:29-55).
     """
     sd = {k: _np(v) for k, v in state_dict.items()}
     pre0 = (
@@ -368,14 +370,20 @@ def remap_state_dict_hf_opt(
         if any(k.startswith("model.decoder.") for k in sd)
         else "decoder."
     )
-    if pre0 + "project_in.weight" in sd:
-        raise NotImplementedError(
-            "OPT word_embed_proj_dim != hidden_size (project_in/out, "
-            "the 350m layout) is not supported"
-        )
     p: Dict[str, Any] = {"transformer": {}}
     t = p["transformer"]
     t["wte"] = {"embedding": sd[pre0 + "embed_tokens.weight"]}
+    if pre0 + "project_in.weight" in sd:
+        assert cfg.word_embed_proj_dim, (
+            "checkpoint has project_in/out (OPT-350m layout); construct "
+            "GPTConfig(word_embed_proj_dim=..., prenorm=False)"
+        )
+        t["project_in"] = {
+            "kernel": sd[pre0 + "project_in.weight"].T
+        }
+        p["project_out"] = {
+            "kernel": sd[pre0 + "project_out.weight"].T
+        }
     # Positions: drop the 2 offset rows (reference opt.py does the same
     # slice when building the GPT2-shaped dict).
     t["wpe"] = {"embedding": sd[pre0 + "embed_positions.weight"][2:]}
@@ -413,8 +421,22 @@ def remap_state_dict_hf_opt(
                 },
             },
         }
-    t["ln_f_scale"] = sd[pre0 + "final_layer_norm.weight"]
-    t["ln_f_bias"] = sd[pre0 + "final_layer_norm.bias"]
+    if pre0 + "final_layer_norm.weight" in sd:
+        t["ln_f_scale"] = sd[pre0 + "final_layer_norm.weight"]
+        t["ln_f_bias"] = sd[pre0 + "final_layer_norm.bias"]
+    elif pre0 + "layer_norm.weight" in sd:
+        # OPT-175B names the final norm 'decoder.layer_norm'
+        # (reference opt.py:49-51).
+        t["ln_f_scale"] = sd[pre0 + "layer_norm.weight"]
+        t["ln_f_bias"] = sd[pre0 + "layer_norm.bias"]
+    else:
+        # do_layer_norm_before=False checkpoints (350m) have no final
+        # norm; the model must be post-norm.
+        assert not cfg.prenorm, (
+            "checkpoint has no final layer norm "
+            "(do_layer_norm_before=False); construct "
+            "GPTConfig(prenorm=False)"
+        )
     return {"params": p}
 
 

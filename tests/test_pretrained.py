@@ -459,3 +459,44 @@ def test_btlm_logit_parity_vendored():
         GPTLMHeadModel(cfg).apply(params, jnp.asarray(ids_np))
     )
     np.testing.assert_allclose(logits, ref, atol=2e-3, rtol=1e-3)
+
+
+def test_opt_350m_layout_logit_parity_with_hf():
+    """OPT-350m layout (round 5): word_embed_proj_dim != hidden_size
+    (project_in/out around the decoder) AND do_layer_norm_before=False
+    (post-norm blocks, no final norm). Bar: reference
+    models/opt.py opt_config_to_gpt2_config + modules/embedding.py."""
+    from liteattention_tpu.models.configs import opt_config
+    from liteattention_tpu.utils.pretrained import (
+        remap_state_dict_hf_opt,
+    )
+
+    hf_cfg = transformers.OPTConfig(
+        vocab_size=128,
+        hidden_size=64,
+        num_hidden_layers=2,
+        num_attention_heads=2,
+        ffn_dim=256,
+        max_position_embeddings=64,
+        activation_function="relu",
+        do_layer_norm_before=False,
+        word_embed_proj_dim=32,
+        dropout=0.0,
+        attention_dropout=0.0,
+    )
+    torch.manual_seed(1)
+    hf_model = transformers.OPTForCausalLM(hf_cfg).eval()
+
+    cfg = opt_config(
+        dim=64, num_layers=2, num_heads=2, vocab=128, max_pos=64,
+        word_embed_proj_dim=32, prenorm=False,
+    )
+    cfg = dataclasses.replace(cfg, ffn_dim=256, dtype=jnp.float32)
+    model = GPTLMHeadModel(cfg)
+    params = remap_state_dict_hf_opt(hf_model.state_dict(), cfg)
+
+    ids_np = np.random.RandomState(5).randint(0, 128, size=(2, 24))
+    with torch.no_grad():
+        hf_logits = hf_model(torch.tensor(ids_np)).logits.numpy()
+    logits = np.asarray(model.apply(params, jnp.asarray(ids_np)))
+    np.testing.assert_allclose(logits, hf_logits, atol=2e-3, rtol=1e-3)
