@@ -624,9 +624,28 @@ def flash_attn_with_kvcache(
             kv_cache_layout,
         )
     if cu_seqlens_k_new is not None:
-        raise NotImplementedError(
-            "cu_seqlens_k_new without cu_seqlens_q is not supported"
+        # Dense q + ragged new-KV batches (round 5): express the dense
+        # q as a degenerate varlen batch (every length = Sq, so the
+        # right-aligned padding is the identity) and reuse the
+        # varlen-q machinery's ragged append; then restore the dense
+        # [B, Sq, ...] return conventions.
+        b_, sq_, hq_, _ = q.shape
+        cu_q = jnp.arange(b_ + 1, dtype=jnp.int32) * sq_
+        res = _kvcache_varlen_q(
+            q.reshape(b_ * sq_, hq_, q.shape[-1]), k_cache, v_cache,
+            k, v, qv, rotary_cos, rotary_sin, cache_seqlens,
+            cache_batch_idx, cache_leftpad, page_table, cu_q,
+            cu_seqlens_k_new, sq_, max_seqlen_k_new, rotary_seqlens,
+            softmax_scale, causal, window_size, attention_chunk,
+            softcap, rotary_interleaved, num_splits,
+            return_softmax_lse, block_sizes, kv_cache_layout,
         )
+        out = res[0].reshape(b_, sq_, hq_, -1)
+        rest = list(res[1:])
+        if return_softmax_lse:
+            # packed [Hq, total_q] -> dense [B, Hq, Sq]
+            rest[0] = rest[0].reshape(hq_, b_, sq_).transpose(1, 0, 2)
+        return tuple([out] + rest) if rest else out
     del scheduler_metadata, pack_gqa, sm_margin, max_seqlen_q
     if num_splits == 0:
         num_splits = 1  # reference heuristic knob; Mosaic schedules

@@ -474,3 +474,69 @@ def test_attention_chunk_kvcache():
                 atol=3e-4,
                 err_msg=f"batch {i} s_new={s_new}",
             )
+
+
+@pytest.mark.parametrize("causal", [False, True])
+def test_kvcache_dense_q_ragged_k_new(causal):
+    """Dense q [B, Sq, H, D] + ragged new-KV (cu_seqlens_k_new WITHOUT
+    cu_seqlens_q; round 5 -- the reference accepts this combination,
+    hopper/_internal/flash_attn_interface.py:688-861). Oracle: one
+    fixed-shape call per sequence."""
+    b, s_max, sq, h, hk, d = 3, 64, 4, 4, 2, 32
+    lk = [5, 2, 0]
+    prefill = [9, 6, 3]
+    key = jax.random.PRNGKey(13)
+    ks = jax.random.split(key, 5)
+    total_k = sum(lk)
+    q = jax.random.normal(ks[0], (b, sq, h, d), jnp.float32)
+    k_new = jax.random.normal(ks[1], (total_k, hk, d), jnp.float32)
+    v_new = jax.random.normal(ks[2], (total_k, hk, d), jnp.float32)
+    k_cache = jax.random.normal(ks[3], (b, s_max, hk, d), jnp.float32)
+    v_cache = jax.random.normal(ks[4], (b, s_max, hk, d), jnp.float32)
+    cu_k = jnp.asarray(np.cumsum([0] + lk), jnp.int32)
+    lens = jnp.asarray(prefill, jnp.int32)
+    out, lse, (kc2, vc2) = flash_attn_with_kvcache(
+        q,
+        k_cache,
+        v_cache,
+        k_new,
+        v_new,
+        cache_seqlens=lens,
+        cu_seqlens_k_new=cu_k,
+        causal=causal,
+        return_softmax_lse=True,
+        block_sizes=BS,
+    )
+    assert out.shape == (b, sq, h, d)
+    assert lse.shape == (b, h, sq)
+    for i in range(b):
+        ki = k_new[int(cu_k[i]) : int(cu_k[i + 1])][None]
+        vi = v_new[int(cu_k[i]) : int(cu_k[i + 1])][None]
+        ref = flash_attn_with_kvcache(
+            q[i : i + 1],
+            k_cache[i : i + 1],
+            v_cache[i : i + 1],
+            ki if lk[i] else None,
+            vi if lk[i] else None,
+            cache_seqlens=prefill[i],
+            causal=causal,
+            return_softmax_lse=True,
+            block_sizes=BS,
+        )
+        ref_out, ref_lse = ref[0], ref[1]
+        kci, vci = ref[2] if lk[i] else (None, None)
+        np.testing.assert_allclose(
+            np.asarray(out[i]), np.asarray(ref_out[0]), atol=3e-4,
+            err_msg=f"sequence {i}",
+        )
+        np.testing.assert_allclose(
+            np.asarray(lse[i]), np.asarray(ref_lse[0]), atol=3e-4,
+            err_msg=f"lse sequence {i}",
+        )
+        if lk[i]:
+            np.testing.assert_allclose(
+                np.asarray(kc2[i]), np.asarray(kci[0])
+            )
+            np.testing.assert_allclose(
+                np.asarray(vc2[i]), np.asarray(vci[0])
+            )
