@@ -69,4 +69,63 @@ def pad_input(
     return flat.reshape(batch, seqlen, *packed.shape[1:])
 
 
-__all__ = ["pad_input", "unpad_input", "index_first_axis"]
+def unpad_input_for_concatenated_sequences(
+    hidden_states: jax.Array,
+    attention_mask_in_length: jax.Array,
+    max_tokens: Optional[int] = None,
+    max_seqs: Optional[int] = None,
+) -> Tuple[jax.Array, jax.Array, jax.Array, jax.Array]:
+    """Unpad a batch of CONCATENATED short samples (packed SFT rows).
+
+    Reference ``bert_padding.unpad_input_for_concatenated_sequences``:
+    ``attention_mask_in_length[b, i]`` holds the length of the i-th
+    sample concatenated into row ``b`` (0 = none); rows are valid for
+    their first ``sum_i length_i`` positions. Returns
+    ``(packed, indices, cu_seqlens, max_seqlen_in_batch)`` where
+    ``cu_seqlens`` delimits every SUB-sample for
+    ``flash_attn_varlen_func``.
+
+    TPU static-shape twist (see the module docstring): ``packed`` has
+    static capacity ``max_tokens`` and ``cu_seqlens`` static length
+    ``max_seqs + 1`` -- entries past the real sub-sample count repeat
+    the final cumulative total, i.e. phantom ZERO-length segments,
+    which the varlen kernels treat as empty. ``max_seqlen_in_batch``
+    is a traced scalar (static-shape consumers should pass their own
+    bound).
+    """
+    b, s = attention_mask_in_length.shape
+    lengths = attention_mask_in_length.astype(jnp.int32)
+    row_total = lengths.sum(-1)  # [B] valid tokens per row
+    mask2d = (
+        jnp.arange(s, dtype=jnp.int32)[None, :] < row_total[:, None]
+    )
+    packed, indices, _, _ = unpad_input(
+        hidden_states, mask2d, max_tokens
+    )
+    # Compact the nonzero sub-sample lengths in row-major order.
+    if max_seqs is None:
+        max_seqs = b * s
+    flat_len = lengths.reshape(-1)
+    is_seq = flat_len > 0
+    nseqs = is_seq.sum()
+    order = jnp.argsort(~is_seq, stable=True).astype(jnp.int32)
+    seqlens = jnp.take(flat_len, order[:max_seqs])
+    seqlens = jnp.where(
+        jnp.arange(max_seqs, dtype=jnp.int32) < nseqs, seqlens, 0
+    )
+    cu_seqlens = jnp.concatenate(
+        [
+            jnp.zeros((1,), jnp.int32),
+            jnp.cumsum(seqlens).astype(jnp.int32),
+        ]
+    )
+    max_seqlen_in_batch = seqlens.max()
+    return packed, indices, cu_seqlens, max_seqlen_in_batch
+
+
+__all__ = [
+    "pad_input",
+    "unpad_input",
+    "unpad_input_for_concatenated_sequences",
+    "index_first_axis",
+]

@@ -187,3 +187,44 @@ def test_patch_embed():
     params = pe.init(jax.random.PRNGKey(1), imgs)
     out = pe.apply(params, imgs)
     assert out.shape == (2, 16, 32)
+
+
+def test_unpad_input_for_concatenated_sequences():
+    """Parity with the reference bert_padding helper (packed-SFT rows):
+    tokens compact row-major over each row's valid prefix, cu_seqlens
+    delimits every concatenated sub-sample, phantom tail segments are
+    zero-length."""
+    from liteattention_tpu.utils.padding import (
+        unpad_input_for_concatenated_sequences,
+    )
+
+    b, s, d = 3, 6, 4
+    rng = np.random.RandomState(0)
+    x = jnp.asarray(rng.randn(b, s, d), jnp.float32)
+    am = jnp.asarray(
+        [[2, 3, 0, 0, 0, 0], [3, 2, 0, 0, 0, 0], [6, 0, 0, 0, 0, 0]],
+        jnp.int32,
+    )
+    packed, idx, cu, max_len = unpad_input_for_concatenated_sequences(
+        x, am
+    )
+    # numpy reference of the torch semantics
+    lengths = np.asarray(am)
+    row_tot = lengths.sum(-1)
+    mask2d = np.arange(s)[None] < row_tot[:, None]
+    ref_packed = np.asarray(x).reshape(-1, d)[mask2d.reshape(-1)]
+    seqlens = lengths.reshape(-1)[lengths.reshape(-1) > 0]
+    ref_cu = np.concatenate([[0], np.cumsum(seqlens)]).astype(np.int32)
+    n = ref_packed.shape[0]
+    np.testing.assert_allclose(np.asarray(packed)[:n], ref_packed)
+    assert (np.asarray(packed)[n:] == 0).all()
+    ns = len(seqlens)
+    np.testing.assert_array_equal(np.asarray(cu)[: ns + 1], ref_cu)
+    # phantom tail: constant (zero-length segments)
+    assert (np.asarray(cu)[ns:] == ref_cu[-1]).all()
+    assert int(max_len) == int(seqlens.max())
+    # round trip through pad_input restores the valid positions
+    back = pad_input(packed[:n], idx[:n], b, s)
+    np.testing.assert_allclose(
+        np.asarray(back)[mask2d], np.asarray(x)[mask2d]
+    )
