@@ -1723,6 +1723,12 @@ def lite_flash_attention(
         ``packed_kv`` was relayouted with
         :func:`~liteattention_tpu.ops.kv_compact.compact_kv`. Only the
         vote decode consumes it (the kernel is index-space agnostic).
+      fold_h: gather path only (round 5, experimental). Run up to this
+        many heads per grid cell via the in-kernel head loop
+        (``_lite_gather_kernel_hfold``; bit-exact vs the default).
+        Measured NEUTRAL on v5e at the bench point once the dispatch
+        bias was fixed -- kept for A/B and for hardware where
+        per-grid-cell overhead is larger. Default None = unfolded.
 
     Returns:
       out ``[B, H, Sq, D]``, lse fp32 ``[B, H, Sq]``,
