@@ -33,7 +33,13 @@ Prints ONE JSON line.
 """
 
 import json
+import os
 import time
+
+# Persistent compile cache (must be set before jax initializes): the
+# remote compile service intermittently degrades to 10-30 min per
+# kernel; with the cache a full bench rerun takes ~4 min.
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/root/.jax_cache")
 
 import jax
 import jax.numpy as jnp
